@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{ExtQueries, Queries}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val all: Seq[(String, Queries.Q, Option[String])] =
+    Queries.inventory ++ ExtQueries.inventory
+
+  /** Flagship: the MV2 daily-tx-stats shape (SURVEY A7, ref
+    * init_clickhouse.js:399-415) on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.inventory.collectFirst {
+      case ("a7_mv2_daily_tx_stats", q, _) => q(spark, "/root/testdata/sf0.001")
+    }.get
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ LLM ext). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q, _) => n -> q }.toMap
+
+  /** DuckDB-equivalent SQL per query (omitted => rows-only check). */
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators (SURVEY §7 north-star).
+  *
+  * Scale stance (the 100 TB design point):
+  *  - exact dedup is a hash-groupBy (one shuffle on the content hash), never
+  *    an all-pairs comparison;
+  *  - near-dup is MinHash + banded LSH: candidate pairs come from an EQUI-join
+  *    on (band, bucket) — shuffle-partitionable, no quadratic blow-up; the
+  *    expensive verify (true Jaccard) runs only on candidates.
+  *
+  * Hashes are md5-based (not Spark-internal xxhash) so results are portable
+  * and independently checkable (the DuckDB oracle reproduces them bit-for-bit).
+  */
+object Dedup {
+
+  /** k-word shingles of a whitespace-tokenized text; texts shorter than k
+    * words collapse to a single whole-text shingle. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** Exact dedup: group by content hash, keep the smallest id.
+    * One shuffle on the 128-bit hash; streams at any scale. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
+
+  /** MinHash signature: numHashes independent permutations simulated as
+    * min(md5(seed || shingle)). Min over strings of a uniform hash is a
+    * valid minwise sketch; string min keeps it portable. */
+  def minhashSig(df: DataFrame, textCol: String, idCol: String,
+                 numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
+    val withShingles = df
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleK)).as("s"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    withShingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: group the signature into bands of `bandSize` hashes; a band's
+    * bucket key is the md5 of its concatenated member hashes. Output one row
+    * per (id, band, bucket) — the join key for candidate generation. */
+  def lshBands(sig: DataFrame, idCol: String, numHashes: Int = 8,
+               bandSize: Int = 2): DataFrame = {
+    val bandCols = (0 until numHashes by bandSize).map { b =>
+      md5(concat_ws("", (b until math.min(b + bandSize, numHashes)).map(i => col(s"h$i")): _*))
+    }
+    sig.select(col(idCol), posexplode(array(bandCols: _*)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs: equi-join on (band, bucket), a < b, distinct.
+    * THE scale property: cost is Σ bucket² per band, not n². */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bucket"))
+    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** n-gram Jaccard similarity between two (already distinct) shingle sets. */
+  def jaccard(aSet: Column, bSet: Column): Column = {
+    val inter = size(array_intersect(aSet, bSet)).cast("double")
+    val union = size(array_union(aSet, bSet))
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** End-to-end MinHash-LSH near-dup dedup: candidates from banding, verified
+    * by true shingle Jaccard ≥ threshold. */
+  def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 8, bandSize: Int = 2, shingleK: Int = 3,
+                   threshold: Double = 0.7): DataFrame = {
+    val sig = minhashSig(df, textCol, idCol, numHashes, shingleK)
+    val cands = candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol)
+    val sets = df.select(col(idCol),
+      array_distinct(wordShingles(col(textCol), shingleK)).as("sset"))
+    cands
+      .join(sets.select(col(idCol).as("a_id"), col("sset").as("sa")), Seq("a_id"))
+      .join(sets.select(col(idCol).as("b_id"), col("sset").as("sb")), Seq("b_id"))
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** 16-bit SimHash over word tokens. Bit p is the majority vote of the top
+    * bit of hex digit p of md5(word) (digit >= 8), weighted ±1 per token.
+    * Static per-position expressions keep this codegen-friendly and portable.
+    */
+  def simhash16(words: Column): Column = {
+    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    (1 to 16).map { p =>
+      val vote = aggregate(
+        transform(words, w =>
+          when(substring(md5(w), p, 1).isin(high.map(x => x: Any): _*), lit(1))
+            .otherwise(lit(-1))),
+        lit(0), (acc, v) => acc + v)
+      when(vote >= 0, lit(1L << (p - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two small signatures (for simhash pairing). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  * All pure column expressions (whole-stage-codegen friendly). */
+object TextFns {
+
+  /** Whitespace token count (split on single space, like the corpus format). */
+  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** BPE-ish token estimate: runs of letters, runs of digits, and single
+    * other non-space chars each count as one token. */
+  def bpeIshTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long")
+
+  /** Characters that are not lowercase letters or spaces (punct/digit/upper). */
+  def nonAlphaCount(text: Column): Column =
+    length(regexp_replace(text, "[a-z ]", "")).cast("long")
+
+  def punctRatio(text: Column): Column =
+    nonAlphaCount(text).cast("double") / greatest(length(text), lit(1))
+
+  /** Fraction of whitespace tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ws = split(text, " ")
+    size(filter(ws, w => w.isin(stopwords.map(x => x: Any): _*))).cast("double") /
+      greatest(size(ws), lit(1))
+  }
+
+  /** Count of tokens from `vocab` present in the text. */
+  def hitCount(text: Column, vocab: Seq[String]): Column =
+    size(filter(split(text, " "), w => w.isin(vocab.map(x => x: Any): _*))).cast("long")
+
+  val enStop: Seq[String] = Seq("the", "and", "of", "to", "a")
+  val esStop: Seq[String] = Seq("el", "la", "de", "que", "y")
+  val frStop: Seq[String] = Seq("le", "les", "des", "et", "un")
+
+  /** n-gram language-ID heuristic: argmax of per-language stopword hits,
+    * ties broken en > es > fr (deterministic). */
+  def langGuess(text: Column): Column = {
+    val en = hitCount(text, enStop)
+    val es = hitCount(text, esStop)
+    val fr = hitCount(text, frStop)
+    when(en >= es && en >= fr, lit("en"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Simple quality score in [0,1]: length-capped minus punctuation penalty
+    * plus stopword-presence bonus. Deterministic, monotone in its inputs. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text, enStop)
+    greatest(least(lenScore * 0.5 - punct * 0.3 + stop * 0.5 + lit(0.3), lit(1.0)), lit(0.0))
+  }
+
+  /** Document fingerprint: md5 of the lowercased text normalized to
+    * [a-z0-9 ] — stable under case/punctuation jitter. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  /** Winnowing-style shingle fingerprint: minimum shingle hash — equals the
+    * first MinHash component, so near-identical docs collide. */
+  def shingleFingerprint(text: Column, k: Int = 3): Column = {
+    val shingles = Dedup.wordShingles(text, k)
+    array_min(transform(shingles, s => md5(s)))
+  }
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextFns}
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`
+  * (the driver ships both tables alongside the TPC-H-ish ones).
+  *
+  * Oracle portability: hashes are md5 (DuckDB-reproducible), shingling is
+  * list-comprehension-expressible, cosine math is double with round(…, 6).
+  */
+object ExtQueries {
+  import Queries.Q
+  import Td.t
+
+  /** Shared DuckDB CTE: word 3-shingles of documents. */
+  private val ShingleCte =
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN " +
+      "[array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws)-2)] " +
+      "ELSE [array_to_string(ws, ' ')] END AS shingles FROM w), " +
+      "u AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh)"
+
+  private val SigSelect =
+    (0 until 8).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+
+  private val SigCte =
+    s"$ShingleCte, sig AS (SELECT doc_id, $SigSelect FROM u GROUP BY doc_id)"
+
+  private def simhashTermSql(p: Int): String =
+    s"(CASE WHEN 2 * len(list_filter(ws, x -> substr(md5(x), $p, 1) IN " +
+      s"('8','9','a','b','c','d','e','f'))) - len(ws) >= 0 THEN ${1L << (p - 1)} ELSE 0 END)"
+
+  private val CosExpr =
+    "list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) " +
+      "for i in generate_series(1, len(embedding))]) / " +
+      "(sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) " +
+      "for i in generate_series(1, len(embedding))])) * " +
+      "sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) " +
+      "for i in generate_series(1, len(qv))])))"
+
+  val inventory: Seq[(String, Q, Option[String])] = Seq(
+
+    // ------------------------------------------------------------- dedup --
+    ("x_dedup_exact",
+      (s: SparkSession, d: String) =>
+        Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id").orderBy("h"),
+      Some("SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id " +
+        "FROM documents GROUP BY 1 ORDER BY 1")),
+
+    ("x_dedup_summary",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents").agg(
+          countDistinct(md5(col("text"))).as("n_unique"),
+          count(lit(1)).as("n_total")),
+      Some("SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique, " +
+        "count(*) AS n_total FROM documents")),
+
+    ("x_minhash_sig",
+      (s: SparkSession, d: String) =>
+        Dedup.minhashSig(t(s, d, "documents"), "text", "doc_id").orderBy("doc_id"),
+      Some(s"$ShingleCte SELECT doc_id, $SigSelect FROM u GROUP BY doc_id ORDER BY doc_id")),
+
+    ("x_lsh_pairs",
+      (s: SparkSession, d: String) => {
+        val sig = Dedup.minhashSig(t(s, d, "documents"), "text", "doc_id")
+        Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id"), "doc_id")
+          .orderBy("a_id", "b_id")
+      },
+      Some(s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
+        "(SELECT doc_id, [md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)] AS bs FROM sig), " +
+        "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)) " +
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
+        "ORDER BY a_id, b_id")),
+
+    ("x_jaccard_pairs",
+      (s: SparkSession, d: String) => {
+        val sets = t(s, d, "documents").select(col("doc_id"),
+          array_distinct(Dedup.wordShingles(col("text"), 3)).as("sset"))
+        sets.as("a")
+          .join(sets.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+            round(Dedup.jaccard(col("a.sset"), col("b.sset")), 6).as("jaccard"))
+          .orderBy("a_id")
+      },
+      Some(s"$ShingleCte, ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "round(CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) / " +
+        "(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 6) AS jaccard " +
+        "FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1 ORDER BY a_id")),
+
+    ("x_simhash16",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), Dedup.simhash16(split(col("text"), " ")).as("simhash"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(" +
+        (1 to 16).map(simhashTermSql).mkString(" + ") +
+        " AS BIGINT) AS simhash FROM (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents) t ORDER BY doc_id")),
+
+    ("x_near_dup", // full MinHash-LSH pipeline incl. Jaccard verify; rows-only
+      (s: SparkSession, d: String) =>
+        Dedup.nearDupPairs(t(s, d, "documents"), "text", "doc_id", threshold = 0.2)
+          .orderBy("a_id", "b_id"),
+      None),
+
+    // -------------------------------------------------------- similarity --
+    ("x_cosine_all",
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        em.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy("vec_id")
+      },
+      Some("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
+        s"SELECT vec_id, round($CosExpr, 6) AS cos FROM embeddings, q " +
+        "WHERE vec_id <> 0 ORDER BY vec_id")),
+
+    ("x_cosine_topk",
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        em.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        s"c AS (SELECT vec_id, round($CosExpr, 6) AS cos FROM embeddings, q WHERE vec_id <> 0) " +
+        "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10")),
+
+    ("x_ann_lsh", // bucketed ANN, Spark-side recall test; no SQL oracle
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.annTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          q, k = 10, nPlanes = 4, dim = 64)
+      },
+      None),
+
+    // --------------------------------------------------------------- text --
+    ("x_text_stats",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"),
+            length(col("text")).cast("long").as("len_chars"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(length(text) AS BIGINT) AS len_chars, n_chars FROM documents ORDER BY doc_id")),
+
+    ("x_text_quality",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            TextFns.nonAlphaCount(col("text")).as("n_nonalpha"),
+            round(TextFns.stopwordRatio(col("text"), TextFns.enStop), 6).as("stop_ratio"),
+            round(TextFns.qualityScore(col("text")), 6).as("quality"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS n_nonalpha, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) AS DOUBLE) " +
+        "/ greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio, " +
+        "round(greatest(least(" +
+        "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 - " +
+        "(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 0.3 + " +
+        "(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) AS DOUBLE) " +
+        "/ greatest(len(string_split(text, ' ')), 1)) * 0.5 + 0.3, 1.0), 0.0), 6) AS quality " +
+        "FROM documents ORDER BY doc_id")),
+
+    ("x_lang_guess",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang").as("actual"),
+            TextFns.langGuess(col("text")).as("guess"),
+            TextFns.hitCount(col("text"), TextFns.enStop).as("s_en"),
+            TextFns.hitCount(col("text"), TextFns.esStop).as("s_es"),
+            TextFns.hitCount(col("text"), TextFns.frStop).as("s_fr"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, lang AS actual, " +
+        "CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' " +
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS guess, s_en, s_es, s_fr FROM " +
+        "(SELECT doc_id, lang, " +
+        "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) AS BIGINT) AS s_en, " +
+        "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que','y'))) AS BIGINT) AS s_es, " +
+        "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','les','des','et','un'))) AS BIGINT) AS s_fr " +
+        "FROM documents) t ORDER BY doc_id")),
+
+    ("x_fingerprint",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp " +
+        "FROM documents ORDER BY doc_id")),
+
+    ("x_shingle_fp",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), TextFns.shingleFingerprint(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some(s"$ShingleCte SELECT doc_id, min(md5(s)) AS fp FROM u GROUP BY doc_id ORDER BY doc_id")),
+
+    // --------------------------------------------------------- multimodal --
+    ("x_mm_bytes",
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            length(col("text").cast("binary")).cast("long").as("n_bytes"),
+            lower(substring(hex(col("text").cast("binary")), 1, 16)).as("head8"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
+        "lower(substr(hex(CAST(text AS BLOB)), 1, 16)) AS head8 FROM documents ORDER BY doc_id")),
+
+    ("x_mm_decode", // stubbed codec; Spark plumbing exercised, rows-only
+      (s: SparkSession, d: String) =>
+        Multimodal.decodeFeatures(
+          Multimodal.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"))
+          .orderBy("doc_id"),
+      None))
+}

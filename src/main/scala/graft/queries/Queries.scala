@@ -1,0 +1,658 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.store.Store
+
+/** Testdata access. `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
+  * vectorized reader rejects; we read it as a long (nanos since epoch) via the
+  * legacy flag and derive seconds/dates with exact integer arithmetic — never
+  * double division, which loses ulps at 1e18. */
+object Td {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events with ts as nanos long + derived exact epoch-seconds and date. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts_secs", expr("ts div 1000000000"))
+      .withColumn("d", to_date(timestamp_micros(expr("ts div 1000"))))
+}
+
+/** SURVEY §2 operator inventory over the driver's TPC-H-ish testdata
+  * (FIXTURES.md §B mapping). Each entry: (name, Spark program, DuckDB oracle
+  * SQL or None for non-SQL-expressible ops).
+  *
+  * Determinism contract (driver hash-compares row-by-row): every multi-row
+  * result ends in a TOTAL ORDER BY; aggregated doubles are round()ed;
+  * integer sums are CAST AS BIGINT in the oracle (DuckDB sums BIGINT into
+  * HUGEINT); raw column passthroughs stay unrounded (bit-exact both sides).
+  */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  import Td.t
+
+  // ------------------------------------------------------------------------
+  // P — projection / filter / predicates
+  // ------------------------------------------------------------------------
+
+  val pFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("p1_claim_next",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .filter(col("o_orderstatus") === "O" && col("o_orderkey") >= 10)
+          .select(col("o_orderkey").as("id"), col("o_custkey"), col("o_totalprice"))
+          .orderBy("id").limit(1),
+      Some("SELECT o_orderkey AS id, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderstatus = 'O' AND o_orderkey >= 10 ORDER BY id LIMIT 1")),
+
+    ("p2_status_inlist",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d).filter(col("event_type").isin("click", "purchase"))
+          .select("event_id", "event_type").orderBy("event_id"),
+      Some("SELECT event_id, event_type FROM events " +
+        "WHERE event_type IN ('click','purchase') ORDER BY event_id")),
+
+    ("p3_time_window",
+      (s: SparkSession, d: String) => {
+        val e = Td.events(s, d)
+        val mx = e.agg(max("ts").as("mx"))
+        e.crossJoin(broadcast(mx))
+          .filter(col("ts") > col("mx") - lit(3600L * 1000000000L))
+          .select("event_id").orderBy("event_id")
+      },
+      Some("SELECT event_id FROM events " +
+        "WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 1 HOUR ORDER BY event_id")),
+
+    ("p4_range_cap",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .filter(col("l_orderkey") > 5900 || col("l_partkey") > 195)
+          .select("l_orderkey", "l_partkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_partkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem " +
+        "WHERE l_orderkey > 5900 OR l_partkey > 195 " +
+        "ORDER BY l_orderkey, l_partkey, l_linenumber")),
+
+    ("p5_interval_overlap",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .withColumn("start_h", col("o_custkey") * 10)
+          .withColumn("end_h", col("o_custkey") * 10 + 9)
+          .filter(graft.plans.Intervals.overlaps(lit(500L), lit(700L), col("start_h"), col("end_h")))
+          .select("o_orderkey", "start_h", "end_h").orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_custkey*10 AS start_h, o_custkey*10+9 AS end_h FROM orders " +
+        "WHERE NOT (o_custkey*10+9 < 500 OR o_custkey*10 > 700) ORDER BY o_orderkey")),
+
+    ("p6_array_exists",
+      (s: SparkSession, d: String) =>
+        t(s, d, "part")
+          .filter(exists(split(col("p_name"), " "), w => w === "widget"))
+          .select("p_partkey", "p_name").orderBy("p_partkey"),
+      Some("SELECT p_partkey, p_name FROM part " +
+        "WHERE list_contains(string_split(p_name, ' '), 'widget') ORDER BY p_partkey")),
+
+    ("p7_retry_eligibility",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d)
+          .filter(col("value") < 50 && col("user_id") % 7 < 3)
+          .select("event_id", "user_id", "value").orderBy("event_id"),
+      Some("SELECT event_id, user_id, value FROM events " +
+        "WHERE value < 50 AND user_id % 7 < 3 ORDER BY event_id")))
+
+  // ------------------------------------------------------------------------
+  // J — joins
+  // ------------------------------------------------------------------------
+
+  val jFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("j1_fact_dim_join",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+          .select("l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, o_custkey, o_orderstatus " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    ("j2_events_dim_join",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d)
+          .join(t(s, d, "customer"), col("user_id") === col("c_custkey"), "inner")
+          .select("event_id", "event_type", "c_name").orderBy("event_id"),
+      Some("SELECT event_id, event_type, c_name FROM events " +
+        "JOIN customer ON user_id = c_custkey ORDER BY event_id")),
+
+    ("j3_gap_detection",
+      (s: SparkSession, d: String) => {
+        // Missing l_orderkeys in [0, max(o_orderkey)] — left-anti vs a
+        // generated series (ref orchestrator.js:393-405). At cluster scale
+        // the series comes from spark.range (see Pipeline.findGaps).
+        val mx = t(s, d, "orders").agg(max("o_orderkey").as("mx"))
+        mx.select(explode(sequence(lit(0L), col("mx"))).as("height"))
+          .repartition(col("height"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey").as("height")).distinct(),
+            Seq("height"), "left_anti")
+          .orderBy("height")
+      },
+      Some("SELECT height FROM (SELECT UNNEST(generate_series(0, " +
+        "(SELECT max(o_orderkey) FROM orders))) AS height) h " +
+        "LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l ON height = l_orderkey " +
+        "WHERE l_orderkey IS NULL ORDER BY height")),
+
+    ("j4_range_join",
+      (s: SparkSession, d: String) => {
+        val cand = t(s, d, "region")
+          .select(col("r_regionkey"), (col("r_regionkey") * 100).as("cs"),
+            (col("r_regionkey") * 100 + 150).as("ce"))
+        val rng = t(s, d, "nation")
+          .select(col("n_nationkey"), (col("n_nationkey") * 20).as("ns"),
+            (col("n_nationkey") * 20 + 10).as("ne"))
+        // Non-equi range join; small side broadcast — at 100 TB this becomes
+        // a banded join (bucket by floor(start/band)), same predicate.
+        cand.join(broadcast(rng),
+          graft.plans.Intervals.overlaps(col("cs"), col("ce"), col("ns"), col("ne")))
+          .select("r_regionkey", "n_nationkey").orderBy("r_regionkey", "n_nationkey")
+      },
+      Some("SELECT r_regionkey, n_nationkey FROM region, nation " +
+        "WHERE NOT (n_nationkey*20+10 < r_regionkey*100 OR n_nationkey*20 > r_regionkey*100+150) " +
+        "ORDER BY r_regionkey, n_nationkey")),
+
+    ("j5_broadcast_dict",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"), "inner")
+          .select("l_orderkey", "l_linenumber", "p_brand")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, p_brand FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey ORDER BY l_orderkey, l_linenumber")),
+
+    ("j6_hash_probe",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "left")
+          .select("o_orderkey", "c_name").orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, c_name FROM orders " +
+        "LEFT JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey")),
+
+    ("j7_zip_join",
+      (s: SparkSession, d: String) =>
+        t(s, d, "part")
+          .withColumn("w1", split(col("p_name"), " "))
+          .withColumn("w2", reverse(col("w1")))
+          .select(col("p_partkey"), posexplode(arrays_zip(col("w1"), col("w2"))))
+          .select(col("p_partkey"), col("pos").cast("long").as("pos"),
+            col("col.w1").as("word"), col("col.w2").as("word_rev"))
+          .orderBy("p_partkey", "pos"),
+      Some("SELECT p_partkey, i - 1 AS pos, w AS word, w2 AS word_rev " +
+        "FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part), " +
+        "LATERAL (SELECT UNNEST(generate_series(1, len(ws))) AS i, " +
+        "UNNEST(ws) AS w, UNNEST(list_reverse(ws)) AS w2) " +
+        "ORDER BY p_partkey, pos")),
+
+    ("j8_semi_probe",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey").orderBy("c_custkey"),
+      Some("SELECT c_custkey FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")),
+
+    ("j8_anti_probe",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey").orderBy("c_custkey"),
+      Some("SELECT c_custkey FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey")))
+
+  // ------------------------------------------------------------------------
+  // A — aggregations
+  // ------------------------------------------------------------------------
+
+  val aFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("a1_max_default",
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        o.agg(coalesce(max("o_orderkey"), lit(0L)).as("max_all"))
+          .crossJoin(o.filter(col("o_orderstatus") === "X")
+            .agg(coalesce(max("o_orderkey"), lit(0L)).as("max_empty")))
+      },
+      Some("SELECT CAST(coalesce(max(o_orderkey), 0) AS BIGINT) AS max_all, " +
+        "CAST(coalesce((SELECT max(o_orderkey) FROM orders WHERE o_orderstatus = 'X'), 0) AS BIGINT) AS max_empty " +
+        "FROM orders")),
+
+    ("a2_greatest_resume",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").agg(max("o_orderkey").as("a"))
+          .crossJoin(t(s, d, "lineitem").agg(max("l_orderkey").as("b")))
+          .select(greatest(col("a"), col("b")).as("resume_height")),
+      Some("SELECT CAST(greatest((SELECT max(o_orderkey) FROM orders), " +
+        "(SELECT max(l_orderkey) FROM lineitem)) AS BIGINT) AS resume_height")),
+
+    ("a3_status_counts",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("cnt")).orderBy("status"),
+      Some("SELECT o_orderstatus AS status, count(*) AS cnt FROM orders GROUP BY 1 ORDER BY 1")),
+
+    ("a4_status_report",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("cnt"), min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .orderBy("status"),
+      Some("SELECT o_orderstatus AS status, count(*) AS cnt, min(o_orderkey) AS min_key, " +
+        "max(o_orderkey) AS max_key FROM orders GROUP BY 1 ORDER BY 1")),
+
+    ("a5_failure_report",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("status"), col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("cnt"),
+            min(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("first_date"),
+            max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_date"))
+          .orderBy("status", "prio"),
+      Some("SELECT o_orderstatus AS status, o_orderpriority AS prio, count(*) AS cnt, " +
+        "min(strftime(o_orderdate, '%Y-%m-%d')) AS first_date, " +
+        "max(strftime(o_orderdate, '%Y-%m-%d')) AS last_date " +
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // Money aggregates use the exact integer-cents pattern: per-row cents are
+    // bit-deterministic in both engines, integer sums are exact, and the final
+    // division happens on identical operands — no float-rounding ambiguity.
+    ("a6_mv1_daily_stats",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d).groupBy(date_format(col("d"), "yyyy-MM-dd").as("d"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("sum_value"))
+          .orderBy("d"),
+      Some("SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
+    ("a7_mv2_daily_tx_stats",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"), "inner")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+            count(when(col("l_returnflag") === "R", 1)).as("n_returned"))
+          .select(col("d"), col("n_items"),
+            (col("cents") / lit(100.0)).as("sum_price"),
+            round(col("cents") / col("n_items") / lit(100.0), 6).as("avg_price"),
+            col("n_returned"))
+          .orderBy("d"),
+      Some("SELECT d, n_items, cents / 100.0 AS sum_price, " +
+        "round(cents / n_items / 100.0, 6) AS avg_price, n_returned FROM " +
+        "(SELECT strftime(o_orderdate, '%Y-%m-%d') AS d, count(*) AS n_items, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+        "count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1) t ORDER BY d")),
+
+    ("a8_mv3_event_type_stats",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d).groupBy(date_format(col("d"), "yyyy-MM-dd").as("d"), col("event_type"))
+          .agg(count(lit(1)).as("cnt")).orderBy("d", "event_type"),
+      Some("SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    ("a9_loop_detect",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 2)
+          .agg(count(lit(1)).as("n_loops"), coalesce(max("cnt"), lit(0L)).as("max_cnt")),
+      Some("SELECT count(*) AS n_loops, CAST(coalesce(max(cnt), 0) AS BIGINT) AS max_cnt " +
+        "FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1 HAVING count(*) > 2) t")),
+
+    ("a10_duplicate_detect",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").groupBy("o_custkey", "o_orderstatus").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1)
+          .agg(count(lit(1)).as("n_dups")),
+      Some("SELECT count(*) AS n_dups FROM (SELECT o_custkey, o_orderstatus, count(*) AS cnt " +
+        "FROM orders GROUP BY 1, 2 HAVING count(*) > 1) t")),
+
+    ("a11_gap_stats",
+      (s: SparkSession, d: String) => {
+        val mx = t(s, d, "orders").agg(max("o_orderkey").as("mx"))
+        mx.select(explode(sequence(lit(0L), col("mx"))).as("height"))
+          .join(t(s, d, "lineitem").select(col("l_orderkey").as("height")).distinct(),
+            Seq("height"), "left_anti")
+          .agg(count(lit(1)).as("n_missing"),
+            coalesce(min("height"), lit(0L)).as("first_missing"),
+            coalesce(max("height"), lit(0L)).as("last_missing"))
+      },
+      Some("SELECT count(*) AS n_missing, CAST(coalesce(min(height), 0) AS BIGINT) AS first_missing, " +
+        "CAST(coalesce(max(height), 0) AS BIGINT) AS last_missing FROM " +
+        "(SELECT height FROM (SELECT UNNEST(generate_series(0, (SELECT max(o_orderkey) FROM orders))) AS height) h " +
+        "LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l ON height = l_orderkey " +
+        "WHERE l_orderkey IS NULL) t")),
+
+    ("a12_multi_scalar_report",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .agg(count(lit(1)).as("n_orders"), min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+          .crossJoin(t(s, d, "lineitem").agg(count(lit(1)).as("n_items")))
+          .select("n_orders", "n_items", "min_key", "max_key"),
+      Some("SELECT (SELECT count(*) FROM orders) AS n_orders, " +
+        "(SELECT count(*) FROM lineitem) AS n_items, " +
+        "(SELECT min(o_orderkey) FROM orders) AS min_key, " +
+        "(SELECT max(o_orderkey) FROM orders) AS max_key")),
+
+    ("a13_storage_stats",
+      (s: SparkSession, d: String) => {
+        val tables = Seq("customer", "events", "lineitem", "orders", "part", "supplier")
+        tables.map { n =>
+          t(s, d, n).agg(count(lit(1)).as("n_rows")).select(lit(n).as("tbl"), col("n_rows"))
+        }.reduce(_ unionByName _).orderBy("tbl")
+      },
+      Some(Seq("customer", "events", "lineitem", "orders", "part", "supplier")
+        .map(n => s"SELECT '$n' AS tbl, count(*) AS n_rows FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY tbl"))),
+
+    ("a14_distinct_set",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"))
+          .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') " +
+        "AS statuses FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    ("a15_latest_per_key",
+      (s: SparkSession, d: String) =>
+        Store.latest(Td.events(s, d), Seq("user_id"), "ts", Seq("event_id"))
+          .select(col("user_id"), col("event_id").as("latest_event_id"),
+            col("event_type").as("latest_type"))
+          .orderBy("user_id"),
+      Some("SELECT user_id, event_id AS latest_event_id, event_type AS latest_type FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) t WHERE rn = 1 ORDER BY user_id")),
+
+    ("a16_ingest_counters",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d).agg(
+          count(lit(1)).as("n"),
+          count(when(col("value") === 0, 1)).as("n_zero"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(round(col("value") * 100).cast("long")) / lit(100.0)).as("total_value")),
+      Some("SELECT count(*) AS n, count(CASE WHEN value = 0 THEN 1 END) AS n_zero, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value " +
+        "FROM events")))
+
+  // ------------------------------------------------------------------------
+  // W — window-shaped semantics
+  // ------------------------------------------------------------------------
+
+  val wFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("w1_latest_state",
+      (s: SparkSession, d: String) =>
+        Store.latest(Td.events(s, d), Seq("event_type"), "ts", Seq("event_id"))
+          .select("event_type", "event_id", "user_id").orderBy("event_type"),
+      Some("SELECT event_type, event_id, user_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) t WHERE rn = 1 ORDER BY event_type")),
+
+    ("w2_argmax_per_key",
+      (s: SparkSession, d: String) =>
+        Store.latest(Td.events(s, d), Seq("user_id"), "value", Seq("event_id"))
+          .select("user_id", "event_id", "value").orderBy("user_id"),
+      Some("SELECT user_id, event_id, value FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn " +
+        "FROM events) t WHERE rn = 1 ORDER BY user_id")))
+
+  // ------------------------------------------------------------------------
+  // O — sorts / limits / top-k
+  // ------------------------------------------------------------------------
+
+  val oFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("o1_min_claim",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d).select("event_id", "user_id", "event_type")
+          .orderBy("event_id").limit(1),
+      Some("SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 1")),
+
+    ("o2_latest_row",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d).orderBy(col("ts").desc, col("event_id").desc)
+          .select("event_id", "event_type").limit(1),
+      Some("SELECT event_id, event_type FROM events ORDER BY ts DESC, event_id DESC LIMIT 1")),
+
+    ("o3_topk_800",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+            col("o_totalprice"))
+          .limit(800),
+      Some("SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d, o_totalprice FROM orders " +
+        "ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 800")),
+
+    ("o4_reconcile_scan",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus")
+          .orderBy("o_orderkey").limit(50),
+      Some("SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 50")),
+
+    ("o5_report_sort",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer").select("c_mktsegment", "c_custkey", "c_name")
+          .orderBy("c_mktsegment", "c_custkey"),
+      Some("SELECT c_mktsegment, c_custkey, c_name FROM customer " +
+        "ORDER BY c_mktsegment, c_custkey")))
+
+  // ------------------------------------------------------------------------
+  // S — source/sink-shaped queries
+  // ------------------------------------------------------------------------
+
+  val sFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("s4_point_lookup",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").filter(col("l_orderkey") === 1)
+          .select("l_orderkey", "l_linenumber", "l_quantity").orderBy("l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_orderkey = 1 ORDER BY l_linenumber")),
+
+    ("s7_sql_surface",
+      (s: SparkSession, d: String) => {
+        t(s, d, "orders").createOrReplaceTempView("graft_orders_v")
+        s.sql("SELECT o_orderstatus AS status, count(*) AS cnt, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total " +
+          "FROM graft_orders_v GROUP BY 1 ORDER BY 1")
+      },
+      Some("SELECT o_orderstatus AS status, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
+    ("s8_insert_if_absent",
+      (s: SparkSession, d: String) =>
+        Store.insertIfAbsent(
+          existing = t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+          incoming = t(s, d, "orders"),
+          keys = Seq("o_orderkey"))
+          .select("o_orderkey").orderBy("o_orderkey"),
+      Some("SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN " +
+        "(SELECT l_orderkey FROM lineitem) ORDER BY o_orderkey")),
+
+    ("s9_upsert_lww",
+      (s: SparkSession, d: String) => {
+        // Split events into an "existing" and "incoming" half and run the
+        // last-write-wins upsert view — equivalent to latest() over the union.
+        val e = Td.events(s, d)
+        val half = e.filter(col("event_id") % 2 === 0)
+        val rest = e.filter(col("event_id") % 2 =!= 0)
+        Store.upsert(half, rest, Seq("user_id", "event_type"), "ts", Seq("event_id"))
+          .select("user_id", "event_type", "event_id")
+          .orderBy("user_id", "event_type")
+      },
+      Some("SELECT user_id, event_type, event_id FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1 " +
+        "ORDER BY user_id, event_type")))
+
+  // ------------------------------------------------------------------------
+  // F — scalar functions
+  // ------------------------------------------------------------------------
+
+  val fFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("f1_tx_hash",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            upper(sha2(unbase64(base64(col("c_name").cast("binary"))), 256)).as("tx_hash"))
+          .orderBy("c_custkey"),
+      Some("SELECT c_custkey, upper(sha256(c_name)) AS tx_hash FROM customer ORDER BY c_custkey")),
+
+    ("f2_b64_hex",
+      (s: SparkSession, d: String) =>
+        t(s, d, "part")
+          .select(col("p_partkey"),
+            lower(hex(unbase64(base64(col("p_name").cast("binary"))))).as("hx"))
+          .orderBy("p_partkey"),
+      Some("SELECT p_partkey, lower(hex(p_name)) AS hx FROM part ORDER BY p_partkey")),
+
+    ("f3_maybe_b64", // heuristic UDF — no clean DuckDB equivalent; rows-only
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            graft.functions.Fns.maybeB64Decode(base64(col("c_name").cast("binary"))).as("decoded"),
+            graft.functions.Fns.maybeB64Decode(col("c_name")).as("passthrough"))
+          .orderBy("c_custkey"),
+      None),
+
+    ("f4_json_extract",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d)
+          .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id"),
+      Some("SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id")),
+
+    ("f5_canonical_json",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .select(col("c_custkey"),
+            to_json(struct(col("c_custkey").as("custkey"), col("c_name").as("name"))).as("js"))
+          .orderBy("c_custkey"),
+      Some("SELECT c_custkey, CAST(to_json(struct_pack(custkey := c_custkey, " +
+        "name := c_name)) AS VARCHAR) AS js FROM customer ORDER BY c_custkey")),
+
+    ("f6_epoch_seconds",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d).select(col("event_id"), col("ts_secs")).orderBy("event_id"),
+      Some("SELECT event_id, CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_secs " +
+        "FROM events ORDER BY event_id")),
+
+    ("f7_date_format",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyyMM").as("ym"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+          .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, strftime(o_orderdate, '%Y%m') AS ym, " +
+        "strftime(o_orderdate, '%Y-%m-%d') AS d FROM orders ORDER BY o_orderkey")),
+
+    ("f8_height_bucket",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"), floor(col("o_orderkey") / 100).as("bucket"))
+          .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, CAST(floor(o_orderkey / 100) AS BIGINT) AS bucket " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    ("f9_now_guard",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d)
+          .filter(expr("ts div 1000000") <= unix_millis(current_timestamp()))
+          .agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM events WHERE epoch_ms(ts) <= epoch_ms(now())")),
+
+    ("f10_sequence",
+      (s: SparkSession, d: String) =>
+        s.range(1, 21).select(col("id").as("h"), (col("id") * 2).as("dbl")).orderBy("h"),
+      Some("SELECT h, h * 2 AS dbl FROM range(1, 21) t(h) ORDER BY h")),
+
+    ("f11_coalesce_greatest",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            greatest(col("o_totalprice"), lit(150000.0)).as("g"),
+            coalesce(nullif(col("o_orderstatus"), lit("")), lit("NA")).as("st"),
+            col("o_custkey").cast("string").as("ck"))
+          .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, greatest(o_totalprice, 150000.0) AS g, " +
+        "coalesce(nullif(o_orderstatus, ''), 'NA') AS st, CAST(o_custkey AS VARCHAR) AS ck " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    ("f12_concat_tag",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer")
+          .select(col("c_custkey"), concat(col("c_name"), lit(" [reset_over_cap]")).as("tagged"))
+          .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name || ' [reset_over_cap]' AS tagged " +
+        "FROM customer ORDER BY c_custkey")),
+
+    ("f13_age_minutes",
+      (s: SparkSession, d: String) => {
+        val e = Td.events(s, d)
+        val mx = e.agg(max(col("ts_secs")).as("mx_secs"))
+        e.crossJoin(broadcast(mx))
+          .select(col("event_id"),
+            graft.functions.Fns.ageMinutes(col("ts_secs"), col("mx_secs")).as("age_min"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, CAST(((SELECT epoch_ms(max(ts)) // 1000 FROM events) - " +
+        "epoch_ms(ts) // 1000) // 60 AS BIGINT) AS age_min FROM events ORDER BY event_id")),
+
+    ("f14_interval_shift",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d)
+          .select(col("event_id"), (col("ts_secs") + 3600L).as("ts_plus_1h"))
+          .orderBy("event_id"),
+      Some("SELECT event_id, CAST(epoch_ms(ts + INTERVAL 1 HOUR) // 1000 AS BIGINT) " +
+        "AS ts_plus_1h FROM events ORDER BY event_id")),
+
+    ("f16_backoff",
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").select(col("l_linenumber")).distinct()
+          .select(col("l_linenumber").as("attempts"),
+            graft.functions.Fns.backoffSeconds(col("l_linenumber")).as("backoff_s"))
+          .orderBy("attempts"),
+      Some("SELECT l_linenumber AS attempts, " +
+        "CAST(least(600, power(2, l_linenumber) * 5) AS BIGINT) AS backoff_s " +
+        "FROM (SELECT DISTINCT l_linenumber FROM lineitem) t ORDER BY attempts")),
+
+    ("f17_det_id",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"), (col("o_orderkey") * 100000 + col("o_custkey")).as("gen_id"))
+          .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_orderkey * 100000 + o_custkey AS gen_id " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    ("f19_falsy_default",
+      (s: SparkSession, d: String) =>
+        Td.events(s, d)
+          .select(col("event_id"),
+            graft.functions.Fns.falsyDefault(col("event_type"), "unknown").as("et"),
+            graft.functions.Fns.falsyDefaultNum(col("value"), -1.0).as("v"))
+          .orderBy("event_id"),
+      Some("SELECT event_id, coalesce(nullif(event_type, ''), 'unknown') AS et, " +
+        "CASE WHEN value = 0 OR value IS NULL THEN -1.0 ELSE value END AS v " +
+        "FROM events ORDER BY event_id")),
+
+    ("f20_ping",
+      (s: SparkSession, d: String) =>
+        s.range(1).select(lit(1).as("ok")),
+      Some("SELECT 1 AS ok")))
+
+  /** Full §2 relational inventory. */
+  val inventory: Seq[(String, Q, Option[String])] =
+    pFamily ++ jFamily ++ aFamily ++ wFamily ++ oFamily ++ sFamily ++ fFamily
+}

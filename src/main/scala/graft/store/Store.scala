@@ -1,0 +1,92 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage semantics (SURVEY §1.4, §2.1): ClickHouse ReplacingMergeTree
+  * upsert-by-insert re-expressed over append-only Parquet.
+  *
+  * The one piece of engine semantics we must own is FINAL / latest-row-per-key
+  * (A15/W1): all state mutations are INSERTs of fresh rows and every read goes
+  * through `latest`. Matching the reference exactly, the latest FULL ROW wins —
+  * no column-wise merge — so a partial-update row zeroes the columns it
+  * omitted (ref `/root/reference/src/database/clickhouse_queries.js:173-185`).
+  */
+object Store {
+
+  /** A15/W1 — ClickHouse `FINAL`: newest row per key by `versionCol`
+    * (ties broken by `tieBreak` desc, then arbitrary-but-deterministic).
+    * One shuffle on the dedup key; at 100 TB this is a single hash
+    * repartition + in-partition sort, no global sort. */
+  def latest(df: DataFrame, keys: Seq[String], versionCol: String,
+             tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((versionCol +: tieBreak).map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Version-less ReplacingMergeTree tables keep an arbitrary row per key
+    * (re-inserts are byte-identical there, so any-row == the row). */
+  def latestAnyRow(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** S8 — PG `ON CONFLICT DO NOTHING`: rows of `incoming` whose key is absent
+    * from `existing` (left-anti), ready to append. */
+  def insertIfAbsent(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** S9 — last-write-wins upsert view over existing + incoming appends. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             versionCol: String, tieBreak: Seq[String] = Nil): DataFrame =
+    latest(existing.unionByName(incoming), keys, versionCol, tieBreak)
+
+  /** Async `ALTER TABLE ... DELETE` analogue (ref clickhouse_queries.js:13-30):
+    * a view filtering out matching rows. Null predicate rows are KEPT (SQL
+    * DELETE only removes rows where the predicate is true). */
+  def deleteWhere(df: DataFrame, predicate: Column): DataFrame =
+    df.filter(!coalesce(predicate, lit(false)))
+
+  /** S6/S10 — partitioned, sorted Parquet append. `partitionCols` gives
+    * directory pruning (the reference's intDiv(height,1e5) / toYYYYMM
+    * partitions); sorting within partitions gives Parquet min/max row-group
+    * stats, the analogue of the MergeTree primary index. */
+  def writeTable(df: DataFrame, path: String, partitionCols: Seq[String],
+                 sortCols: Seq[String]): Unit = {
+    val sorted =
+      if (sortCols.nonEmpty)
+        df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else df
+    val w = sorted.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** S11 — catalog/size introspection over a warehouse directory of tables
+    * (analogue of system.tables/system.parts, ref init_clickhouse.js:464-532). */
+  def tableStats(spark: SparkSession, basePath: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(basePath), spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val rows: Seq[(String, Long, Long, Long)] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.filter(_.isDirectory).map { st =>
+        val it = fs.listFiles(st.getPath, true)
+        var bytes = 0L
+        var files = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) { bytes += f.getLen; files += 1 }
+        }
+        val nRows =
+          try spark.read.parquet(st.getPath.toString).count()
+          catch { case _: Throwable => 0L }
+        (st.getPath.getName, nRows, bytes, files)
+      }
+    rows.toDF("table", "n_rows", "bytes", "n_files")
+      .withColumn("readable_size", graft.functions.Fns.formatReadableSize(col("bytes")))
+      .orderBy(col("bytes").desc)
+  }
+}
