@@ -60,7 +60,9 @@ object Fns {
         filter(e.getField("attributes"),
           a => a.getField("key") === "action" && coalesce(a.getField("value"), lit("")) =!= ""),
         a => a.getField("value"))))
-    coalesce(element_at(actions, 1), lit("unknown"))
+    // try_element_at: ANSI mode (Spark 4 default) makes element_at throw on
+    // an empty array; the reference's loop just falls through to 'unknown'.
+    coalesce(try_element_at(actions, lit(1)), lit("unknown"))
   }
 
   /** F8: physical partition bucket = floor(height / 100000).

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (3L, "completely different text about spark query engines and columnar formats here"),
+    (4L, "short doc")).toDF("doc_id", "text")
+
+  test("exact dedup: dup group found, smallest id kept") {
+    val got = Dedup.exactDedup(docs, "text", "doc_id").collect()
+    assert(got.length === 4) // 5 docs, one exact pair
+    val dupGroup = got.filter(_.getAs[Long]("cnt") === 2L)
+    assert(dupGroup.length === 1)
+    assert(dupGroup(0).getAs[Long]("keep_id") === 0L)
+  }
+
+  test("minhash: identical docs get identical signatures; short doc handled") {
+    val sig = Dedup.minhashSig(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(sig.length === 5)
+    val s0 = sig(0).toSeq.drop(1)
+    val s1 = sig(1).toSeq.drop(1)
+    assert(s0 === s1)
+    val s3 = sig(3).toSeq.drop(1)
+    assert(s0 !== s3)
+  }
+
+  test("LSH banding: exact + near dups become candidate pairs, unrelated don't") {
+    val sig = Dedup.minhashSig(docs, "text", "doc_id")
+    val pairs = Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("near-dup end-to-end: jaccard-verified pairs at threshold") {
+    val got = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = got.map(t => (t._1, t._2)).toSet
+    assert(ids.contains((0L, 1L)))
+    assert(got.find(t => t._1 == 0L && t._2 == 1L).get._3 === 1.0)
+    assert(!ids.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard: identical=1, disjoint=0") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val got = df.select(Dedup.jaccard(col("x"), col("y"))).collect().map(_.getDouble(0))
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+    assert(got(2) === 0.5)
+  }
+
+  test("simhash16: identical texts equal; similar texts close in hamming") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash16(split(col("text"), " ")).as("sh"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(sh(0) === sh(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(2)) <= 4)     // one-word change moves few bits
+    assert(sh.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("hamming column helper") {
+    val got = Seq((0xFFL, 0x0FL)).toDF("a", "b")
+      .select(Dedup.hamming(col("a"), col("b"))).collect()(0).getInt(0)
+    assert(got === 4)
+  }
+
+  test("wordShingles: k-grams with short-text fallback") {
+    val got = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.wordShingles(col("t"), 3)).collect()
+      .map(_.getSeq[String](0).toSeq)
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq("a b"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+import graft.queries.Td
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine: self=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 0f), Seq(-1f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k: nearest first, deterministic tiebreak") {
+    val em = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(0f, 1f, 0f)), (4L, Seq(-1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Seq(1f, 0f, 0f))).toDF("qv")
+    val got = Similarity.bruteForceTopK(em, "vec_id", "embedding", q, 2)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
+  test("ANN via sign-LSH: query's own bucket contains it; recall vs brute force") {
+    val em = Td.t(spark, sf0001, "embeddings")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val brute = Similarity.bruteForceTopK(
+      em.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(
+      em.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10,
+      nPlanes = 2, dim = 64)
+      .collect().map(_.getLong(0)).toSet
+    // 2 planes -> 4 buckets; same-bucket neighbors should include a decent
+    // fraction of the true top-10 (deterministic: fixed seed + fixed data)
+    assert(ann.nonEmpty)
+    assert((ann intersect brute).size >= 2)
+  }
+
+  test("lshBucket: deterministic and within range") {
+    val ps = Similarity.planes(4, 3, seed = 7)
+    val df = Seq(Tuple1(Seq(1f, 2f, 3f)), Tuple1(Seq(-1f, -2f, -3f))).toDF("v")
+    val got1 = df.select(Similarity.lshBucket(col("v"), ps)).collect().map(_.getLong(0))
+    val got2 = df.select(Similarity.lshBucket(col("v"), ps)).collect().map(_.getLong(0))
+    assert(got1.toSeq === got2.toSeq)
+    assert(got1.forall(b => b >= 0 && b < 16))
+  }
+}

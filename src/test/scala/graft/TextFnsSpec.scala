@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextFns
+
+class TextFnsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokenCount and bpeIshTokens") {
+    val df = Seq("the quick fox", "a1b2!", "").toDF("t")
+    val toks = df.select(TextFns.tokenCount(col("t"))).collect().map(_.getLong(0))
+    assert(toks.toSeq === Seq(3L, 1L, 1L)) // split of "" yields [""]
+    val bpe = df.select(TextFns.bpeIshTokens(col("t"))).collect().map(_.getLong(0))
+    assert(bpe.toSeq === Seq(3L, 5L, 0L)) // a,1,b,2,!
+  }
+
+  test("punct/stopword ratios") {
+    val df = Seq("the cat, the hat!").toDF("t")
+    val punct = df.select(TextFns.punctRatio(col("t"))).collect()(0).getDouble(0)
+    assert(punct > 0 && punct < 0.2)
+    val stop = df.select(TextFns.stopwordRatio(col("t"), TextFns.enStop))
+      .collect()(0).getDouble(0)
+    assert(stop === 0.5) // "the" twice of 4 tokens ("cat," has punct, not stopword)
+  }
+
+  test("language guess: stopword-hit argmax with deterministic ties") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "el gato y la casa de que",
+      "le chat et les maisons un jour",
+      "xyzzy").toDF("t")
+    val got = df.select(TextFns.langGuess(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq === Seq("en", "es", "fr", "en")) // no hits -> en (tie)
+  }
+
+  test("quality score in [0,1], monotone-ish") {
+    val df = Seq(
+      "the quality of this document is reasonable and the text flows with the usual words",
+      "!!!###$$$ %%% ^^^").toDF("t")
+    val got = df.select(TextFns.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(got.forall(v => v >= 0.0 && v <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("fingerprint: stable under case and punctuation jitter") {
+    val df = Seq("Hello, World!", "hello world", "different").toDF("t")
+    val got = df.select(TextFns.fingerprint(col("t"))).collect().map(_.getString(0))
+    assert(got(0) === got(1))
+    assert(got(0) !== got(2))
+  }
+
+  test("shingleFingerprint equals first minhash component semantics") {
+    val df = Seq("a b c d e").toDF("t")
+    val fp = df.select(TextFns.shingleFingerprint(col("t"))).collect()(0).getString(0)
+    // min over md5 of shingles {"a b c","b c d","c d e"}
+    val exp = Seq("a b c", "b c d", "c d e")
+      .map(s => java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString).min
+    assert(fp === exp)
+  }
+}
