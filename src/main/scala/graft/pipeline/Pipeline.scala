@@ -1,0 +1,247 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+import graft.ingest.{FlatTables, Flatten}
+import graft.plans.{Intervals, Iv}
+import graft.schema.Schemas
+import graft.store.Store
+
+/** Batch ingest pipeline (SURVEY §2.10/§3.1): the reference's orchestrator +
+  * worker processes collapsed into one driver program over DataFrames.
+  * Process/queue plumbing becomes Spark task scheduling; the work_queue /
+  * index_state / failed_blocks tables survive as audit/state Parquet tables
+  * read through `Store.latest` (FINAL semantics).
+  *
+  * Reference dataflow: orchestrator.js:373-385 (resume), 574-636 (seeding),
+  * 93-240 (claim→split→dispatch→finalize), 393-430 (completeness/reconcile),
+  * worker.js:335-380 (failure backoff).
+  */
+final case class PipelineConfig(
+    warehouse: String,
+    component: String = "main_indexer",
+    startHeight: Long = 1L,
+    assignRange: Long = 1000L,
+    numWorkers: Int = 10,
+    backfillMode: Boolean = false,
+    backfillWindow: Long = 50000L,
+    maxRetries: Int = 10,
+    // injected clock for deterministic tests (epoch seconds)
+    now: () => Long = () => System.currentTimeMillis() / 1000)
+
+class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
+
+  private def path(table: String) = s"${cfg.warehouse}/$table"
+
+  private def tableExists(table: String): Boolean =
+    new java.io.File(path(table)).exists()
+
+  /** Read a state/analytic table, empty-but-typed when not yet written. */
+  def readTable(table: String): DataFrame =
+    if (tableExists(table)) spark.read.parquet(path(table))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schemaOf(table))
+
+  private def schemaOf(table: String) = table match {
+    case "blocks" => Schemas.blocks
+    case "index_state" => Schemas.indexState
+    case "work_queue" => Schemas.workQueue
+    case "failed_blocks" => Schemas.failedBlocks
+    case other => throw new IllegalArgumentException(other)
+  }
+
+  private def nowTs = timestamp_seconds(lit(cfg.now()))
+
+  // ------------------------------------------------------------- ingest ----
+
+  /** Flatten one envelope batch and append all 10 tables, height-bucketed and
+    * sorted for min/max pruning. The envelope Dataset is cached once — every
+    * table is a lineage off it (SURVEY §2.9). */
+  def ingest(envelopes: DataFrame): FlatTables = {
+    val env = envelopes.cache()
+    try {
+      val tables = Flatten(env)
+      tables.all.foreach { case (name, df) =>
+        val withBucket = df.withColumn("height_bucket", Fns.heightBucket(col("height")))
+        Store.writeTable(withBucket, path(name),
+          partitionCols = Seq("height_bucket"),
+          sortCols = Seq("height"))
+      }
+      tables
+    } finally { env.unpersist(); () }
+  }
+
+  // -------------------------------------------------------------- state ----
+
+  /** A2 resume point: GREATEST(recorded index_state height, observed
+    * MAX(blocks.height)), defaulting to startHeight-1 (orchestrator.js:373-385). */
+  def lastIndexedHeight(): Long = {
+    val recorded = Store.latest(readTable("index_state"), Seq("index_name"), "updated_at")
+      .filter(col("index_name") === cfg.component)
+      .agg(coalesce(max("last_processed_height"), lit(cfg.startHeight - 1)))
+      .collect()(0).getLong(0)
+    val observed = readTable("blocks")
+      .agg(coalesce(max("height"), lit(cfg.startHeight - 1)))
+      .collect()(0).getLong(0)
+    math.max(recorded, observed)
+  }
+
+  /** Advance index_state by appending a fresh row (upsert-by-insert). */
+  def advanceIndexState(height: Long): Unit = {
+    import spark.implicits._
+    val row = Seq((cfg.component, height)).toDF("index_name", "last_processed_height")
+      .withColumn("updated_at", nowTs)
+    row.write.mode("append").parquet(path("index_state"))
+  }
+
+  /** Latest view of the work queue (FINAL). */
+  def workQueue(): DataFrame =
+    Store.latest(readTable("work_queue"), Seq("id"), "updated_at")
+
+  /** Seed work items for [from, to], subtracting already-queued
+    * pending/processing ranges (J4; orchestrator.js:574-636). */
+  def seedWorkQueue(from: Long, to: Long): Seq[Iv] = {
+    if (to < from) return Seq.empty
+    import spark.implicits._
+    val queued = workQueue()
+      .filter(col("status").isin("pending", "processing"))
+      .filter(Intervals.overlaps(lit(from), lit(to), col("start_height"), col("end_height")))
+      .select("start_height", "end_height")
+      .collect().map(r => Iv(r.getLong(0), r.getLong(1))).toSeq
+    val items = Intervals.planWorkItems(from, to, cfg.assignRange, queued)
+    if (items.nonEmpty) {
+      val base = cfg.now() * 1000000L
+      val rows = items.zipWithIndex.map { case (iv, i) =>
+        (base + i, iv.start, iv.end, "pending", null: String, null: String)
+      }.toDF("id", "start_height", "end_height", "status", "worker_id", "error_message")
+        .withColumn("created_at", nowTs)
+        .withColumn("updated_at", nowTs)
+      rows.write.mode("append").parquet(path("work_queue"))
+    }
+    items
+  }
+
+  /** P1 claim: lowest-id pending item within the forward-priority window and
+    * optional target cap (orchestrator.js:126-150). */
+  def claimNext(syncTarget: Option[Long] = None): Option[(Long, Iv)] = {
+    var q = workQueue().filter(col("status") === "pending")
+    if (!cfg.backfillMode) {
+      val minAllowed = math.max(cfg.startHeight, maxBlockHeight() - cfg.backfillWindow)
+      q = q.filter(col("start_height") >= minAllowed)
+    }
+    syncTarget.foreach(t => q = q.filter(col("end_height") <= t))
+    q.orderBy("id").limit(1).collect().headOption
+      .map(r => (r.getAs[Long]("id"), Iv(r.getAs[Long]("start_height"), r.getAs[Long]("end_height"))))
+  }
+
+  /** Status transition = fresh full row (latest FULL row wins, no column
+    * merge). Without `range` the replacing row zeroes start/end exactly like
+    * the reference's partial insert (clickhouse_queries.js:173-185) — callers
+    * that know the range pass it so downstream reads (reconcile) keep it. */
+  def updateWorkStatus(id: Long, status: String, error: String = null,
+                       range: Option[Iv] = None): Unit = {
+    import spark.implicits._
+    val (s, e) = range.map(iv => (iv.start, iv.end)).getOrElse((0L, 0L))
+    Seq((id, s, e, status, null: String, error))
+      .toDF("id", "start_height", "end_height", "status", "worker_id", "error_message")
+      .withColumn("created_at", nowTs)
+      .withColumn("updated_at", nowTs)
+      .write.mode("append").parquet(path("work_queue"))
+  }
+
+  def maxBlockHeight(): Long =
+    readTable("blocks").agg(coalesce(max("height"), lit(0L))).collect()(0).getLong(0)
+
+  // ------------------------------------------------------------ verify -----
+
+  /** J3 gap detection over the ingested blocks (orchestrator.js:393-405).
+    * spark.range is the scale path: the series is generated distributed. */
+  def findGaps(start: Long, end: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(start, end + 1).toDF("height")
+      .join(readTable("blocks").select("height").distinct(), Seq("height"), "left_anti")
+  }
+
+  def isRangeComplete(start: Long, end: Long): Boolean =
+    findGaps(start, end).limit(1).count() == 0
+
+  /** Reconcile lingering 'processing' items whose range is fully ingested
+    * (orchestrator.js:408-430). Returns number fixed. */
+  def reconcile(limit: Int = 50): Int = {
+    val items = workQueue().filter(col("status") === "processing")
+      .orderBy("id").limit(limit)
+      .select("id", "start_height", "end_height").collect()
+    var fixed = 0
+    items.foreach { r =>
+      if (isRangeComplete(r.getLong(1), r.getLong(2))) {
+        updateWorkStatus(r.getLong(0), "done", "[auto_mark_done_reconcile]")
+        fixed += 1
+      }
+    }
+    fixed
+  }
+
+  // ------------------------------------------------------------ failure ----
+
+  /** Record a block failure with exponential backoff; permanent after
+    * maxRetries (worker.js:335-380). */
+  def recordFailedBlock(height: Long, errorType: String, errorMessage: String,
+                        workerId: String = "driver"): Unit = {
+    import spark.implicits._
+    val prior = Store.latest(readTable("failed_blocks"), Seq("block_height"), "last_retry_at")
+      .filter(col("block_height") === height)
+      .select("retry_count").collect().headOption.map(_.getInt(0))
+    val retryCount = prior.map(_ + 1).getOrElse(0)
+    val delay = 300L * (1L << math.min(retryCount, 5)) // 5 min * 2^min(r,5)
+    val status = if (retryCount >= cfg.maxRetries) "failed_permanently" else "pending"
+    val ts = cfg.now()
+    Seq((height, ts * 1000 + height % 1000, errorType, errorMessage, workerId,
+      retryCount, cfg.maxRetries, status))
+      .toDF("block_height", "id", "error_type", "error_message", "worker_id",
+        "retry_count", "max_retries", "status")
+      .withColumn("next_retry_at", timestamp_seconds(lit(ts + delay)))
+      .withColumn("last_retry_at", timestamp_seconds(lit(ts)))
+      .write.mode("append").parquet(path("failed_blocks"))
+  }
+
+  /** P7: blocks eligible for retry now. */
+  def retryEligible(): DataFrame =
+    Store.latest(readTable("failed_blocks"), Seq("block_height"), "last_retry_at")
+      .filter(col("status") === "pending" &&
+        col("retry_count") < col("max_retries") &&
+        col("next_retry_at") <= timestamp_seconds(lit(cfg.now())))
+
+  // -------------------------------------------------------------- drive ----
+
+  /** One driver-loop iteration: seed → claim → fetch+ingest → verify →
+    * finalize → advance offset. `fetch` maps a height interval to an envelope
+    * DataFrame (RpcSource.fetchEnvelopes in prod, fixtures in tests).
+    * Returns the claimed interval, if any. */
+  def runOnce(tip: Long, fetch: Iv => DataFrame): Option[Iv] = {
+    val last = lastIndexedHeight()
+    val target = math.min(last + cfg.assignRange * cfg.numWorkers, tip)
+    seedWorkQueue(last + 1, target)
+    claimNext(Some(tip)).map { case (id, iv) =>
+      updateWorkStatus(id, "processing", range = Some(iv))
+      try {
+        ingest(fetch(iv))
+        if (isRangeComplete(iv.start, iv.end)) {
+          updateWorkStatus(id, "done", range = Some(iv))
+          advanceIndexState(maxBlockHeight())
+        } else {
+          updateWorkStatus(id, "failed", "[incomplete_range]", Some(iv))
+          findGaps(iv.start, iv.end).collect().foreach(r =>
+            recordFailedBlock(r.getLong(0), "missing", "gap after ingest"))
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          updateWorkStatus(id, "failed", String.valueOf(e.getMessage), Some(iv))
+          (iv.start to iv.end).foreach(h =>
+            recordFailedBlock(h, "ingest_error", String.valueOf(e.getMessage)))
+      }
+      iv
+    }
+  }
+}

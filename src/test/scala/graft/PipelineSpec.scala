@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Pipeline, PipelineConfig}
+import graft.plans.Iv
+import graft.schema.Schemas
+import graft.sources.{RpcClient, RpcConfig, RpcSource}
+
+/** End-to-end driver-loop semantics (SURVEY §2.10/§3.1) over fixture
+  * envelopes: resume, seeding with overlap subtraction, claim, ingest, gap
+  * verify, reconcile, failure backoff — all against a temp warehouse. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private var clock = 1000000L
+  private def mkPipeline(): Pipeline = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    new Pipeline(spark, PipelineConfig(
+      warehouse = dir, startHeight = 1, assignRange = 10, numWorkers = 2,
+      backfillMode = true, now = () => { clock += 1; clock }))
+  }
+
+  private def envelopes(heights: Seq[Long]): DataFrame = {
+    val json = heights.map(h =>
+      s"""{"height":$h,"time":"2025-06-01T12:00:0${h % 10}Z","app_hash":"AH$h",
+         |"txs":["dGVzdA=="],
+         |"txs_results":[{"code":0,"gas_wanted":"10","gas_used":"5","data":"","log":"",
+         | "events":[{"type":"message","attributes":[{"key":"action","value":"/a.b.MsgC","index":true}]}]}],
+         |"finalize_block_events":[]}""".stripMargin.replaceAll("\n", ""))
+    spark.read.schema(Schemas.envelope).json(json.toDS)
+  }
+
+  test("runOnce: seeds, claims lowest-id item, ingests, marks done, advances offset") {
+    val p = mkPipeline()
+    val claimed = p.runOnce(tip = 25, fetch = iv => envelopes(iv.start to iv.end))
+    assert(claimed === Some(Iv(1, 10)))
+    assert(p.maxBlockHeight() === 10L)
+    assert(p.lastIndexedHeight() === 10L)
+    val wq = p.workQueue().orderBy("id").collect()
+    // target caps at last + assignRange*numWorkers = 20: [1,10] done, [11,20] pending
+    assert(wq.length === 2)
+    assert(wq(0).getAs[String]("status") === "done")
+    assert(wq.count(_.getAs[String]("status") === "pending") === 1)
+    // second iteration picks the next range without re-seeding overlaps
+    val second = p.runOnce(tip = 25, fetch = iv => envelopes(iv.start to iv.end))
+    assert(second === Some(Iv(11, 20)))
+    assert(p.lastIndexedHeight() === 20L)
+  }
+
+  test("failed ingest: incomplete range -> failed status + failed_blocks with backoff") {
+    val p = mkPipeline()
+    // fetch drops height 3 -> gap
+    val claimed = p.runOnce(tip = 10,
+      fetch = iv => envelopes((iv.start to iv.end).filter(_ != 3)))
+    assert(claimed === Some(Iv(1, 10)))
+    val wq = p.workQueue().orderBy("id").collect()
+    assert(wq(0).getAs[String]("status") === "failed")
+    val failed = p.retryEligible().collect()
+    assert(failed.length === 0) // backoff: next_retry_at is 5 min out
+    val recorded = p.readTable("failed_blocks").collect()
+    assert(recorded.length === 1 && recorded(0).getAs[Long]("block_height") === 3L)
+    // escalating retries raise the backoff and eventually go permanent
+    (1 to 10).foreach(_ => p.recordFailedBlock(3, "missing", "still missing"))
+    val last = graft.store.Store.latest(
+      p.readTable("failed_blocks"), Seq("block_height"), "last_retry_at").collect()(0)
+    assert(last.getAs[String]("status") === "failed_permanently")
+    assert(last.getAs[Int]("retry_count") === 10)
+  }
+
+  test("seedWorkQueue subtracts queued overlaps (J4 end-to-end)") {
+    val p = mkPipeline()
+    val first = p.seedWorkQueue(1, 30)
+    assert(first === Seq(Iv(1, 10), Iv(11, 20), Iv(21, 30)))
+    val again = p.seedWorkQueue(1, 35)
+    assert(again === Seq(Iv(31, 35))) // only the uncovered tail
+  }
+
+  test("reconcile: processing item whose range is complete flips to done") {
+    val p = mkPipeline()
+    p.seedWorkQueue(1, 10)
+    val Some((id, iv)) = p.claimNext(None)
+    p.updateWorkStatus(id, "processing", range = Some(iv))
+    p.ingest(envelopes(iv.start to iv.end))
+    assert(p.workQueue().filter(col("status") === "processing").count() === 1)
+    assert(p.reconcile() === 1)
+    assert(p.workQueue().filter(col("status") === "done").count() === 1)
+  }
+
+  test("ingest writes height-bucketed tables readable via the store") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh2").toString
+    val p = new Pipeline(spark, PipelineConfig(
+      warehouse = dir, backfillMode = true, now = () => { clock += 1; clock }))
+    p.ingest(envelopes(Seq(1L, 100001L)))
+    assert(p.readTable("blocks").count() === 2)
+    // physical layout: one directory per height bucket
+    val buckets = new java.io.File(s"$dir/blocks").listFiles()
+      .map(_.getName).filter(_.startsWith("height_bucket=")).toSet
+    assert(buckets === Set("height_bucket=0", "height_bucket=1"))
+    // derived type tables landed too
+    assert(spark.read.parquet(s"$dir/type_message").count() === 2)
+    assert(spark.read.parquet(s"$dir/type_message_attrs").count() === 2)
+  }
+
+  test("RpcClient: rotation + retry, tip discovery, fetchEnvelopes end-to-end") {
+    var calls = Vector.empty[(String, String)]
+    val transport: (String, String) => String = (url, pth) => {
+      calls = calls :+ ((url, pth))
+      if (url == "http://bad") throw new RuntimeException("boom")
+      if (pth == "/status")
+        """{"result":{"sync_info":{"latest_block_height":"42"}}}"""
+      else if (pth.startsWith("/block_results"))
+        """{"result":{"txs_results":[],"finalize_block_events":[]}}"""
+      else
+        """{"result":{"block":{"header":{"time":"2025-06-01T12:00:00Z","app_hash":"AH"},"data":{"txs":[]}}}}"""
+    }
+    val client = new RpcClient(
+      RpcConfig(Seq("http://bad", "http://good"), retriesPerEndpoint = 2, sleeper = _ => ()),
+      transport)
+    assert(client.latestHeight() === 42L)
+    // rotation happened: bad tried twice then good succeeded
+    assert(calls.take(3).map(_._1) === Vector("http://bad", "http://bad", "http://good"))
+    val env = RpcSource.fetchEnvelopes(spark, client, 1, 3, parallelism = 2)
+    val rows = env.orderBy("height").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.forall(_.getAs[String]("app_hash") === "AH"))
+  }
+}
