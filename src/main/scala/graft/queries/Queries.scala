@@ -647,12 +647,91 @@ object Queries {
         "CASE WHEN value = 0 OR value IS NULL THEN -1.0 ELSE value END AS v " +
         "FROM events ORDER BY event_id")),
 
+    ("f15_readable_size", // display-format UDF; no DuckDB twin — rows-only
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            graft.functions.Fns.formatReadableSize(
+              col("o_totalprice").cast("long") * 1024).as("size"))
+          .orderBy("o_orderkey"),
+      None),
+
     ("f20_ping",
       (s: SparkSession, d: String) =>
         s.range(1).select(lit(1).as("ok")),
       Some("SELECT 1 AS ok")))
 
+  // ------------------------------------------------------------------------
+  // §2.9 — the flatten itself, hash-checked: envelopes are SYNTHESIZED from
+  // the orders table (1 tx, 1 event, 1 attr per height) so DuckDB can
+  // reproduce the expected flattened rows in pure SQL. Exercises the zip
+  // join, sha256-of-decoded-bytes, base64→hex, gas parsing, type routing,
+  // and the canonical attrs JSON — end-to-end through Flatten().
+  // ------------------------------------------------------------------------
+
+  private def syntheticEnvelopes(s: SparkSession, d: String) =
+    t(s, d, "orders").select(
+      col("o_orderkey").as("height"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("time"),
+      col("o_orderpriority").as("app_hash"),
+      array(base64(col("o_orderstatus").cast("binary"))).as("txs"),
+      array(struct(
+        (col("o_custkey") % 3).cast("int").as("code"),
+        col("o_custkey").cast("string").as("gas_wanted"),
+        (col("o_custkey") * 2).cast("string").as("gas_used"),
+        base64(col("o_orderpriority").cast("binary")).as("data"),
+        lit("ok").as("log"),
+        array(struct(
+          when(col("o_custkey") % 2 === 0, "message").otherwise("wasm").as("type"),
+          array(struct(
+            lit("action").as("key"),
+            col("o_orderpriority").as("value"),
+            lit(true).as("index"))).as("attributes"))).as("events"))).as("txs_results"),
+      lit(null).cast(graft.schema.Schemas.envelope("finalize_block_events").dataType)
+        .as("finalize_block_events"))
+
+  private def flattened(s: SparkSession, d: String) =
+    graft.ingest.Flatten(syntheticEnvelopes(s, d))
+
+  val flatFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("flat_txs",
+      (s: SparkSession, d: String) =>
+        flattened(s, d).txs.orderBy("height"),
+      Some("SELECT o_orderkey AS height, 0 AS tx_index, CAST(o_custkey % 3 AS INT) AS code, " +
+        "o_custkey AS gas_wanted, o_custkey * 2 AS gas_used, " +
+        "lower(hex(o_orderpriority)) AS data, upper(sha256(o_orderstatus)) AS tx_hash, " +
+        "'ok' AS log FROM orders ORDER BY height")),
+
+    ("flat_tx_events",
+      (s: SparkSession, d: String) =>
+        flattened(s, d).txEvents.orderBy("height"),
+      Some("SELECT o_orderkey AS height, 0 AS tx_index, 0 AS event_index, " +
+        "CASE WHEN o_custkey % 2 = 0 THEN 'message' ELSE 'wasm' END AS type " +
+        "FROM orders ORDER BY height")),
+
+    ("flat_type_route",
+      (s: SparkSession, d: String) => {
+        val f = flattened(s, d)
+        f.typeMessage.select("height", "type", "tx_hash")
+          .unionByName(f.typeWasm.select("height", "type", "tx_hash"))
+          .orderBy("height")
+      },
+      Some("SELECT o_orderkey AS height, " +
+        "CASE WHEN o_custkey % 2 = 0 THEN 'message' ELSE 'wasm' END AS type, " +
+        "upper(sha256(o_orderstatus)) AS tx_hash FROM orders ORDER BY height")),
+
+    ("flat_attrs_json",
+      (s: SparkSession, d: String) =>
+        flattened(s, d).txEventAttrsJson
+          .select("height", "attrs_kv", "attrs_map", "attr_count")
+          .orderBy("height"),
+      Some("SELECT o_orderkey AS height, " +
+        "'[{\"attr_index\":0,\"key\":\"action\",\"value\":\"' || o_orderpriority || " +
+        "'\",\"indexed\":true}]' AS attrs_kv, " +
+        "'{\"action\":[\"' || o_orderpriority || '\"]}' AS attrs_map, " +
+        "1 AS attr_count FROM orders ORDER BY height")))
+
   /** Full §2 relational inventory. */
   val inventory: Seq[(String, Q, Option[String])] =
-    pFamily ++ jFamily ++ aFamily ++ wFamily ++ oFamily ++ sFamily ++ fFamily
+    pFamily ++ jFamily ++ aFamily ++ wFamily ++ oFamily ++ sFamily ++ fFamily ++ flatFamily
 }
