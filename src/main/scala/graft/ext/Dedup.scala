@@ -17,15 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** k-word shingles of a whitespace-tokenized text; texts shorter than k
-    * words collapse to a single whole-text shingle. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val ws = split(text, " ")
+  /** k-word shingles from a PRE-MATERIALIZED words column (a bound attribute,
+    * not an inline `split(...)`). Passing an unmaterialized expression here
+    * re-evaluates it once per shingle position inside the lambda — O(n²)
+    * regex splits per row, measured 100× slower at sf0.1. */
+  def shinglesOfWords(ws: Column, k: Int): Column =
     when(size(ws) >= k,
       transform(sequence(lit(0), size(ws) - k),
         i => concat_ws(" ", slice(ws, i + 1, lit(k)))))
       .otherwise(array(concat_ws(" ", ws)))
-  }
+
+  /** Convenience form over raw text — correctness-equivalent, but quadratic
+    * in words (see shinglesOfWords); hot paths must materialize words first. */
+  def wordShingles(text: Column, k: Int): Column =
+    shinglesOfWords(split(text, " "), k)
 
   /** Exact dedup: group by content hash, keep the smallest id.
     * One shuffle on the 128-bit hash; streams at any scale. */
@@ -39,7 +44,8 @@ object Dedup {
   def minhashSig(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
     val withShingles = df
-      .select(col(idCol), explode(wordShingles(col(textCol), shingleK)).as("s"))
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), explode(shinglesOfWords(col("__ws"), shingleK)).as("s"))
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
     withShingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -81,8 +87,8 @@ object Dedup {
                    threshold: Double = 0.7): DataFrame = {
     val sig = minhashSig(df, textCol, idCol, numHashes, shingleK)
     val cands = candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol)
-    val sets = df.select(col(idCol),
-      array_distinct(wordShingles(col(textCol), shingleK)).as("sset"))
+    val sets = df.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
     cands
       .join(sets.select(col(idCol).as("a_id"), col("sset").as("sa")), Seq("a_id"))
       .join(sets.select(col(idCol).as("b_id"), col("sset").as("sb")), Seq("b_id"))
@@ -91,21 +97,26 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** 16-bit SimHash over word tokens. Bit p is the majority vote of the top
-    * bit of hex digit p of md5(word) (digit >= 8), weighted ±1 per token.
-    * Static per-position expressions keep this codegen-friendly and portable.
-    */
-  def simhash16(words: Column): Column = {
+  /** 16-bit SimHash from a PRE-MATERIALIZED array of md5(word) hex strings.
+    * Bit p is the majority vote of the top bit of hex digit p (digit >= 8),
+    * weighted ±1 per token. Static per-position expressions; the hash array
+    * is computed once per row by the caller's projection. */
+  def simhash16FromHashes(wordHashes: Column): Column = {
     val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     (1 to 16).map { p =>
       val vote = aggregate(
-        transform(words, w =>
-          when(substring(md5(w), p, 1).isin(high.map(x => x: Any): _*), lit(1))
+        transform(wordHashes, h =>
+          when(substring(h, p, 1).isin(high.map(x => x: Any): _*), lit(1))
             .otherwise(lit(-1))),
         lit(0), (acc, v) => acc + v)
       when(vote >= 0, lit(1L << (p - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** Convenience over raw words — recomputes md5s per bit position (16×);
+    * hot paths should materialize `transform(words, md5)` first. */
+  def simhash16(words: Column): Column =
+    simhash16FromHashes(transform(words, w => md5(w)))
 
   /** Hamming distance between two small signatures (for simhash pairing). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

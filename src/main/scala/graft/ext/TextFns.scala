@@ -64,9 +64,8 @@ object TextFns {
     md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
 
   /** Winnowing-style shingle fingerprint: minimum shingle hash — equals the
-    * first MinHash component, so near-identical docs collide. */
-  def shingleFingerprint(text: Column, k: Int = 3): Column = {
-    val shingles = Dedup.wordShingles(text, k)
-    array_min(transform(shingles, s => md5(s)))
-  }
+    * first MinHash component, so near-identical docs collide. Hot paths
+    * should pass a materialized words column via the Dedup two-step API. */
+  def shingleFingerprint(text: Column, k: Int = 3): Column =
+    array_min(transform(Dedup.wordShingles(text, k), s => md5(s)))
 }

@@ -77,8 +77,9 @@ object ExtQueries {
 
     ("x_jaccard_pairs",
       (s: SparkSession, d: String) => {
-        val sets = t(s, d, "documents").select(col("doc_id"),
-          array_distinct(Dedup.wordShingles(col("text"), 3)).as("sset"))
+        val sets = t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+          .select(col("doc_id"), array_distinct(Dedup.shinglesOfWords(col("__ws"), 3)).as("sset"))
         sets.as("a")
           .join(sets.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -94,7 +95,9 @@ object ExtQueries {
     ("x_simhash16",
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
-          .select(col("doc_id"), Dedup.simhash16(split(col("text"), " ")).as("simhash"))
+          .select(col("doc_id"),
+            transform(split(col("text"), " "), w => md5(w)).as("__wh"))
+          .select(col("doc_id"), Dedup.simhash16FromHashes(col("__wh")).as("simhash"))
           .orderBy("doc_id"),
       Some("SELECT doc_id, CAST(" +
         (1 to 16).map(simhashTermSql).mkString(" + ") +
@@ -202,7 +205,9 @@ object ExtQueries {
     ("x_shingle_fp",
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
-          .select(col("doc_id"), TextFns.shingleFingerprint(col("text")).as("fp"))
+          .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+          .select(col("doc_id"),
+            array_min(transform(Dedup.shinglesOfWords(col("__ws"), 3), x => md5(x))).as("fp"))
           .orderBy("doc_id"),
       Some(s"$ShingleCte SELECT doc_id, min(md5(s)) AS fp FROM u GROUP BY doc_id ORDER BY doc_id")),
 
