@@ -25,7 +25,9 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name $sec%.2f s")
+      (name, sec, ok)
     }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
