@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the two scalar functions that aren't
+  * compositions of built-ins (SURVEY §2.11). A native `Expression` beats a
+  * Scala UDF: no encoder round-trip, and `FormatReadableSize` stays inside
+  * whole-stage codegen via `doGenCode`.
+  */
+
+/** F15 as a codegen'd unary expression: bytes (long) -> "1.50 KiB". */
+case class FormatReadableSize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | org.apache.spark.sql.types.IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "format_readable_size"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val b = v match { case i: java.lang.Integer => i.longValue(); case l => l.asInstanceOf[Long] }
+    UTF8String.fromString(Fns.formatReadableSizeStr(b))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Fns is a top-level object => scalac emits static forwarders on class
+    // graft.functions.Fns, callable from Janino-generated Java.
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.Fns.formatReadableSizeStr((long)($c)))")
+
+  override protected def withNewChildInternal(newChild: Expression): FormatReadableSize =
+    copy(child = newChild)
+}
+
+/** F3 as a native expression (CodegenFallback — regex + base64 decode has no
+  * profitable codegen form, but this still avoids UDF encoder overhead). */
+case class MaybeB64Decode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "maybe_b64_decode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Fns.maybeB64DecodeStr(v.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(newChild: Expression): MaybeB64Decode =
+    copy(child = newChild)
+}
+
+object GraftExpressions {
+  import GraftBridge.{column, expression}
+
+  def format_readable_size(c: Column): Column =
+    column(FormatReadableSize(expression(c)))
+
+  def maybe_b64_decode(c: Column): Column =
+    column(MaybeB64Decode(expression(c)))
+
+  /** Register both for the SQL surface (S7): usable from spark.sql(...). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "format_readable_size", exprs => FormatReadableSize(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "maybe_b64_decode", exprs => MaybeB64Decode(exprs.head), "built-in")
+  }
+}

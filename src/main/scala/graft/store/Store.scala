@@ -63,6 +63,38 @@ object Store {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Background-merge analogue (the job ClickHouse's MergeTree does
+    * asynchronously): rewrite a versioned table to its latest() view,
+    * reclaiming superseded rows. Atomic-ish via tmp-dir + rename swap. */
+  def compact(spark: SparkSession, path: String, keys: Seq[String],
+              versionCol: Option[String], partitionCols: Seq[String] = Nil,
+              sortCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.parquet(path)
+    val deduped = versionCol match {
+      case Some(v) => latest(df, keys, v)
+      case None => latestAnyRow(df, keys)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    val live = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".compact.old")
+    fs.delete(tmp, true)
+    val sorted =
+      if (sortCols.nonEmpty) deduped.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else deduped
+    val w = sorted.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(live, old)) throw new RuntimeException(s"compact: cannot move $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // roll back
+      throw new RuntimeException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+  }
+
   /** S11 — catalog/size introspection over a warehouse directory of tables
     * (analogue of system.tables/system.parts, ref init_clickhouse.js:464-532). */
   def tableStats(spark: SparkSession, basePath: String): DataFrame = {

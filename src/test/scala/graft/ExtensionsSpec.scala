@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftExpressions
+import graft.plans.GraftExtensions
+import graft.store.Store
+
+/** Native expressions + the height→bucket pruning rule. */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("format_readable_size: native expression, codegen-compatible") {
+    val got = Seq(512L, 1536L, 1073741824L).toDF("b")
+      .select(GraftExpressions.format_readable_size(col("b")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === Seq("512 B", "1.50 KiB", "1.00 GiB"))
+  }
+
+  test("maybe_b64_decode: native expression matches the reference heuristic") {
+    val got = Seq("aGVsbG8=", "hello", null).toDF("s")
+      .select(GraftExpressions.maybe_b64_decode(col("s")))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === Seq("hello", "hello", null))
+  }
+
+  test("SQL registration: callable from spark.sql") {
+    GraftExpressions.register(spark)
+    val got = spark.sql(
+      "SELECT format_readable_size(2048), maybe_b64_decode('dGVzdA==')").collect()(0)
+    assert(got.getString(0) === "2.00 KiB")
+    assert(got.getString(1) === "test")
+  }
+
+  test("HeightBucketPruning: height filter derives partition filters on the scan") {
+    GraftExtensions.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val df = (0L until 500000L by 1000L).toDF("height")
+      .withColumn("payload", col("height") * 2)
+      .withColumn("height_bucket", graft.functions.Fns.heightBucket(col("height")))
+    Store.writeTable(df, s"$dir/t", Seq("height_bucket"), Seq("height"))
+
+    val q = spark.read.parquet(s"$dir/t")
+      .filter(col("height") >= 150000L && col("height") < 250000L)
+    val physical = q.queryExecution.executedPlan.toString
+
+    // the derived bucket bounds must appear as PartitionFilters on the scan
+    assert(physical.contains("PartitionFilters"), physical.take(2000))
+    val pf = physical.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("height_bucket"), pf)
+    // and results are identical to the unpruned computation
+    val got = q.select(sum("payload")).collect()(0).getLong(0)
+    val expected = (0L until 500000L by 1000L)
+      .filter(h => h >= 150000L && h < 250000L).map(_ * 2).sum
+    assert(got === expected)
+  }
+
+  test("HeightBucketPruning: no-op when bucket predicate already present or no literal") {
+    GraftExtensions.install(spark)
+    val df = Seq((1L, 0L), (200000L, 2L)).toDF("height", "height_bucket")
+    // already has bucket predicate -> unchanged result, no duplicate derivation
+    val q1 = df.filter(col("height") >= 1L && col("height_bucket") === 0L)
+    assert(q1.count() === 1)
+    // join-style non-literal comparison -> no derivation, still correct
+    val q2 = df.filter(col("height") >= col("height_bucket"))
+    assert(q2.count() === 2)
+  }
+}
