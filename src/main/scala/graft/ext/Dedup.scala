@@ -87,8 +87,10 @@ object Dedup {
                    threshold: Double = 0.7): DataFrame = {
     val sig = minhashSig(df, textCol, idCol, numHashes, shingleK)
     val cands = candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol)
+    // cached: probed twice (a-side and b-side) by the verify joins
     val sets = df.select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
+      .cache()
     cands
       .join(sets.select(col(idCol).as("a_id"), col("sset").as("sa")), Seq("a_id"))
       .join(sets.select(col(idCol).as("b_id"), col("sset").as("sb")), Seq("b_id"))

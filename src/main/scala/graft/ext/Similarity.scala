@@ -63,4 +63,75 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  // ------------------------------------------------------------------ IVF --
+
+  /** IVF coarse quantizer: KMeans centroids over the corpus (seeded, so the
+    * index is reproducible). At 100 TB the centroids are trained on a sample
+    * and the assignment is a write-time column like the LSH bucket. */
+  def ivfTrain(em: DataFrame, vecCol: String, nLists: Int,
+               seed: Long = 42L): Array[Array[Double]] = {
+    val toVec = org.apache.spark.ml.functions.array_to_vector(
+      transform(col(vecCol), x => x.cast("double")))
+    val feats = em.select(toVec.as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nLists).setSeed(seed).setMaxIter(10).setFeaturesCol("features")
+    km.fit(feats).clusterCenters.map(_.toArray)
+  }
+
+  /** Nearest-centroid assignment as a pure column expression (argmin of
+    * squared L2 over the broadcast centroid literals). */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(
+        zip_with(vec, typedLit(c.toSeq), (x, y) => {
+          val diff = x.cast("double") - y
+          diff * diff
+        }),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d.as("d"), lit(i).as("list"))
+    }
+    array_min(array(dists: _*)).getField("list")
+  }
+
+  /** IVF ANN: probe the `nProbe` lists nearest to the query with exact
+    * cosine. Equi-join on the list id — same shuffle shape as LSH buckets. */
+  def ivfTopK(em: DataFrame, idCol: String, vecCol: String,
+              queryVec: DataFrame, k: Int, centroids: Array[Array[Double]],
+              nProbe: Int = 2): DataFrame = {
+    val bucketed = em.withColumn("list", ivfAssign(col(vecCol), centroids))
+    val qLists = queryVec.withColumn("lists",
+      slice(transform(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+        val d = aggregate(
+          zip_with(col("qv"), typedLit(c.toSeq), (x, y) => {
+            val diff = x.cast("double") - y
+            diff * diff
+          }),
+          lit(0.0), (acc, v) => acc + v)
+        struct(d.as("d"), lit(i).as("list"))
+      }: _*)), s => s.getField("list")), 1, nProbe))
+      .select(col("qv"), explode(col("lists")).as("list"))
+    bucketed.join(broadcast(qLists), Seq("list"))
+      .withColumn("cos", cosine(col(vecCol), col("qv")))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (equi on
+    * bucket) + exact cosine filter — the scale path for vector dedup. */
+  def cosineNearDupPairs(em: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nPlanes: Int, dim: Int,
+                         seed: Long = 42L): DataFrame = {
+    val ps = planes(nPlanes, dim, seed)
+    val b = em.select(col(idCol), col(vecCol))
+      .withColumn("bucket", lshBucket(col(vecCol), ps))
+    val a = b.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("va"))
+    val c = b.select(col("bucket"), col(idCol).as("b_id"), col(vecCol).as("vb"))
+    a.join(c, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
 }

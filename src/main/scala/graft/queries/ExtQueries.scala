@@ -147,6 +147,24 @@ object ExtQueries {
       },
       None),
 
+    ("x_ann_ivf", // IVF coarse-quantized ANN (seeded KMeans); no SQL oracle
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val centroids = Similarity.ivfTrain(em, "embedding", nLists = 8)
+        Similarity.ivfTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          q, k = 10, centroids, nProbe = 2)
+      },
+      None),
+
+    ("x_embed_near_dup", // embedding-cosine near-dup via LSH buckets; rows-only
+      (s: SparkSession, d: String) =>
+        Similarity.cosineNearDupPairs(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.95, nPlanes = 4, dim = 64)
+          .orderBy("a_id", "b_id"),
+      None),
+
     // --------------------------------------------------------------- text --
     ("x_text_stats",
       (s: SparkSession, d: String) =>

@@ -102,6 +102,25 @@ class PipelineSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$dir/type_message_attrs").count() === 2)
   }
 
+  test("claimNext: forward-priority window skips old ranges unless backfilling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh3").toString
+    val p = new Pipeline(spark, PipelineConfig(
+      warehouse = dir, startHeight = 1, assignRange = 10,
+      backfillMode = false, backfillWindow = 100,
+      now = () => { clock += 1; clock }))
+    // blocks are at height 500; window = [400, inf)
+    p.ingest(envelopes(Seq(500L)))
+    p.seedWorkQueue(1, 10)     // old range, below window
+    p.seedWorkQueue(450, 459)  // inside window
+    val claimed = p.claimNext(None)
+    assert(claimed.map(_._2) === Some(Iv(450, 459))) // old range skipped
+    // same queue in backfill mode claims the oldest range
+    val pb = new Pipeline(spark, PipelineConfig(
+      warehouse = dir, startHeight = 1, assignRange = 10,
+      backfillMode = true, now = () => { clock += 1; clock }))
+    assert(pb.claimNext(None).map(_._2) === Some(Iv(1, 10)))
+  }
+
   test("RpcClient: rotation + retry, tip discovery, fetchEnvelopes end-to-end") {
     var calls = Vector.empty[(String, String)]
     val transport: (String, String) => String = (url, pth) => {

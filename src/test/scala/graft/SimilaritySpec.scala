@@ -44,6 +44,61 @@ class SimilaritySpec extends SparkTestBase {
     assert((ann intersect brute).size >= 2)
   }
 
+  test("IVF: trained centroids route the query to lists containing true neighbors") {
+    val em = Td.t(spark, sf0001, "embeddings")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val centroids = Similarity.ivfTrain(em, "embedding", nLists = 4)
+    assert(centroids.length === 4)
+    assert(centroids.forall(_.length === 64))
+    val brute = Similarity.bruteForceTopK(
+      em.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(
+      em.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, centroids,
+      nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.nonEmpty)
+    assert((ivf intersect brute).size >= 3) // 2 of 4 lists probed
+    // determinism: same seed -> same centroids -> same result
+    val centroids2 = Similarity.ivfTrain(em, "embedding", nLists = 4)
+    assert(centroids.map(_.toSeq).toSeq === centroids2.map(_.toSeq).toSeq)
+  }
+
+  test("cosineNearDupPairs: self-similar pairs surface, ordered ids") {
+    import spark.implicits._
+    val em = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairs(em, "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 2, dim = 4).collect()
+    val ids = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(!ids.exists { case (a, b) => a == 3L || b == 3L })
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("RefreshingDict: TTL-driven reload, broadcast lookup join") {
+    import spark.implicits._
+    var tick = 0L
+    var version = 0
+    val dict = new graft.store.RefreshingDict(
+      load = () => { version += 1; Seq((1L, s"v$version")).toDF("k", "name") },
+      ttlSeconds = 300, clock = () => tick)
+    val fact = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "x")
+    val first = dict.lookup(fact, Seq("k")).orderBy("k").collect()
+    assert(first.map(r => Option(r.getAs[String]("name"))).toSeq === Seq(Some("v1"), None))
+    tick = 100 // within TTL: no reload
+    dict.lookup(fact, Seq("k")).collect()
+    assert(dict.loadCount === 1)
+    tick = 400 // TTL lapsed: reload picks up v2
+    val second = dict.lookup(fact, Seq("k")).orderBy("k").collect()
+    assert(dict.loadCount === 2)
+    assert(second(0).getAs[String]("name") === "v2")
+    // the lookup plan broadcasts the dictionary side
+    val plan = dict.lookup(fact, Seq("k")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan.take(800))
+  }
+
   test("lshBucket: deterministic and within range") {
     val ps = Similarity.planes(4, 3, seed = 7)
     val df = Seq(Tuple1(Seq(1f, 2f, 3f)), Tuple1(Seq(-1f, -2f, -3f))).toDF("v")
