@@ -79,7 +79,8 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
         val withBucket = toWrite.withColumn("height_bucket", Fns.heightBucket(col("height")))
         Store.writeTable(withBucket, path(name),
           partitionCols = Seq("height_bucket"),
-          sortCols = Seq("height"))
+          sortCols = Seq("height"),
+          bloomCols = Store.bloomColsFor.getOrElse(name, Nil))
       }
       tables
     } finally { env.unpersist(); () }

@@ -104,11 +104,24 @@ object ExtQueries {
         " AS BIGINT) AS simhash FROM (SELECT doc_id, string_split(text, ' ') AS ws " +
         "FROM documents) t ORDER BY doc_id")),
 
-    ("x_near_dup", // full MinHash-LSH pipeline incl. Jaccard verify; rows-only
+    ("x_near_dup", // full MinHash-LSH pipeline incl. Jaccard verify
       (s: SparkSession, d: String) =>
         Dedup.nearDupPairs(t(s, d, "documents"), "text", "doc_id", threshold = 0.2)
           .orderBy("a_id", "b_id"),
-      None),
+      // jaccard = int/int division of identical operands on both engines,
+      // so even the unrounded double hash-matches
+      Some(s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
+        "(SELECT doc_id, [md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)] AS bs FROM sig), " +
+        "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+        "ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh) " +
+        "SELECT a_id, b_id, CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
+        "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) AS jaccard " +
+        "FROM cand JOIN ds x ON x.doc_id = a_id JOIN ds y ON y.doc_id = b_id " +
+        "WHERE CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
+        "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.2 " +
+        "ORDER BY a_id, b_id")),
 
     // -------------------------------------------------------- similarity --
     ("x_cosine_all",

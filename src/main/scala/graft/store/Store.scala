@@ -52,16 +52,28 @@ object Store {
   /** S6/S10 — partitioned, sorted Parquet append. `partitionCols` gives
     * directory pruning (the reference's intDiv(height,1e5) / toYYYYMM
     * partitions); sorting within partitions gives Parquet min/max row-group
-    * stats, the analogue of the MergeTree primary index. */
+    * stats, the analogue of the MergeTree primary index; `bloomCols` adds
+    * Parquet bloom filters — the analogue of the reference's
+    * `bloom_filter(0.01)` skip indexes on tx_hash (models.js:124-126). */
   def writeTable(df: DataFrame, path: String, partitionCols: Seq[String],
-                 sortCols: Seq[String]): Unit = {
+                 sortCols: Seq[String], bloomCols: Seq[String] = Nil): Unit = {
     val sorted =
       if (sortCols.nonEmpty)
         df.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       else df
-    val w = sorted.write.mode("append")
+    var w = sorted.write.mode("append")
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** Bloom-indexed columns per table, mirroring the reference's skip
+    * indexes (tx_hash bloom on txs/type_wasm/type_message). */
+  val bloomColsFor: Map[String, Seq[String]] = Map(
+    "txs" -> Seq("tx_hash"),
+    "type_wasm" -> Seq("tx_hash"),
+    "type_message" -> Seq("tx_hash"))
 
   /** Background-merge analogue (the job ClickHouse's MergeTree does
     * asynchronously): rewrite a versioned table to its latest() view,

@@ -51,7 +51,8 @@ object StreamingIngest {
           df.withColumn("height_bucket", Fns.heightBucket(col("height"))),
           s"$warehouse/$name",
           partitionCols = Seq("height_bucket"),
-          sortCols = Seq("height"))
+          sortCols = Seq("height"),
+          bloomCols = Store.bloomColsFor.getOrElse(name, Nil))
       }
       val blocks = tables.blocks.cache()
       try {
