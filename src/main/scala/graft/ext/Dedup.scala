@@ -3,6 +3,17 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+object Par {
+  /** Heavy per-row compute (md5 fan-out, shingling) must not run on the
+    * scan's partitioning: a small parquet file is a single task no matter
+    * how many cores exist. Round-robin up to the session's parallelism when
+    * the input has fewer partitions; a no-op on big inputs at cluster scale. */
+  def ensure(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}
+
 /** Large-scale training-data deduplication operators (SURVEY §7 north-star).
   *
   * Scale stance (the 100 TB design point):
@@ -43,7 +54,7 @@ object Dedup {
     * valid minwise sketch; string min keeps it portable. */
   def minhashSig(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
-    val withShingles = df
+    val withShingles = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), explode(shinglesOfWords(col("__ws"), shingleK)).as("s"))
     val aggs = (0 until numHashes).map(i =>
@@ -88,7 +99,8 @@ object Dedup {
     val sig = minhashSig(df, textCol, idCol, numHashes, shingleK)
     val cands = candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol)
     // cached: probed twice (a-side and b-side) by the verify joins
-    val sets = df.select(col(idCol), split(col(textCol), " ").as("__ws"))
+    val sets = Par.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
       .cache()
     cands

@@ -77,7 +77,7 @@ object ExtQueries {
 
     ("x_jaccard_pairs",
       (s: SparkSession, d: String) => {
-        val sets = t(s, d, "documents")
+        val sets = graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
           .select(col("doc_id"), split(col("text"), " ").as("__ws"))
           .select(col("doc_id"), array_distinct(Dedup.shinglesOfWords(col("__ws"), 3)).as("sset"))
         sets.as("a")
@@ -94,7 +94,7 @@ object ExtQueries {
 
     ("x_simhash16",
       (s: SparkSession, d: String) =>
-        t(s, d, "documents")
+        graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
           .select(col("doc_id"),
             transform(split(col("text"), " "), w => md5(w)).as("__wh"))
           .select(col("doc_id"), Dedup.simhash16FromHashes(col("__wh")).as("simhash"))
@@ -235,7 +235,7 @@ object ExtQueries {
 
     ("x_shingle_fp",
       (s: SparkSession, d: String) =>
-        t(s, d, "documents")
+        graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
           .select(col("doc_id"), split(col("text"), " ").as("__ws"))
           .select(col("doc_id"),
             array_min(transform(Dedup.shinglesOfWords(col("__ws"), 3), x => md5(x))).as("fp"))

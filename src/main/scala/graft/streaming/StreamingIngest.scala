@@ -40,6 +40,25 @@ object StreamingIngest {
       .start()
   }
 
+  /** Event-time windowed block-rate aggregation with a watermark: counts
+    * blocks and txs per tumbling window of block time, tolerating
+    * `lateness` of out-of-order arrival (the streaming analogue of the
+    * reference's BACKFILL_WINDOW forward-priority rule). Append mode: a
+    * window emits once its watermark passes — exactly-once per window. */
+  def windowedBlockStats(spark: SparkSession, inputDir: String,
+                         window: String = "1 minute",
+                         lateness: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.functions.{window => windowFn}
+    val env = spark.readStream.schema(Schemas.envelope).json(inputDir)
+    env
+      .withColumn("block_time", col("time").cast("timestamp"))
+      .withWatermark("block_time", lateness)
+      .groupBy(windowFn(col("block_time"), window))
+      .agg(
+        count(lit(1)).as("blocks"),
+        coalesce(sum(size(col("txs"))), lit(0L)).as("txs"))
+  }
+
   /** One micro-batch: flatten once (cached), append all tables bucketed by
     * height, append MV partial aggregates for the affected dates. */
   def ingestBatch(warehouse: String, envelopes: DataFrame): Unit = {

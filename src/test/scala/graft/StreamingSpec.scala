@@ -23,8 +23,10 @@ class StreamingSpec extends SparkTestBase {
     val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
 
     writeEnvelopeFile(in, "batch1.json", Seq(1L, 2L))
+    // AvailableNow self-terminates; a bounded wait could leave the stream
+    // running under CPU contention and corrupt the shared checkpoint.
     val q1 = StreamingIngest.start(spark, in, wh, cp, Trigger.AvailableNow())
-    q1.awaitTermination(120000)
+    q1.awaitTermination()
 
     assert(spark.read.parquet(s"$wh/blocks").count() === 2)
     assert(spark.read.parquet(s"$wh/txs").count() === 2)
@@ -32,7 +34,7 @@ class StreamingSpec extends SparkTestBase {
     // second file arrives; restart from checkpoint picks up ONLY the new file
     writeEnvelopeFile(in, "batch2.json", Seq(3L))
     val q2 = StreamingIngest.start(spark, in, wh, cp, Trigger.AvailableNow())
-    q2.awaitTermination(120000)
+    q2.awaitTermination()
 
     val blocks = spark.read.parquet(s"$wh/blocks")
     assert(blocks.count() === 3) // no reprocessing of batch1
@@ -58,6 +60,44 @@ class StreamingSpec extends SparkTestBase {
       .orderBy("date").collect()
       .map(r => r.getDate(0).toString -> r.getAs[Long]("tx_count")).toMap
     assert(recomputed === byDate.map { case (k, v) => k -> v._1 })
+  }
+
+  test("watermarked windowed block stats: late row beyond watermark dropped") {
+    val in = java.nio.file.Files.createTempDirectory("graft_win").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_wincp").toString
+    def block(h: Long, time: String, nTx: Int) =
+      s"""{"height":$h,"time":"$time","app_hash":"A","txs":[${Seq.fill(nTx)("\"dGVzdA==\"").mkString(",")}],"txs_results":[],"finalize_block_events":[]}"""
+    // batch 1: two windows of data; watermark advances to max - 10min
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(
+        block(1, "2025-06-01T12:00:10Z", 2),
+        block(2, "2025-06-01T12:00:40Z", 1),
+        block(3, "2025-06-01T12:30:00Z", 0)).mkString("\n").getBytes)
+    val agg = graft.streaming.StreamingIngest.windowedBlockStats(
+      spark, in, window = "1 minute", lateness = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .format("memory").queryName("graft_win_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a VERY late row (12:01, watermark is 12:20) -> dropped;
+      // plus a fresh row advancing time so the 12:30 window can close later
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+        Seq(
+          block(4, "2025-06-01T12:01:00Z", 5), // beyond watermark: dropped
+          block(5, "2025-06-01T13:00:00Z", 1)).mkString("\n").getBytes)
+      q.processAllAvailable()
+      val out = spark.table("graft_win_out")
+        .selectExpr("window.start AS ws", "blocks", "txs")
+        .orderBy("ws").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+      // emitted (closed) windows: 12:00 (2 blocks, 3 txs) and 12:30 —
+      // the late block 4 never contributes a 12:01 window
+      assert(out.exists(_._1.startsWith("2025-06-01 12:00")))
+      val w1200 = out.find(_._1.startsWith("2025-06-01 12:00")).get
+      assert(w1200._2 === 2L && w1200._3 === 3L)
+      assert(!out.exists(_._1.startsWith("2025-06-01 12:01")))
+    } finally q.stop()
   }
 
   test("MV1/MV3 recompute vs incremental agree after multiple batches") {
