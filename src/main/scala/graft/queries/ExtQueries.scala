@@ -14,9 +14,16 @@ object ExtQueries {
   import Queries.Q
   import Td.t
 
+  /** documents/embeddings may not be pre-registered as DuckDB views by the
+    * harness (TESTDATA.md lists only the TPC-H-ish tables), so their oracle
+    * SQL reads the parquet directly; `{{SF}}` is substituted with the actual
+    * sf directory by Verify at dump time. */
+  private val Docs = "read_parquet('{{SF}}/documents.parquet')"
+  private val Embs = "read_parquet('{{SF}}/embeddings.parquet')"
+
   /** Shared DuckDB CTE: word 3-shingles of documents. */
   private val ShingleCte =
-    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+    s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
       "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN " +
       "[array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws)-2)] " +
       "ELSE [array_to_string(ws, ' ')] END AS shingles FROM w), " +
@@ -47,7 +54,7 @@ object ExtQueries {
       (s: SparkSession, d: String) =>
         Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id").orderBy("h"),
       Some("SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id " +
-        "FROM documents GROUP BY 1 ORDER BY 1")),
+        s"FROM $Docs GROUP BY 1 ORDER BY 1")),
 
     ("x_dedup_summary",
       (s: SparkSession, d: String) =>
@@ -55,7 +62,7 @@ object ExtQueries {
           countDistinct(md5(col("text"))).as("n_unique"),
           count(lit(1)).as("n_total")),
       Some("SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique, " +
-        "count(*) AS n_total FROM documents")),
+        s"count(*) AS n_total FROM $Docs")),
 
     ("x_minhash_sig",
       (s: SparkSession, d: String) =>
@@ -102,7 +109,7 @@ object ExtQueries {
       Some("SELECT doc_id, CAST(" +
         (1 to 16).map(simhashTermSql).mkString(" + ") +
         " AS BIGINT) AS simhash FROM (SELECT doc_id, string_split(text, ' ') AS ws " +
-        "FROM documents) t ORDER BY doc_id")),
+        s"FROM $Docs) t ORDER BY doc_id")),
 
     ("x_near_dup", // full MinHash-LSH pipeline incl. Jaccard verify
       (s: SparkSession, d: String) =>
@@ -133,8 +140,8 @@ object ExtQueries {
             round(Similarity.cosine(col("embedding"), col("qv")), 6).as("cos"))
           .orderBy("vec_id")
       },
-      Some("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) " +
-        s"SELECT vec_id, round($CosExpr, 6) AS cos FROM embeddings, q " +
+      Some(s"WITH q AS (SELECT embedding AS qv FROM $Embs WHERE vec_id = 0) " +
+        s"SELECT vec_id, round($CosExpr, 6) AS cos FROM $Embs AS embeddings, q " +
         "WHERE vec_id <> 0 ORDER BY vec_id")),
 
     ("x_cosine_topk",
@@ -147,8 +154,8 @@ object ExtQueries {
           .orderBy(col("cos").desc, col("vec_id"))
           .limit(10)
       },
-      Some("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
-        s"c AS (SELECT vec_id, round($CosExpr, 6) AS cos FROM embeddings, q WHERE vec_id <> 0) " +
+      Some(s"WITH q AS (SELECT embedding AS qv FROM $Embs WHERE vec_id = 0), " +
+        s"c AS (SELECT vec_id, round($CosExpr, 6) AS cos FROM $Embs AS embeddings, q WHERE vec_id <> 0) " +
         "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10")),
 
     ("x_ann_lsh", // bucketed ANN, Spark-side recall test; no SQL oracle
@@ -186,7 +193,7 @@ object ExtQueries {
             length(col("text")).cast("long").as("len_chars"), col("n_chars"))
           .orderBy("doc_id"),
       Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
-        "CAST(length(text) AS BIGINT) AS len_chars, n_chars FROM documents ORDER BY doc_id")),
+        s"CAST(length(text) AS BIGINT) AS len_chars, n_chars FROM $Docs ORDER BY doc_id")),
 
     ("x_text_quality",
       (s: SparkSession, d: String) =>
@@ -205,7 +212,7 @@ object ExtQueries {
         "(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 0.3 + " +
         "(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) AS DOUBLE) " +
         "/ greatest(len(string_split(text, ' ')), 1)) * 0.5 + 0.3, 1.0), 0.0), 6) AS quality " +
-        "FROM documents ORDER BY doc_id")),
+        s"FROM $Docs ORDER BY doc_id")),
 
     ("x_lang_guess",
       (s: SparkSession, d: String) =>
@@ -223,7 +230,7 @@ object ExtQueries {
         "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) AS BIGINT) AS s_en, " +
         "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que','y'))) AS BIGINT) AS s_es, " +
         "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','les','des','et','un'))) AS BIGINT) AS s_fr " +
-        "FROM documents) t ORDER BY doc_id")),
+        s"FROM $Docs) t ORDER BY doc_id")),
 
     ("x_fingerprint",
       (s: SparkSession, d: String) =>
@@ -231,7 +238,7 @@ object ExtQueries {
           .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
           .orderBy("doc_id"),
       Some("SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp " +
-        "FROM documents ORDER BY doc_id")),
+        s"FROM $Docs ORDER BY doc_id")),
 
     ("x_shingle_fp",
       (s: SparkSession, d: String) =>
@@ -251,7 +258,7 @@ object ExtQueries {
             lower(substring(hex(col("text").cast("binary")), 1, 16)).as("head8"))
           .orderBy("doc_id"),
       Some("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
-        "lower(substr(hex(CAST(text AS BLOB)), 1, 16)) AS head8 FROM documents ORDER BY doc_id")),
+        s"lower(substr(hex(CAST(text AS BLOB)), 1, 16)) AS head8 FROM $Docs ORDER BY doc_id")),
 
     ("x_mm_decode", // stubbed codec; Spark plumbing exercised, rows-only
       (s: SparkSession, d: String) =>

@@ -731,7 +731,29 @@ object Queries {
         "'{\"action\":[\"' || o_orderpriority || '\"]}' AS attrs_map, " +
         "1 AS attr_count FROM orders ORDER BY height")))
 
+  // ------------------------------------------------------------------------
+  // §2.7 — set operations (EXCEPT/INTERSECT DISTINCT semantics)
+  // ------------------------------------------------------------------------
+
+  val setFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("set_except",
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders").select(col("o_orderkey").as("k"))
+          .except(t(s, d, "lineitem").select(col("l_orderkey").as("k")))
+          .orderBy("k"),
+      Some("SELECT o_orderkey AS k FROM orders EXCEPT " +
+        "SELECT l_orderkey AS k FROM lineitem ORDER BY k")),
+
+    ("set_intersect",
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer").select(col("c_custkey").as("k"))
+          .intersect(Td.events(s, d).select(col("user_id").as("k")))
+          .orderBy("k"),
+      Some("SELECT c_custkey AS k FROM customer INTERSECT " +
+        "SELECT user_id AS k FROM events ORDER BY k")))
+
   /** Full §2 relational inventory. */
   val inventory: Seq[(String, Q, Option[String])] =
-    pFamily ++ jFamily ++ aFamily ++ wFamily ++ oFamily ++ sFamily ++ fFamily ++ flatFamily
+    pFamily ++ jFamily ++ aFamily ++ wFamily ++ oFamily ++ sFamily ++ fFamily ++
+      flatFamily ++ setFamily
 }
