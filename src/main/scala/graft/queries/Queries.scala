@@ -720,6 +720,26 @@ object Queries {
         "CASE WHEN o_custkey % 2 = 0 THEN 'message' ELSE 'wasm' END AS type, " +
         "upper(sha256(o_orderstatus)) AS tx_hash FROM orders ORDER BY height")),
 
+    ("flat_fanout", // full 10-table fan-out in one pass: per-table cardinalities
+      (s: SparkSession, d: String) => {
+        val f = flattened(s, d)
+        f.all.map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_rows")).select(lit(n).as("tbl"), col("n_rows"))
+        }.reduce(_ unionByName _).orderBy("tbl")
+      },
+      Some(Seq(
+        "SELECT 'blocks' AS tbl, count(*) AS n_rows FROM orders",
+        "SELECT 'txs', count(*) FROM orders",
+        "SELECT 'tx_events', count(*) FROM orders",
+        "SELECT 'tx_event_attrs_json', count(*) FROM orders",
+        "SELECT 'type_message', count(CASE WHEN o_custkey % 2 = 0 THEN 1 END) FROM orders",
+        "SELECT 'type_message_attrs', count(CASE WHEN o_custkey % 2 = 0 THEN 1 END) FROM orders",
+        "SELECT 'type_wasm', count(CASE WHEN o_custkey % 2 <> 0 THEN 1 END) FROM orders",
+        "SELECT 'type_wasm_attrs', count(CASE WHEN o_custkey % 2 <> 0 THEN 1 END) FROM orders",
+        "SELECT 'block_events', 0 FROM (SELECT 1)",
+        "SELECT 'block_event_attrs', 0 FROM (SELECT 1)")
+        .mkString("", " UNION ALL ", " ORDER BY tbl"))),
+
     ("flat_attrs_json",
       (s: SparkSession, d: String) =>
         flattened(s, d).txEventAttrsJson
