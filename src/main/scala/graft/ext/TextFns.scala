@@ -63,6 +63,15 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
 
+  /** Karp-Rabin polynomial rolling hash over the character stream:
+    * h = Σ c_i · 31^(n-i) mod 1e9+7 — the classic document-fingerprint
+    * primitive, as a pure fold expression (codegen-friendly, no UDF). */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+
   /** Winnowing-style shingle fingerprint: minimum shingle hash — equals the
     * first MinHash component, so near-identical docs collide. Hot paths
     * should pass a materialized words column via the Dedup two-step API. */

@@ -190,9 +190,11 @@ object ExtQueries {
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
           .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"),
+            TextFns.bpeIshTokens(col("text")).as("n_bpe_tokens"),
             length(col("text")).cast("long").as("len_chars"), col("n_chars"))
           .orderBy("doc_id"),
       Some("SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens, " +
         s"CAST(length(text) AS BIGINT) AS len_chars, n_chars FROM $Docs ORDER BY doc_id")),
 
     ("x_text_quality",
@@ -235,9 +237,13 @@ object ExtQueries {
     ("x_fingerprint",
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
-          .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+          .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"),
+            TextFns.rollingHash(col("text")).as("roll_fp"))
           .orderBy("doc_id"),
-      Some("SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp " +
+      Some("SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp, " +
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "[CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]), " +
+        "(a, b) -> (a * 31 + b) % 1000000007) AS roll_fp " +
         s"FROM $Docs ORDER BY doc_id")),
 
     ("x_shingle_fp",
