@@ -226,6 +226,38 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
         col("retry_count") < col("max_retries") &&
         col("next_retry_at") <= timestamp_seconds(lit(cfg.now())))
 
+  /** §3.3 retry pass (scripts/retry_failed.js:96-216 semantics): take the
+    * top-`batch` eligible failures by (next_retry_at, last_retry_at) (O3),
+    * refetch + re-ingest their heights, then mark recovered heights done
+    * (upsert-by-insert; the reference's batched DELETE) and push the backoff
+    * forward for heights still missing. Returns (recovered, stillFailed). */
+  def retryFailedBlocks(fetch: Seq[Long] => DataFrame, batch: Int = 800): (Long, Long) = {
+    val eligible = retryEligible()
+      .orderBy(col("next_retry_at").asc, col("last_retry_at").asc)
+      .limit(batch)
+      .select("block_height").collect().map(_.getLong(0)).toSeq
+    if (eligible.isEmpty) return (0L, 0L)
+    ingest(fetch(eligible))
+    import spark.implicits._
+    val present = readTable("blocks").select("height").distinct()
+      .join(eligible.toDF("height"), Seq("height"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    eligible.foreach { h =>
+      if (present.contains(h)) {
+        // resolved: append a 'recovered' row so the FINAL view drops it from
+        // the retry set (the reference DELETEs; our delete is the view)
+        val ts = cfg.now()
+        Seq((h, ts * 1000 + h % 1000, "resolved", "", "driver", 0, cfg.maxRetries, "recovered"))
+          .toDF("block_height", "id", "error_type", "error_message", "worker_id",
+            "retry_count", "max_retries", "status")
+          .withColumn("next_retry_at", timestamp_seconds(lit(ts)))
+          .withColumn("last_retry_at", timestamp_seconds(lit(ts)))
+          .write.mode("append").parquet(path("failed_blocks"))
+      } else recordFailedBlock(h, "retry_failed", "still missing after retry")
+    }
+    (present.size.toLong, (eligible.size - present.size).toLong)
+  }
+
   // -------------------------------------------------------------- drive ----
 
   /** One driver-loop iteration: seed → claim → fetch+ingest → verify →
