@@ -24,4 +24,10 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (omitted => rows-only check). */
   def oracleSql: Map[String, String] =
     all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+
+  /** Oracles whose SQL depends on a data-derived artifact (the IVF centroid
+    * literals) — resolved at Verify dump time with the live session so the
+    * oracle uses exactly the centroids the query used. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    Map("x_ann_ivf" -> ExtQueries.ivfOracleSql(spark, sfDir))
 }

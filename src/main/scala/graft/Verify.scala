@@ -35,8 +35,10 @@ object Verify {
       case c => c.toString
     } + "\""
     // {{SF}} placeholder -> actual sf dir (oracle SQL for tables the harness
-    // may not have registered reads the parquet directly by absolute path)
-    val json = SparkEntry.oracleSql
+    // may not have registered reads the parquet directly by absolute path).
+    // dynamicOracleSql entries (IVF centroid literals) are generated here,
+    // with the session, so they match the artifacts the queries used.
+    val json = (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{SF}}", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -98,11 +98,15 @@ object Dedup {
                    threshold: Double = 0.7): DataFrame = {
     val sig = minhashSig(df, textCol, idCol, numHashes, shingleK)
     val cands = candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol)
-    // cached: probed twice (a-side and b-side) by the verify joins
+    // Probed twice (a-side and b-side) by the verify joins, but NOT cached:
+    // both probes shuffle the identical subplan hashed by the id, so Spark's
+    // ReuseExchange computes the shingle sets once and reuses the shuffle
+    // files for the second join (DedupSpec asserts the ReusedExchange node).
+    // A .cache() here would leak executor storage across invocations — the
+    // caller never gets a handle to unpersist.
     val sets = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
-      .cache()
     cands
       .join(sets.select(col(idCol).as("a_id"), col("sset").as("sa")), Seq("a_id"))
       .join(sets.select(col(idCol).as("b_id"), col("sset").as("sb")), Seq("b_id"))

@@ -50,7 +50,9 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Bucketed ANN: assign every vector a bucket once (write-time at scale),
-    * then probe only the query's bucket with exact cosine. */
+    * then probe only the query's bucket with exact cosine. `cos` is rounded
+    * to 6 dp and the order breaks ties on the id, so the top-k set is
+    * deterministic and engine-portable (same contract as x_cosine_topk). */
   def annTopK(em: DataFrame, idCol: String, vecCol: String,
               queryVec: DataFrame, k: Int, nPlanes: Int, dim: Int,
               seed: Long = 42L): DataFrame = {
@@ -58,7 +60,7 @@ object Similarity {
     val bucketed = em.withColumn("bucket", lshBucket(col(vecCol), ps))
     val qb = queryVec.withColumn("bucket", lshBucket(col("qv"), ps))
     bucketed.join(broadcast(qb), Seq("bucket"))
-      .withColumn("cos", cosine(col(vecCol), col("qv")))
+      .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -66,9 +68,58 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF --
 
-  /** IVF coarse quantizer: KMeans centroids over the corpus (seeded, so the
-    * index is reproducible). At 100 TB the centroids are trained on a sample
-    * and the assignment is a write-time column like the LSH bucket. */
+  /** The IVF centroid ARTIFACT path: deterministic Lloyd's k-means over a
+    * bounded ordered sample, trained once per dataset and cached. This is the
+    * write-time index shape for 100 TB — centroids come from a fixed-size
+    * sample (never a full pass), vectors get their list id assigned at write,
+    * and queries only probe. No RNG: init = the first k sample vectors, ties
+    * in assignment break to the lowest list id, an emptied list keeps its
+    * previous centroid. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  def centroidsFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   nLists: Int = 8, iters: Int = 10,
+                   sampleN: Int = 4096): Array[Array[Double]] =
+    centroidCache.getOrElseUpdate(s"$dir#$nLists#$iters#$sampleN", {
+      val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").orderBy("vec_id").limit(sampleN).collect()
+      val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      kmeansLocal(vecs, nLists, iters)
+    })
+
+  private def sqdist(a: Array[Double], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  def kmeansLocal(vecs: Array[Array[Double]], k: Int,
+                  iters: Int): Array[Array[Double]] = {
+    require(vecs.length >= k, s"need >= $k sample vectors, got ${vecs.length}")
+    val dim = vecs(0).length
+    var cents = vecs.take(k).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      vecs.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var j = 0
+        while (j < k) { val d = sqdist(v, cents(j)); if (d < bd) { bd = d; best = j }; j += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(j =>
+        if (counts(j) == 0) cents(j)
+        else sums(j).map(_ / counts(j)))
+      it += 1
+    }
+    cents
+  }
+
+  /** Full-corpus KMeans (Spark ML) — the offline/bulk alternative to
+    * `centroidsFor` when a distributed training pass is warranted. */
   def ivfTrain(em: DataFrame, vecCol: String, nLists: Int,
                seed: Long = 42L): Array[Array[Double]] = {
     val toVec = org.apache.spark.ml.functions.array_to_vector(
@@ -112,7 +163,7 @@ object Similarity {
       }: _*)), s => s.getField("list")), 1, nProbe))
       .select(col("qv"), explode(col("lists")).as("list"))
     bucketed.join(broadcast(qLists), Seq("list"))
-      .withColumn("cos", cosine(col(vecCol), col("qv")))
+      .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
       .select(col(idCol), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -130,7 +181,9 @@ object Similarity {
     val c = b.select(col("bucket"), col(idCol).as("b_id"), col(vecCol).as("vb"))
     a.join(c, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      // threshold applies to the ROUNDED cosine so the survivor set is
+      // identical across engines even at the filter boundary
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }

@@ -39,13 +39,54 @@ object ExtQueries {
     s"(CASE WHEN 2 * len(list_filter(ws, x -> substr(md5(x), $p, 1) IN " +
       s"('8','9','a','b','c','d','e','f'))) - len(ws) >= 0 THEN ${1L << (p - 1)} ELSE 0 END)"
 
-  private val CosExpr =
-    "list_sum([CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) " +
-      "for i in generate_series(1, len(embedding))]) / " +
-      "(sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) " +
-      "for i in generate_series(1, len(embedding))])) * " +
-      "sqrt(list_sum([CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE) " +
-      "for i in generate_series(1, len(qv))])))"
+  private def cosSql(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      s"for i in generate_series(1, len($a))]) / " +
+      s"(sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) " +
+      s"for i in generate_series(1, len($a))])) * " +
+      s"sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      s"for i in generate_series(1, len($b))])))"
+
+  private val CosExpr = cosSql("embedding", "qv")
+
+  /** DuckDB twin of Similarity.lshBucket: the ±1 hyperplanes are
+    * data-independent (fixed seed), so their literals are inlined into the
+    * oracle SQL and the bucket assignment is reproduced bit-for-bit. The
+    * sign test is robust cross-engine: plane dots on this data are >= 6e-5
+    * in magnitude, far above summation-order ulp noise. */
+  private def lshBucketSql(vec: String, ps: Seq[Seq[Double]]): String =
+    ps.zipWithIndex.map { case (p, i) =>
+      val lit = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum([CAST($vec[i] AS DOUBLE) * ($lit)[i] " +
+        s"for i in generate_series(1, ${p.length})]) >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB twin of Similarity.ivfAssign + the query-side probe-list pick.
+    * Centroids are a data-derived artifact, so this oracle is generated at
+    * Verify dump time (SparkEntry.dynamicOracleSql) from the same cached
+    * deterministic trainer the query uses; Double.toString literals
+    * round-trip exactly. */
+  def ivfOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
+    def distSql(vec: String, c: Array[Double]): String = {
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
+        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
+        s"for i in generate_series(1, ${c.length})])"
+    }
+    def sortedLists(vec: String): String =
+      cents.zipWithIndex
+        .map { case (c, i) => s"{'d': ${distSql(vec, c)}, 'l': $i}" }
+        .mkString("list_sort([", ", ", "])")
+    s"WITH q AS (SELECT embedding AS qv FROM $Embs WHERE vec_id = 0), " +
+      s"p AS (SELECT qv, ${sortedLists("qv")} AS sl FROM q), " +
+      s"b AS (SELECT vec_id, embedding, ${sortedLists("embedding")}[1].l AS list " +
+      s"FROM $Embs WHERE vec_id <> 0), " +
+      s"c AS (SELECT vec_id, round($CosExpr, 6) AS cos FROM b, p " +
+      "WHERE b.list IN (sl[1].l, sl[2].l)) " +
+      "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10"
+  }
 
   val inventory: Seq[(String, Q, Option[String])] = Seq(
 
@@ -158,32 +199,55 @@ object ExtQueries {
         s"c AS (SELECT vec_id, round($CosExpr, 6) AS cos FROM $Embs AS embeddings, q WHERE vec_id <> 0) " +
         "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10")),
 
-    ("x_ann_lsh", // bucketed ANN, Spark-side recall test; no SQL oracle
+    ("x_ann_lsh", // bucketed ANN; DuckDB reproduces the plane buckets exactly
       (s: SparkSession, d: String) => {
         val em = t(s, d, "embeddings")
         val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         Similarity.annTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           q, k = 10, nPlanes = 4, dim = 64)
       },
-      None),
+      Some {
+        val ps = Similarity.planes(4, 64)
+        s"WITH q AS (SELECT embedding AS qv, ${lshBucketSql("embedding", ps)} AS bucket " +
+          s"FROM $Embs WHERE vec_id = 0), " +
+          s"b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", ps)} AS bucket " +
+          s"FROM $Embs WHERE vec_id <> 0), " +
+          s"c AS (SELECT vec_id, round($CosExpr, 6) AS cos FROM b JOIN q USING (bucket)) " +
+          "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10"
+      }),
 
-    ("x_ann_ivf", // IVF coarse-quantized ANN (seeded KMeans); no SQL oracle
+    ("x_ann_ivf", // IVF ANN off the precomputed centroid artifact; oracle is
+      // generated at Verify dump time (SparkEntry.dynamicOracleSql) because
+      // the centroid literals are data-derived
       (s: SparkSession, d: String) => {
         val em = t(s, d, "embeddings")
         val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        val centroids = Similarity.ivfTrain(em, "embedding", nLists = 8)
+        val centroids = Similarity.centroidsFor(s, d)
         Similarity.ivfTopK(em.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           q, k = 10, centroids, nProbe = 2)
       },
       None),
 
-    ("x_embed_near_dup", // embedding-cosine near-dup via LSH buckets; rows-only
+    ("x_embed_near_dup", // embedding-cosine near-dup via 8-plane LSH buckets
+      // (256 buckets: intra-bucket cost n²/256 and shrinking with nPlanes —
+      // the knob that keeps the self-join sub-quadratic at scale); threshold
+      // chosen so this corpus (random vectors, max pairwise cos ~0.51)
+      // actually yields pairs — a 0-row check can't fail
       (s: SparkSession, d: String) =>
         Similarity.cosineNearDupPairs(
           t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.95, nPlanes = 4, dim = 64)
+          threshold = 0.3, nPlanes = 8, dim = 64)
           .orderBy("a_id", "b_id"),
-      None),
+      Some {
+        val ps = Similarity.planes(8, 64)
+        s"WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", ps)} AS bucket " +
+          s"FROM $Embs) " +
+          s"SELECT x.vec_id AS a_id, y.vec_id AS b_id, " +
+          s"round(${cosSql("x.embedding", "y.embedding")}, 6) AS cos " +
+          "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id " +
+          s"WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= 0.3 " +
+          "ORDER BY a_id, b_id"
+      }),
 
     // --------------------------------------------------------------- text --
     ("x_text_stats",
@@ -266,10 +330,15 @@ object ExtQueries {
       Some("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
         s"lower(substr(hex(CAST(text AS BLOB)), 1, 16)) AS head8 FROM $Docs ORDER BY doc_id")),
 
-    ("x_mm_decode", // stubbed codec; Spark plumbing exercised, rows-only
+    ("x_mm_decode", // stubbed codec; Spark plumbing exercised, rows-only.
+      // The raw ArrayType(Float) feature column is projected to a digest:
+      // the driver's rows-only comparator sorts with pandas, which cannot
+      // hash/sort ndarray cells.
       (s: SparkSession, d: String) =>
         Multimodal.decodeFeatures(
           Multimodal.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"))
+          .select(col("doc_id"), col("n_bytes"),
+            md5(to_json(col("features"))).as("features_md5"))
           .orderBy("doc_id"),
       None))
 }

@@ -129,11 +129,12 @@ object Queries {
     ("j3_gap_detection",
       (s: SparkSession, d: String) => {
         // Missing l_orderkeys in [0, max(o_orderkey)] — left-anti vs a
-        // generated series (ref orchestrator.js:393-405). At cluster scale
-        // the series comes from spark.range (see Pipeline.findGaps).
-        val mx = t(s, d, "orders").agg(max("o_orderkey").as("mx"))
-        mx.select(explode(sequence(lit(0L), col("mx"))).as("height"))
-          .repartition(col("height"))
+        // generated series (ref orchestrator.js:393-405). The series comes
+        // from spark.range (parallel Range node, like Pipeline.findGaps):
+        // explode(sequence(0, mx)) would materialize the whole series in
+        // ONE row = one task, and sequence() caps element count.
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head.getLong(0)
+        s.range(0L, mx + 1).toDF("height")
           .join(t(s, d, "lineitem").select(col("l_orderkey").as("height")).distinct(),
             Seq("height"), "left_anti")
           .orderBy("height")
@@ -319,8 +320,9 @@ object Queries {
 
     ("a11_gap_stats",
       (s: SparkSession, d: String) => {
-        val mx = t(s, d, "orders").agg(max("o_orderkey").as("mx"))
-        mx.select(explode(sequence(lit(0L), col("mx"))).as("height"))
+        // Scalar max + spark.range: parallel series generation (see j3 note).
+        val mx = t(s, d, "orders").agg(max("o_orderkey")).head.getLong(0)
+        s.range(0L, mx + 1).toDF("height")
           .join(t(s, d, "lineitem").select(col("l_orderkey").as("height")).distinct(),
             Seq("height"), "left_anti")
           .agg(count(lit(1)).as("n_missing"),
@@ -462,8 +464,11 @@ object Queries {
     ("s7_sql_surface",
       (s: SparkSession, d: String) => {
         t(s, d, "orders").createOrReplaceTempView("graft_orders_v")
+        // 100.0 alone parses as DECIMAL(4,1) in Spark SQL (decimal division),
+        // while the DuckDB oracle divides to DOUBLE — cast to keep the hash
+        // encoding identical (the DSL queries get this for free via lit(100.0)).
         s.sql("SELECT o_orderstatus AS status, count(*) AS cnt, " +
-          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total " +
           "FROM graft_orders_v GROUP BY 1 ORDER BY 1")
       },
       Some("SELECT o_orderstatus AS status, count(*) AS cnt, " +
@@ -517,14 +522,35 @@ object Queries {
           .orderBy("p_partkey"),
       Some("SELECT p_partkey, lower(hex(p_name)) AS hx FROM part ORDER BY p_partkey")),
 
-    ("f3_maybe_b64", // heuristic UDF — no clean DuckDB equivalent; rows-only
-      (s: SparkSession, d: String) =>
-        t(s, d, "customer")
+    ("f3_maybe_b64",
+      // Oracle-checkable without a DuckDB base64 heuristic: for printable
+      // inputs maybeB64Decode(base64(x)) == x and c_name contains '#'
+      // (outside the b64 charset) so maybeB64Decode(c_name) == c_name —
+      // DuckDB states both identities directly. Known tricky vectors
+      // (valid-b64→printable, valid-charset→non-printable, bad charset)
+      // pin the heuristic's branches with hard-coded expectations.
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val fromData = t(s, d, "customer")
           .select(col("c_custkey"),
             graft.functions.Fns.maybeB64Decode(base64(col("c_name").cast("binary"))).as("decoded"),
             graft.functions.Fns.maybeB64Decode(col("c_name")).as("passthrough"))
-          .orderBy("c_custkey"),
-      None),
+        val vecInputs = Seq(
+          (-4L, "aGVsbG8="),    // valid b64 of printable "hello" -> decode
+          (-3L, "abcd"),        // valid charset but decodes to non-printable -> unchanged
+          (-2L, "not base64!"), // charset miss -> unchanged
+          (-1L, "TWFuIQ=="))    // valid b64 of "Man!" -> decode
+          .toDF("c_custkey", "inp")
+        val fromVecs = vecInputs.select(col("c_custkey"),
+          graft.functions.Fns.maybeB64Decode(base64(col("inp").cast("binary"))).as("decoded"),
+          graft.functions.Fns.maybeB64Decode(col("inp")).as("passthrough"))
+        fromData.unionByName(fromVecs).orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_name AS decoded, c_name AS passthrough FROM customer " +
+        "UNION ALL SELECT CAST(k AS BIGINT), d, p FROM (VALUES " +
+        "(-4, 'aGVsbG8=', 'hello'), (-3, 'abcd', 'abcd'), " +
+        "(-2, 'not base64!', 'not base64!'), (-1, 'TWFuIQ==', 'Man!')) v(k, d, p) " +
+        "ORDER BY c_custkey")),
 
     ("f4_json_extract",
       (s: SparkSession, d: String) =>
@@ -647,14 +673,36 @@ object Queries {
         "CASE WHEN value = 0 OR value IS NULL THEN -1.0 ELSE value END AS v " +
         "FROM events ORDER BY event_id")),
 
-    ("f15_readable_size", // display-format UDF; no DuckDB twin — rows-only
-      (s: SparkSession, d: String) =>
-        t(s, d, "orders")
-          .select(col("o_orderkey"),
-            graft.functions.Fns.formatReadableSize(
-              col("o_totalprice").cast("long") * 1024).as("size"))
-          .orderBy("o_orderkey"),
-      None),
+    ("f15_readable_size",
+      // Oracle-checkable: the data-driven rows stay under 1024 so the format
+      // is the exact "<n> B" string DuckDB can build; the full unit ladder
+      // (KiB..PiB, negatives) is pinned by hard-coded vectors. Fractional
+      // KiB+ values are deliberately vector-only: Java's %.2f rounds half-up
+      // while C printf rounds half-even, so a data-driven fraction could
+      // hash-differ at exactly representable halves (e.g. 1.125).
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val fromData = t(s, d, "orders")
+          .select(col("o_orderkey").as("id"),
+            (col("o_orderkey") % 1000).cast("long").as("bytes"))
+        val vecs = Seq(
+          (-11L, 0L), (-10L, 1023L), (-9L, 1024L), (-8L, 1536L), (-7L, 5632L),
+          (-6L, 1048576L), (-5L, 1572864L), (-4L, 1073741824L),
+          (-3L, 1099511627776L), (-2L, 1125899906842624L), (-1L, -2048L))
+          .toDF("id", "bytes")
+        fromData.unionByName(vecs)
+          .select(col("id"), col("bytes"),
+            graft.functions.GraftExpressions.format_readable_size(col("bytes")).as("size"))
+          .orderBy("id")
+      },
+      Some("SELECT o_orderkey AS id, o_orderkey % 1000 AS bytes, " +
+        "CAST(o_orderkey % 1000 AS VARCHAR) || ' B' AS size FROM orders " +
+        "UNION ALL SELECT CAST(i AS BIGINT), CAST(b AS BIGINT), s FROM (VALUES " +
+        "(-11, 0, '0 B'), (-10, 1023, '1023 B'), (-9, 1024, '1.00 KiB'), " +
+        "(-8, 1536, '1.50 KiB'), (-7, 5632, '5.50 KiB'), (-6, 1048576, '1.00 MiB'), " +
+        "(-5, 1572864, '1.50 MiB'), (-4, 1073741824, '1.00 GiB'), " +
+        "(-3, 1099511627776, '1.00 TiB'), (-2, 1125899906842624, '1.00 PiB'), " +
+        "(-1, -2048, '-2.00 KiB')) v(i, b, s) ORDER BY id")),
 
     ("f20_ping",
       (s: SparkSession, d: String) =>

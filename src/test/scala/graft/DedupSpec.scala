@@ -48,6 +48,19 @@ class DedupSpec extends SparkTestBase {
     assert(!ids.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("near-dup leaves no cached RDDs; shingle-set shuffle is reused, not recomputed") {
+    // diff, not isEmpty: other suites may share this session's cache registry
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+    df.collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"nearDupPairs must not leak persisted storage: $leaked")
+    // the two verify probes (a-side, b-side) shuffle the identical shingle-set
+    // subplan, so the second must be a ReusedExchange of the first
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan.take(1200))
+  }
+
   test("jaccard: identical=1, disjoint=0") {
     val df = Seq(
       (Seq("a", "b"), Seq("a", "b")),

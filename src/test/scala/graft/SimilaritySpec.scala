@@ -64,6 +64,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(centroids.map(_.toSeq).toSeq === centroids2.map(_.toSeq).toSeq)
   }
 
+  test("centroidsFor: deterministic artifact, cached across calls; kmeansLocal converges") {
+    val c1 = Similarity.centroidsFor(spark, sf0001)
+    val c2 = Similarity.centroidsFor(spark, sf0001)
+    assert(c1 eq c2, "second call must hit the artifact cache")
+    assert(c1.length === 8 && c1.forall(_.length === 64))
+    // local Lloyd's on a separable toy set: centroids land on the clusters
+    val vecs = Array(
+      Array(0.0, 0.0), Array(0.1, 0.0), Array(0.0, 0.1),
+      Array(10.0, 10.0), Array(10.1, 10.0), Array(10.0, 10.1))
+    val cents = Similarity.kmeansLocal(vecs, 2, 10).map(_.toSeq).sortBy(_.head)
+    assert(math.abs(cents(0)(0) - 0.0333) < 0.01)
+    assert(math.abs(cents(1)(0) - 10.0333) < 0.01)
+    // IVF probe with the artifact centroids returns a deterministic top-k
+    val em = Td.t(spark, sf0001, "embeddings")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val a = Similarity.ivfTopK(em.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", q, 10, c1, nProbe = 2).collect().map(_.getLong(0)).toSeq
+    val b = Similarity.ivfTopK(em.filter(col("vec_id") =!= 0), "vec_id",
+      "embedding", q, 10, c1, nProbe = 2).collect().map(_.getLong(0)).toSeq
+    assert(a === b && a.size === 10)
+  }
+
   test("cosineNearDupPairs: self-similar pairs surface, ordered ids") {
     import spark.implicits._
     val em = Seq(
