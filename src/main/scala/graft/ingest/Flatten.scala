@@ -96,10 +96,11 @@ object Flatten {
       col("height"),
       col("tx_index"),
       coalesce(col("r.code"), lit(0)).as("code"), // JS `code || 0`
-      when(coalesce(col("r.gas_wanted"), lit("")) === "", lit(null).cast("long"))
-        .otherwise(col("r.gas_wanted").cast("long")).as("gas_wanted"),
-      when(coalesce(col("r.gas_used"), lit("")) === "", lit(null).cast("long"))
-        .otherwise(col("r.gas_used").cast("long")).as("gas_used"),
+      // try_cast, not cast: under Spark 4's ANSI default a malformed
+      // RPC-supplied gas string would abort the whole ingest batch, whereas
+      // the reference's parseInt (worker.js:139-140) degrades to null
+      col("r.gas_wanted").try_cast("long").as("gas_wanted"),
+      col("r.gas_used").try_cast("long").as("gas_used"),
       when(coalesce(col("r.data"), lit("")) === "", lit(""))
         .otherwise(Fns.b64ToHex(col("r.data"))).as("data"),
       col("tx_hash"),

@@ -54,6 +54,17 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   private def nowTs = timestamp_seconds(lit(cfg.now()))
 
+  /** Process-monotonic micro-stamp: epoch micros from the injected seconds
+    * clock plus a per-JVM sequence. Version columns built from this are
+    * strictly monotonic even when two state transitions land in the same
+    * wall-clock second — ClickHouse ReplacingMergeTree resolves equal
+    * versions by insert order, but parquet appends have none, so the version
+    * itself must carry the order (Store.latest ties are otherwise
+    * nondeterministic). */
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextMicros(): Long =
+    cfg.now() * 1000000L + seq.getAndIncrement() % 1000000L
+
   // ------------------------------------------------------------- ingest ----
 
   /** Flatten one envelope batch and append all 10 tables, height-bucketed and
@@ -105,7 +116,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   def advanceIndexState(height: Long): Unit = {
     import spark.implicits._
     val row = Seq((cfg.component, height)).toDF("index_name", "last_processed_height")
-      .withColumn("updated_at", nowTs)
+      .withColumn("updated_at", timestamp_micros(lit(nextMicros())))
     row.write.mode("append").parquet(path("index_state"))
   }
 
@@ -125,12 +136,19 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       .collect().map(r => Iv(r.getLong(0), r.getLong(1))).toSeq
     val items = Intervals.planWorkItems(from, to, cfg.assignRange, queued)
     if (items.nonEmpty) {
-      val base = cfg.now() * 1000000L
+      // ids continue from max(existing)+1: wall-clock-derived ids collide
+      // when two seeding calls land in the same second, and the latest-by-id
+      // FINAL view then silently drops one pending range. (Multi-process
+      // seeders would need a coordinator-issued range, like the reference's
+      // DB sequence.)
+      val base = 1L + readTable("work_queue")
+        .agg(coalesce(max("id"), lit(0L))).head.getLong(0)
+      val stamp = timestamp_micros(lit(nextMicros()))
       val rows = items.zipWithIndex.map { case (iv, i) =>
         (base + i, iv.start, iv.end, "pending", null: String, null: String)
       }.toDF("id", "start_height", "end_height", "status", "worker_id", "error_message")
-        .withColumn("created_at", nowTs)
-        .withColumn("updated_at", nowTs)
+        .withColumn("created_at", stamp)
+        .withColumn("updated_at", stamp)
       rows.write.mode("append").parquet(path("work_queue"))
     }
     items
@@ -157,10 +175,11 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
                        range: Option[Iv] = None): Unit = {
     import spark.implicits._
     val (s, e) = range.map(iv => (iv.start, iv.end)).getOrElse((0L, 0L))
+    val stamp = timestamp_micros(lit(nextMicros()))
     Seq((id, s, e, status, null: String, error))
       .toDF("id", "start_height", "end_height", "status", "worker_id", "error_message")
-      .withColumn("created_at", nowTs)
-      .withColumn("updated_at", nowTs)
+      .withColumn("created_at", stamp)
+      .withColumn("updated_at", stamp)
       .write.mode("append").parquet(path("work_queue"))
   }
 
@@ -199,29 +218,52 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   // ------------------------------------------------------------ failure ----
 
   /** Record a block failure with exponential backoff; permanent after
-    * maxRetries (worker.js:335-380). */
+    * maxRetries (worker.js:335-380). Single-height convenience over the
+    * batched form. */
   def recordFailedBlock(height: Long, errorType: String, errorMessage: String,
                         workerId: String = "driver"): Unit = {
     import spark.implicits._
-    val prior = Store.latest(readTable("failed_blocks"), Seq("block_height"), "last_retry_at")
-      .filter(col("block_height") === height)
-      .select("retry_count").collect().headOption.map(_.getInt(0))
-    val retryCount = prior.map(_ + 1).getOrElse(0)
-    val delay = 300L * (1L << math.min(retryCount, 5)) // 5 min * 2^min(r,5)
-    val status = if (retryCount >= cfg.maxRetries) "failed_permanently" else "pending"
-    val ts = cfg.now()
-    Seq((height, ts * 1000 + height % 1000, errorType, errorMessage, workerId,
-      retryCount, cfg.maxRetries, status))
-      .toDF("block_height", "id", "error_type", "error_message", "worker_id",
-        "retry_count", "max_retries", "status")
-      .withColumn("next_retry_at", timestamp_seconds(lit(ts + delay)))
-      .withColumn("last_retry_at", timestamp_seconds(lit(ts)))
-      .write.mode("append").parquet(path("failed_blocks"))
+    recordFailedBlocks(Seq(height).toDF("height"), errorType, errorMessage, workerId)
+  }
+
+  /** Batched failure records: ONE latest() read joins prior retry counts for
+    * every height, ONE append writes all failure rows (coalesced to a single
+    * file — state appends are tiny). A failed 1 000-height work item is one
+    * Spark job, not ~2 000 (the per-height loop did a full read + a
+    * single-row write per height). `heights` must have a long `height` col. */
+  def recordFailedBlocks(heights: DataFrame, errorType: String,
+                         errorMessage: String,
+                         workerId: String = "driver"): Unit = {
+    val prior = Store.latest(readTable("failed_blocks"), Seq("block_height"),
+        "last_retry_at", tieBreak = Seq("id"))
+      .select(col("block_height").as("height"),
+        col("retry_count").as("__prior_retry"))
+    val ts = nextMicros()
+    val rows = heights.select(col("height").cast("long").as("height"))
+      .join(prior, Seq("height"), "left")
+      .withColumn("retry_count",
+        coalesce(col("__prior_retry") + 1, lit(0)).cast("int"))
+      .select(
+        col("height").as("block_height"),
+        (lit(ts) + col("height")).as("id"), // unique per batch (heights distinct)
+        lit(errorType).as("error_type"),
+        lit(errorMessage).as("error_message"),
+        lit(workerId).as("worker_id"),
+        col("retry_count"),
+        lit(cfg.maxRetries).as("max_retries"),
+        when(col("retry_count") >= cfg.maxRetries, "failed_permanently")
+          .otherwise("pending").as("status"),
+        timestamp_micros(
+          lit(ts) + Fns.blockRetryDelaySeconds(col("retry_count")) * 1000000L)
+          .as("next_retry_at"),
+        timestamp_micros(lit(ts)).as("last_retry_at"))
+    rows.coalesce(1).write.mode("append").parquet(path("failed_blocks"))
   }
 
   /** P7: blocks eligible for retry now. */
   def retryEligible(): DataFrame =
-    Store.latest(readTable("failed_blocks"), Seq("block_height"), "last_retry_at")
+    Store.latest(readTable("failed_blocks"), Seq("block_height"), "last_retry_at",
+        tieBreak = Seq("id"))
       .filter(col("status") === "pending" &&
         col("retry_count") < col("max_retries") &&
         col("next_retry_at") <= timestamp_seconds(lit(cfg.now())))
@@ -242,19 +284,23 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     val present = readTable("blocks").select("height").distinct()
       .join(eligible.toDF("height"), Seq("height"), "left_semi")
       .collect().map(_.getLong(0)).toSet
-    eligible.foreach { h =>
-      if (present.contains(h)) {
-        // resolved: append a 'recovered' row so the FINAL view drops it from
-        // the retry set (the reference DELETEs; our delete is the view)
-        val ts = cfg.now()
-        Seq((h, ts * 1000 + h % 1000, "resolved", "", "driver", 0, cfg.maxRetries, "recovered"))
-          .toDF("block_height", "id", "error_type", "error_message", "worker_id",
-            "retry_count", "max_retries", "status")
-          .withColumn("next_retry_at", timestamp_seconds(lit(ts)))
-          .withColumn("last_retry_at", timestamp_seconds(lit(ts)))
-          .write.mode("append").parquet(path("failed_blocks"))
-      } else recordFailedBlock(h, "retry_failed", "still missing after retry")
+    // both outcomes are batched: one append of 'recovered' rows (the FINAL
+    // view drops them from the retry set — the reference DELETEs; our delete
+    // is the view) and one recordFailedBlocks for the still-missing set
+    if (present.nonEmpty) {
+      val ts = nextMicros()
+      present.toSeq.sorted
+        .map(h => (h, ts + h, "resolved", "", "driver", 0, cfg.maxRetries, "recovered"))
+        .toDF("block_height", "id", "error_type", "error_message", "worker_id",
+          "retry_count", "max_retries", "status")
+        .withColumn("next_retry_at", timestamp_micros(lit(ts)))
+        .withColumn("last_retry_at", timestamp_micros(lit(ts)))
+        .coalesce(1).write.mode("append").parquet(path("failed_blocks"))
     }
+    val missing = eligible.filterNot(present)
+    if (missing.nonEmpty)
+      recordFailedBlocks(missing.toDF("height"), "retry_failed",
+        "still missing after retry")
     (present.size.toLong, (eligible.size - present.size).toLong)
   }
 
@@ -277,14 +323,14 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
           advanceIndexState(maxBlockHeight())
         } else {
           updateWorkStatus(id, "failed", "[incomplete_range]", Some(iv))
-          findGaps(iv.start, iv.end).collect().foreach(r =>
-            recordFailedBlock(r.getLong(0), "missing", "gap after ingest"))
+          recordFailedBlocks(findGaps(iv.start, iv.end),
+            "missing", "gap after ingest")
         }
       } catch {
         case scala.util.control.NonFatal(e) =>
           updateWorkStatus(id, "failed", String.valueOf(e.getMessage), Some(iv))
-          (iv.start to iv.end).foreach(h =>
-            recordFailedBlock(h, "ingest_error", String.valueOf(e.getMessage)))
+          recordFailedBlocks(spark.range(iv.start, iv.end + 1).toDF("height"),
+            "ingest_error", String.valueOf(e.getMessage))
       }
       iv
     }

@@ -68,6 +68,58 @@ class PipelineSpec extends SparkTestBase {
     assert(last.getAs[Int]("retry_count") === 10)
   }
 
+  test("failure path is batched: one append (one file) for a many-height failure") {
+    val p = mkPipeline()
+    // fetch throws -> the whole 10-height range fails in one catch
+    val claimed = p.runOnce(tip = 10,
+      fetch = _ => throw new RuntimeException("rpc down"))
+    assert(claimed === Some(Iv(1, 10)))
+    val fbDir = new java.io.File(p.readTable("failed_blocks")
+      .inputFiles.head.replaceFirst("file:", "")).getParentFile
+    val files = fbDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 1,
+      s"expected ONE coalesced failure append, got ${files.length} files")
+    val recorded = p.readTable("failed_blocks").orderBy("block_height").collect()
+    assert(recorded.length === 10)
+    assert(recorded.map(_.getAs[Long]("block_height")).toSeq === (1L to 10L))
+    assert(recorded.forall(_.getAs[Int]("retry_count") === 0))
+    // a second batched failure increments every retry_count via ONE more file
+    p.recordFailedBlocks(spark.range(1, 11).toDF("height"), "missing", "again")
+    val after = graft.store.Store.latest(
+      p.readTable("failed_blocks"), Seq("block_height"), "last_retry_at",
+      tieBreak = Seq("id")).collect()
+    assert(after.length === 10 && after.forall(_.getAs[Int]("retry_count") === 1))
+    assert(fbDir.listFiles().count(_.getName.endsWith(".parquet")) === 2)
+  }
+
+  test("same-second transitions keep a deterministic FINAL order (monotonic micro-stamps)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_tie").toString
+    // FROZEN clock: every transition lands in the same wall-clock second —
+    // the reference resolves this via insert order; we must via the version
+    val p = new Pipeline(spark, PipelineConfig(
+      warehouse = dir, startHeight = 1, assignRange = 10, backfillMode = true,
+      now = () => 7777L))
+    val items = p.seedWorkQueue(1, 10)
+    assert(items === Seq(Iv(1, 10)))
+    val Some((id, iv)) = p.claimNext(None)
+    p.updateWorkStatus(id, "processing", range = Some(iv))
+    p.updateWorkStatus(id, "done", range = Some(iv))
+    // latest must be 'done' even though all rows share the same second
+    assert(p.workQueue().collect().map(_.getAs[String]("status")).toSeq === Seq("done"))
+    // failed_blocks: record + recover in the same second -> recovered wins
+    p.recordFailedBlock(5, "missing", "gap")
+    p.ingest(envelopes(Seq(5L)))
+    p.retryEligible() // (not yet eligible; just exercising the read)
+    // seeding twice in the same second must not collide ids
+    val more = p.seedWorkQueue(11, 30)
+    assert(more === Seq(Iv(11, 20), Iv(21, 30)))
+    val ids = p.readTable("work_queue").select("id").distinct().collect().map(_.getLong(0))
+    assert(ids.length >= 3, s"distinct ids expected, got ${ids.toSeq.sorted}")
+    val pending = p.workQueue().filter(col("status") === "pending").collect()
+    assert(pending.map(r => Iv(r.getAs[Long]("start_height"), r.getAs[Long]("end_height"))).toSet
+      === Set(Iv(11, 20), Iv(21, 30)))
+  }
+
   test("seedWorkQueue subtracts queued overlaps (J4 end-to-end)") {
     val p = mkPipeline()
     val first = p.seedWorkQueue(1, 30)
