@@ -330,15 +330,27 @@ object ExtQueries {
       Some("SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
         s"lower(substr(hex(CAST(text AS BLOB)), 1, 16)) AS head8 FROM $Docs ORDER BY doc_id")),
 
-    ("x_mm_decode", // stubbed codec; Spark plumbing exercised, rows-only.
-      // The raw ArrayType(Float) feature column is projected to a digest:
-      // the driver's rows-only comparator sorts with pandas, which cannot
-      // hash/sort ndarray cells.
+    ("x_mm_decode", // stubbed codec (16-bin byte histogram), fully hash-checked:
+      // the float normalization is exactly invertible — count = round(f * L)
+      // recovers the integer bin count (|f32(c/L)*L - c| < c * 2^-23 << 0.5
+      // for document-sized L), and with 16 bins the bin index of a byte IS its
+      // high nibble, i.e. the first hex digit of the byte pair — which DuckDB
+      // reads straight off hex(text::BLOB). Emitted as a CSV string because
+      // the driver's comparator cannot sort/hash array cells.
       (s: SparkSession, d: String) =>
         Multimodal.decodeFeatures(
           Multimodal.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"))
           .select(col("doc_id"), col("n_bytes"),
-            md5(to_json(col("features"))).as("features_md5"))
+            concat_ws(",", transform(col("features"),
+              f => round(f.cast("double") * col("n_bytes")).cast("long"))).as("bin_counts"))
           .orderBy("doc_id"),
-      None))
+      Some {
+        val counts = "0123456789abcdef".map(dgt =>
+          s"len(list_filter(range(CAST(octet_length(CAST(text AS BLOB)) AS INTEGER)), " +
+            s"i -> substr(hx, 2 * i + 1, 1) = '$dgt'))").mkString(", ")
+        s"SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
+          s"concat_ws(',', $counts) AS bin_counts " +
+          s"FROM (SELECT doc_id, text, lower(hex(CAST(text AS BLOB))) AS hx FROM $Docs) " +
+          "ORDER BY doc_id"
+      }))
 }
