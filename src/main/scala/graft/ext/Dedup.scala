@@ -49,26 +49,40 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
 
-  /** MinHash signature: numHashes independent permutations simulated as
-    * min(md5(seed || shingle)). Min over strings of a uniform hash is a
-    * valid minwise sketch; string min keeps it portable. */
+  /** MinHash signature from ONE md5 per shingle: the 128-bit digest splits
+    * into two 56-bit halves (a, b) and permutation i is the universal hash
+    * a + i*b (the double-hashing construction of Kirsch–Mitzenmacher 2006,
+    * standard in minwise-sketch libraries). md5 is the dominant per-shingle
+    * cost at scale — this is numHashes× fewer digests than hashing with
+    * numHashes seeds, and a long min beats a hex-string min. 56-bit halves
+    * keep a + i*b < 2^60 for i < 16: no BIGINT overflow on either engine
+    * (Spark ANSI and DuckDB both throw on overflow), and the DuckDB oracle
+    * reproduces the values bit-for-bit via hex parsing. */
   def minhashSig(df: DataFrame, textCol: String, idCol: String,
                  numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
+    require(numHashes <= 16, "56-bit halves guarantee no overflow only for i < 16")
     val withShingles = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), explode(shinglesOfWords(col("__ws"), shingleK)).as("s"))
+    val halves = withShingles
+      .select(col(idCol), md5(col("s")).as("__m"))
+      .select(col(idCol),
+        conv(substring(col("__m"), 1, 14), 16, 10).cast("long").as("__a"),
+        conv(substring(col("__m"), 15, 14), 16, 10).cast("long").as("__b"))
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
-    withShingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min(col("__a") + lit(i.toLong) * col("__b")).as(s"h$i"))
+    halves.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: group the signature into bands of `bandSize` hashes; a band's
-    * bucket key is the md5 of its concatenated member hashes. Output one row
-    * per (id, band, bucket) — the join key for candidate generation. */
+    * bucket key is the md5 of its member hashes joined with '|' (unambiguous
+    * for variable-length decimal renderings). Output one row per
+    * (id, band, bucket) — the join key for candidate generation. */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int = 8,
                bandSize: Int = 2): DataFrame = {
     val bandCols = (0 until numHashes by bandSize).map { b =>
-      md5(concat_ws("", (b until math.min(b + bandSize, numHashes)).map(i => col(s"h$i")): _*))
+      md5(concat_ws("|",
+        (b until math.min(b + bandSize, numHashes)).map(i => col(s"h$i").cast("string")): _*))
     }
     sig.select(col(idCol), posexplode(array(bandCols: _*)))
       .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))

@@ -29,11 +29,31 @@ object ExtQueries {
       "ELSE [array_to_string(ws, ' ')] END AS shingles FROM w), " +
       "u AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh)"
 
+  /** Parse a hex string to BIGINT (DuckDB has no conv()): fold the chars
+    * through a*16 + digit, BIGINT-casting the accumulator seed. */
+  private def hexToIntSql(e: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT) for c in string_split($e, '')]), " +
+      "(a, b) -> a * 16 + b)"
+
+  /** Twin of Dedup.minhashSig's double-hashing: one md5 per shingle, split
+    * into two 56-bit halves, permutation i = ha + i*hb. */
+  private val AbCte =
+    s"$ShingleCte, hh AS (SELECT doc_id, md5(s) AS m FROM u), " +
+      s"ab AS (SELECT doc_id, ${hexToIntSql("substr(m, 1, 14)")} AS ha, " +
+      s"${hexToIntSql("substr(m, 15, 14)")} AS hb FROM hh)"
+
   private val SigSelect =
-    (0 until 8).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ")
+    (0 until 8).map(i => s"min(ha + $i * hb) AS h$i").mkString(", ")
 
   private val SigCte =
-    s"$ShingleCte, sig AS (SELECT doc_id, $SigSelect FROM u GROUP BY doc_id)"
+    s"$AbCte, sig AS (SELECT doc_id, $SigSelect FROM ab GROUP BY doc_id)"
+
+  /** Twin of Dedup.lshBands' bucket key: md5 over '|'-joined decimal hashes. */
+  private val BandBucketsSql =
+    (0 until 8 by 2).map(b =>
+      s"md5(CAST(h$b AS VARCHAR) || '|' || CAST(h${b + 1} AS VARCHAR))")
+      .mkString("[", ", ", "]")
 
   private def simhashTermSql(p: Int): String =
     s"(CASE WHEN 2 * len(list_filter(ws, x -> substr(md5(x), $p, 1) IN " +
@@ -108,7 +128,7 @@ object ExtQueries {
     ("x_minhash_sig",
       (s: SparkSession, d: String) =>
         Dedup.minhashSig(t(s, d, "documents"), "text", "doc_id").orderBy("doc_id"),
-      Some(s"$ShingleCte SELECT doc_id, $SigSelect FROM u GROUP BY doc_id ORDER BY doc_id")),
+      Some(s"$AbCte SELECT doc_id, $SigSelect FROM ab GROUP BY doc_id ORDER BY doc_id")),
 
     ("x_lsh_pairs",
       (s: SparkSession, d: String) => {
@@ -117,7 +137,7 @@ object ExtQueries {
           .orderBy("a_id", "b_id")
       },
       Some(s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
-        "(SELECT doc_id, [md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)] AS bs FROM sig), " +
+        s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
         "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)) " +
         "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
@@ -159,7 +179,7 @@ object ExtQueries {
       // jaccard = int/int division of identical operands on both engines,
       // so even the unrounded double hash-matches
       Some(s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
-        "(SELECT doc_id, [md5(h0 || h1), md5(h2 || h3), md5(h4 || h5), md5(h6 || h7)] AS bs FROM sig), " +
+        s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
         "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)), " +
         "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +

@@ -40,7 +40,7 @@ class TypedSpec extends SparkTestBase {
     val docs = Td.t(spark, sf0001, "documents").limit(50)
     val exprSig = Dedup.minhashSig(docs, "text", "doc_id")
       .orderBy("doc_id").collect()
-      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getString(i)).toSeq).toMap
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toSeq).toMap
     val shingles = docs
       .select(col("doc_id"), split(col("text"), " ").as("__ws"))
       .select(col("doc_id"), explode(Dedup.shinglesOfWords(col("__ws"), 3)).as("s"))
