@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming deduplication for document ingest (LLM-pipeline extension):
+  * exact dedup on the content hash as documents arrive, instead of a
+  * periodic batch pass over everything ingested so far.
+  *
+  * Scale stance: both forms keep state PER DISTINCT CONTENT HASH, bounded by
+  * the watermark/TTL horizon — never proportional to total documents seen.
+  * At 100 TB the state store holds one 16-byte hash + a few longs per
+  * distinct recent document, sharded by Spark's state-store partitioning on
+  * the group key (the same hash-shuffle a batch groupBy would use).
+  *
+  *  - [[exactWithinWatermark]]: the built-in `dropDuplicatesWithinWatermark`
+  *    — right default when "suppress duplicates" is all that's needed.
+  *  - [[firstSeenWins]]: `flatMapGroupsWithState` with event-time timeout —
+  *    the custom-state form for per-key bookkeeping: every document is
+  *    EMITTED (annotated first/dup + running dup ordinal), not silently
+  *    dropped, so downstream can filter, count, or route dups differently.
+  */
+object StreamingDedup {
+
+  /** Input contract for the typed path. */
+  final case class Doc(doc_id: Long, text: String, event_time: Timestamp)
+
+  /** Per-hash state: who was first, and how many dups followed. */
+  final case class SeenState(first_id: Long, dups: Long)
+
+  /** One output row per input document. `dup_ordinal` is 0 for the first
+    * occurrence, then 1, 2, … for subsequent duplicates of the same hash. */
+  final case class Deduped(doc_id: Long, content_hash: String,
+                           is_first: Boolean, dup_ordinal: Long)
+
+  /** Built-in bounded-state dedup: drop any row whose content hash was
+    * already seen within the watermark horizon. */
+  def exactWithinWatermark(docs: DataFrame, textCol: String,
+                           timeCol: String, lateness: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(timeCol, lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** First-seen-wins with explicit state: group by content hash, remember
+    * the first doc_id, annotate every arrival. State for a hash expires
+    * `stateTtl` past the watermark — a hash not seen for that long is
+    * eligible to be "first" again (the dedup horizon, same contract as
+    * dropDuplicatesWithinWatermark's). */
+  def firstSeenWins(docs: Dataset[Doc], lateness: String,
+                    stateTtlMs: Long): Dataset[Deduped] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ttlMs = stateTtlMs
+
+    def update(hash: String, docs: Iterator[Doc],
+               state: GroupState[SeenState]): Iterator[Deduped] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        // Deterministic within-batch order: by event time then id (iterator
+        // order from shuffle is not guaranteed).
+        val sorted = docs.toSeq.sortBy(d => (d.event_time.getTime, d.doc_id))
+        var st = state.getOption.getOrElse(SeenState(-1L, -1L))
+        val out = sorted.map { d =>
+          st = if (st.first_id < 0) SeenState(d.doc_id, 0L)
+               else st.copy(dups = st.dups + 1)
+          Deduped(d.doc_id, hash, st.dups == 0L, st.dups)
+        }
+        state.update(st)
+        // Anchor the TTL on event time, not the watermark alone: on the
+        // first batch the watermark is still unset (0), and 0 + ttl would be
+        // 1970 — instantly expired once real event times advance it.
+        val maxEvent = sorted.last.event_time.getTime
+        state.setTimeoutTimestamp(
+          math.max(state.getCurrentWatermarkMs(), maxEvent) + ttlMs)
+        out.iterator
+      }
+    }
+
+    docs
+      .withWatermark("event_time", lateness)
+      .groupByKey(d => {
+        // md5 of the text, hex — same hash as the batch-side exactDedup
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+      })
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}
