@@ -28,6 +28,8 @@ object SparkEntry {
   /** Oracles whose SQL depends on a data-derived artifact (the IVF centroid
     * literals) — resolved at Verify dump time with the live session so the
     * oracle uses exactly the centroids the query used. */
-  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
-    Map("x_ann_ivf" -> ExtQueries.ivfOracleSql(spark, sfDir))
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val ivf = ExtQueries.ivfOracleSql(spark, sfDir)
+    Map("x_ann_ivf" -> ivf, "x_ann_ivf_indexed" -> ivf)
+  }
 }

@@ -248,6 +248,19 @@ object ExtQueries {
       },
       None),
 
+    ("x_ann_ivf_indexed", // same contract via the write-time partitioned
+      // index: probe lists become a literal partition filter (pruned scan).
+      // Shares x_ann_ivf's dynamically generated centroid-literal oracle.
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val centroids = Similarity.centroidsFor(s, d)
+        val idx = Similarity.indexPathFor(s, d, centroids)
+        Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", q,
+          k = 10, centroids, nProbe = 2)
+      },
+      None),
+
     ("x_embed_near_dup", // embedding-cosine near-dup via 8-plane LSH buckets
       // (256 buckets: intra-bucket cost n²/256 and shrinking with nPlanes —
       // the knob that keeps the self-join sub-quadratic at scale); threshold

@@ -129,4 +129,32 @@ class SimilaritySpec extends SparkTestBase {
     assert(got1.toSeq === got2.toSeq)
     assert(got1.forall(b => b >= 0 && b < 16))
   }
+
+  test("IVF write-time index: probes prune partitions and agree with ivfTopK") {
+    val em = graft.queries.Td.t(spark, sf0001, "embeddings")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val body = em.filter(col("vec_id") =!= 0)
+    val cents = Similarity.centroidsFor(spark, sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+
+    Similarity.ivfWriteIndex(body, "vec_id", "embedding", cents, idx)
+    // one directory per non-empty list
+    val listDirs = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list=")).map(_.getName)
+    assert(listDirs.nonEmpty && listDirs.length <= 8)
+
+    val indexed = Similarity.ivfTopKIndexed(
+      spark, idx, "vec_id", "embedding", q, k = 10, cents, nProbe = 2)
+    // partition pruning: the index scan carries a literal `list IN` partition
+    // filter, so unprobed list directories are never opened
+    val planStr = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(planStr).isDefined,
+      planStr.take(1200))
+
+    // same answer as the join-shaped ivfTopK over the raw table
+    val direct = Similarity.ivfTopK(body, "vec_id", "embedding", q, 10, cents, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaIndex = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex === direct)
+  }
 }
