@@ -68,6 +68,22 @@ object Store {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** Bucketed managed table: rows are hash-distributed into `nBuckets`
+    * files per partition by `bucketCol` AT WRITE TIME, so two tables
+    * bucketed the same way equi-join on that column with NO exchange — the
+    * scan is bucket-aware and each task joins matching buckets in place.
+    * This is the co-location story for repeated large-⋈-large joins at
+    * 100 TB (the reference gets the same effect from ClickHouse
+    * sharding-key-local joins); broadcast stays the right tool for dims.
+    * `sortCols` orders within buckets so the merge join skips its sort. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
   /** Bloom-indexed columns per table, mirroring the reference's skip
     * indexes (tx_hash bloom on txs/type_wasm/type_message). */
   val bloomColsFor: Map[String, Seq[String]] = Map(

@@ -90,6 +90,28 @@ class StoreSpec extends SparkTestBase {
     assert(pruned.collect()(0).getAs[String]("s") === "a")
   }
 
+  test("bucketed tables: equi-join runs with no shuffle exchange") {
+    import spark.implicits._
+    val left = (1L to 200L).map(k => (k, s"L$k")).toDF("k", "lv")
+    val right = (1L to 200L).map(k => (k, k * 10)).toDF("k", "rv")
+    Store.writeBucketed(left, "b_left", "k", 4, sortCols = Seq("k"))
+    Store.writeBucketed(right, "b_right", "k", 4, sortCols = Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val j = spark.table("b_left").join(spark.table("b_right"), "k")
+      assert(j.count() === 200)
+      val plan = j.queryExecution.executedPlan.toString
+      // bucket-aware scans, and NO exchange anywhere in the join plan
+      assert(plan.contains("SelectedBucketsCount"), plan.take(800))
+      assert(!plan.contains("Exchange"), plan.take(800))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_left")
+      spark.sql("DROP TABLE IF EXISTS b_right")
+    }
+  }
+
   test("tableStats: rows/bytes per table directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stats").toString
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/t1")
