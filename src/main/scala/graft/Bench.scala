@@ -38,12 +38,65 @@ object Bench {
       (name, sec, ok)
     }
 
+    // Ingest throughput through the REAL path (flatten -> 10 partitioned
+    // table writes -> 3 MV delta appends), on synthesized envelopes with
+    // 5 txs x 2 events per block. The reference publishes ~1000-2000
+    // blocks/min at comparable tx volume (BASELINE.md); that number includes
+    // RPC fetch latency, this one is the transform+insert path only — the
+    // part the engine controls (fetch is transport-bound on either side).
+    val nBlocks = sys.env.getOrElse("SPARK_GRAFT_INGEST_BLOCKS", "2000").toInt
+    val ingestSec =
+      try {
+        val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
+        val env = syntheticEnvelopes(spark, nBlocks)
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.ingestBatch(wh, env)
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] ingest FAILED: ${e.getMessage}"); -1.0
+      }
+    val blocksPerMin =
+      if (ingestSec > 0) f"${nBlocks * 60.0 / ingestSec}%.0f" else "-1"
+    System.err.println(
+      f"[bench] ingest $nBlocks blocks in $ingestSec%.2f s -> $blocksPerMin blocks/min")
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"ingest_blocks_per_min":$blocksPerMin,"ingest_blocks":$nBlocks,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Synthesized envelope batch: 5 txs x 2 events x 2 attrs per block —
+    * denser than the flat_* correctness fixtures (1 tx/block) to match the
+    * reference's tx-volume-dependent throughput claim. */
+  private def syntheticEnvelopes(spark: SparkSession, nBlocks: Int) = {
+    import org.apache.spark.sql.functions._
+    spark.range(1, nBlocks + 1L).select(
+      col("id").as("height"),
+      date_format(
+        timestamp_seconds(lit(1748736000L) + col("id") % 86400), // 2025-06-01 +
+        "yyyy-MM-dd'T'HH:mm:ss'Z'").as("time"),
+      md5(col("id").cast("string")).as("app_hash"),
+      transform(sequence(lit(1), lit(5)),
+        i => base64(concat(col("id").cast("string"), lit("|tx"), i).cast("binary")))
+        .as("txs"),
+      transform(sequence(lit(1), lit(5)), i => struct(
+        (i % 4).cast("int").as("code"),
+        (col("id") % 1000 + 100).cast("string").as("gas_wanted"),
+        (col("id") % 900 + 90).cast("string").as("gas_used"),
+        base64(concat(lit("d"), i).cast("binary")).as("data"),
+        lit("ok").as("log"),
+        transform(sequence(lit(1), lit(2)), e => struct(
+          when(e % 2 === 0, "message").otherwise("wasm").as("type"),
+          transform(sequence(lit(1), lit(2)), a => struct(
+            concat(lit("k"), a).as("key"),
+            concat(col("id").cast("string"), lit("-"), i, lit("-"), e).as("value"),
+            lit(true).as("index"))).as("attributes"))).as("events"))).as("txs_results"),
+      lit(null).cast(graft.schema.Schemas.envelope("finalize_block_events").dataType)
+        .as("finalize_block_events"))
   }
 }
