@@ -454,12 +454,69 @@ object Queries {
   // ------------------------------------------------------------------------
 
   val sFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("s1_fixture_fetch", // S1+S2+S3 driver-checked: the full fetch pair +
+      // tip discovery over an embedded deterministic fixture transport
+      // (the production path swaps in HttpTransport — same seam). The
+      // expected rows are constants, so the oracle is a VALUES table: if
+      // fetch, JSON parsing, or the envelope projection drift, the Spark
+      // side changes and the hash fails.
+      (s: SparkSession, d: String) => {
+        val transport: (String, String) => String = (_, pth) => {
+          val h = pth.dropWhile(!_.isDigit)
+          if (pth.startsWith("/status"))
+            """{"result":{"sync_info":{"latest_block_height":"42"}}}"""
+          else if (pth.startsWith("/block_results"))
+            s"""{"result":{"txs_results":[{"code":0,"gas_wanted":"10","gas_used":"$h","data":"","log":"","events":[]}],"finalize_block_events":[]}}"""
+          else
+            s"""{"result":{"block":{"header":{"time":"2025-06-01T12:00:0${h}Z","app_hash":"AH$h"},"data":{"txs":["dGVzdA=="]}}}}"""
+        }
+        val client = new graft.sources.RpcClient(
+          graft.sources.RpcConfig(Seq("http://fixture"), sleeper = _ => ()), transport)
+        val tip = client.latestHeight()
+        graft.sources.RpcSource.fetchEnvelopes(s, client, 1, 3, parallelism = 2)
+          .select(col("height"), col("app_hash"), col("time").as("btime"),
+            size(col("txs")).as("n_txs"), size(col("txs_results")).as("n_results"),
+            lit(tip).as("tip"))
+          .orderBy("height")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), 'AH1', '2025-06-01T12:00:01Z', CAST(1 AS INTEGER), CAST(1 AS INTEGER), CAST(42 AS BIGINT)), " +
+        "(CAST(2 AS BIGINT), 'AH2', '2025-06-01T12:00:02Z', CAST(1 AS INTEGER), CAST(1 AS INTEGER), CAST(42 AS BIGINT)), " +
+        "(CAST(3 AS BIGINT), 'AH3', '2025-06-01T12:00:03Z', CAST(1 AS INTEGER), CAST(1 AS INTEGER), CAST(42 AS BIGINT))" +
+        ") v(height, app_hash, btime, n_txs, n_results, tip) ORDER BY height")),
+
     ("s4_point_lookup",
       (s: SparkSession, d: String) =>
         t(s, d, "lineitem").filter(col("l_orderkey") === 1)
           .select("l_orderkey", "l_linenumber", "l_quantity").orderBy("l_linenumber"),
       Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "WHERE l_orderkey = 1 ORDER BY l_linenumber")),
+
+    ("s5_retry_rotation", // S5 driver-checked: the deterministic attempt log
+      // of retry-then-rotate — two failures on the first endpoint, success
+      // on the second (reference: rotate after retriesPerEndpoint failures).
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val log = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val transport: (String, String) => String = (url, pth) => {
+          if (url == "http://bad") { log += ((url, "fail")); throw new RuntimeException("boom") }
+          log += ((url, "ok"))
+          """{"result":{"sync_info":{"latest_block_height":"7"}}}"""
+        }
+        val client = new graft.sources.RpcClient(
+          graft.sources.RpcConfig(Seq("http://bad", "http://good"),
+            retriesPerEndpoint = 2, sleeper = _ => ()), transport)
+        val tip = client.latestHeight()
+        log.zipWithIndex
+          .map { case ((ep, outcome), i) => (i + 1L, ep, outcome, tip) }
+          .toSeq.toDF("attempt", "endpoint", "outcome", "tip")
+          .orderBy("attempt")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), 'http://bad', 'fail', CAST(7 AS BIGINT)), " +
+        "(CAST(2 AS BIGINT), 'http://bad', 'fail', CAST(7 AS BIGINT)), " +
+        "(CAST(3 AS BIGINT), 'http://good', 'ok', CAST(7 AS BIGINT))" +
+        ") v(attempt, endpoint, outcome, tip) ORDER BY attempt")),
 
     ("s7_sql_surface",
       (s: SparkSession, d: String) => {
@@ -499,7 +556,55 @@ object Queries {
       Some("SELECT user_id, event_type, event_id FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY user_id, event_type " +
         "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t WHERE rn = 1 " +
-        "ORDER BY user_id, event_type")))
+        "ORDER BY user_id, event_type")),
+
+    ("s10_partition_layout", // S6+S10 driver-checked: Store.writeTable's
+      // partitioned append produces exactly the expected bucket directories
+      // and each partition reads back the rows routed to it. Constants in,
+      // constants out — the VALUES oracle fails if the writer's layout or
+      // routing drifts.
+      (s: SparkSession, d: String) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_s10").toString
+        val df = s.range(6).select(
+          col("id").as("height"),
+          concat(lit("v"), col("id")).as("v"),
+          (col("id") % 3).as("height_bucket"))
+        Store.writeTable(df.coalesce(1), s"$dir/t",
+          partitionCols = Seq("height_bucket"), sortCols = Seq("height"))
+        val dirBuckets = new java.io.File(s"$dir/t").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("height_bucket="))
+          .map(_.getName.stripPrefix("height_bucket=").toLong).toSeq
+        s.read.parquet(s"$dir/t")
+          // directory partition values infer as INT; the written column was long
+          .withColumn("height_bucket", col("height_bucket").cast("long"))
+          .groupBy("height_bucket")
+          .agg(count(lit(1)).as("n_rows"), min("height").as("min_h"),
+            max("height").as("max_h"))
+          .withColumn("dir_present",
+            col("height_bucket").isin(dirBuckets.map(x => x: Any): _*))
+          .orderBy("height_bucket")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT), true), " +
+        "(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT), true), " +
+        "(CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(5 AS BIGINT), true)" +
+        ") v(height_bucket, n_rows, min_h, max_h, dir_present) ORDER BY height_bucket")),
+
+    ("s11_catalog_stats", // S11 driver-checked: tableStats over a freshly
+      // written two-table warehouse — table names, row counts, and file
+      // counts are all deterministic (coalesce(1) => one file each).
+      (s: SparkSession, d: String) => {
+        val wh = java.nio.file.Files.createTempDirectory("graft_s11").toString
+        s.range(4).coalesce(1).write.parquet(s"$wh/t_big")
+        s.range(2).coalesce(1).write.parquet(s"$wh/t_small")
+        Store.tableStats(s, wh)
+          .select("table", "n_rows", "n_files")
+          .orderBy("table")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "('t_big', CAST(4 AS BIGINT), CAST(1 AS BIGINT)), " +
+        "('t_small', CAST(2 AS BIGINT), CAST(1 AS BIGINT))" +
+        ") v(\"table\", n_rows, n_files) ORDER BY \"table\"")))
 
   // ------------------------------------------------------------------------
   // F — scalar functions
