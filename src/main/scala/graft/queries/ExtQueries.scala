@@ -294,6 +294,34 @@ object ExtQueries {
         "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens, " +
         s"CAST(length(text) AS BIGINT) AS len_chars, n_chars FROM $Docs ORDER BY doc_id")),
 
+    ("x_token_topk", // vocabulary stats: token frequencies, deterministic
+      // top-20 (count desc, token asc). The wordcount shape at corpus scale:
+      // explode -> partial-agg -> shuffle on token -> final agg -> take.
+      (s: SparkSession, d: String) =>
+        graft.ext.Par.ensure(t(s, d, "documents").select("text"))
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token"))
+          .limit(20),
+      Some("SELECT token, count(*) AS cnt FROM " +
+        s"(SELECT UNNEST(string_split(text, ' ')) AS token FROM $Docs) " +
+        "GROUP BY token ORDER BY cnt DESC, token LIMIT 20")),
+
+    ("x_corpus_stats", // one-row corpus profile: doc count, token volume,
+      // length spread, distinct content fingerprints (exact-dup headroom)
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextFns.tokenCount(col("text"))).as("total_tokens"),
+          min(length(col("text")).cast("long")).as("min_len"),
+          max(length(col("text")).cast("long")).as("max_len"),
+          countDistinct(md5(col("text"))).as("n_distinct")),
+      Some("SELECT count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "CAST(min(length(text)) AS BIGINT) AS min_len, " +
+        "CAST(max(length(text)) AS BIGINT) AS max_len, " +
+        s"CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct FROM $Docs")),
+
     ("x_text_quality",
       (s: SparkSession, d: String) =>
         t(s, d, "documents")
