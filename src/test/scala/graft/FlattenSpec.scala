@@ -83,6 +83,20 @@ class FlattenSpec extends SparkTestBase {
     assert(t2.getAs[String]("data") === "")
   }
 
+  test("txs: non-numeric gas strings null out instead of failing the batch") {
+    // Spark 4 is ANSI by default: a plain cast would THROW on "12abc" and
+    // abort the whole ingest batch; the reference's parseInt degrades to
+    // null (worker.js:139-140), which try_cast reproduces.
+    import spark.implicits._
+    val env = spark.read.schema(graft.schema.Schemas.envelope).json(
+      Seq("""{"height":7,"time":"2025-06-01T00:00:00Z","app_hash":"A","txs":["dGVzdA=="],"txs_results":[{"code":0,"gas_wanted":"12abc","gas_used":"1e5","data":"","log":"","events":[]}],"finalize_block_events":[]}""").toDS())
+    val tx = graft.ingest.Flatten(env,
+      org.apache.spark.sql.functions.lit("2025-06-02 00:00:00").cast("timestamp"))
+      .txs.collect()(0)
+    assert(tx.isNullAt(tx.fieldIndex("gas_wanted")))
+    assert(tx.isNullAt(tx.fieldIndex("gas_used"))) // "1e5" is not a LONG literal
+  }
+
   test("tx_events: one row per (tx, event) incl. zero-attr events") {
     val rows = tables.txEvents.orderBy("height", "tx_index", "event_index").collect()
     assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq ===

@@ -78,6 +78,18 @@ class HttpTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flakyHits.get() == 2) // exhausted retriesPerEndpoint before rotating
   }
 
+  test("connection refused rotates to a live endpoint") {
+    // grab a port that nothing listens on
+    val sock = new java.net.ServerSocket(0)
+    val deadPort = sock.getLocalPort
+    sock.close()
+    val client = new RpcClient(
+      RpcConfig(Seq(s"http://127.0.0.1:$deadPort", base(good)),
+        retriesPerEndpoint = 1, sleeper = _ => ()),
+      HttpTransport.transport(requestTimeoutMs = 2000))
+    assert(client.latestHeight() == 12345L)
+  }
+
   test("all endpoints down: bounded attempts then a terminal failure") {
     val client = new RpcClient(
       RpcConfig(Seq(base(flaky)), retriesPerEndpoint = 3, sleeper = _ => ()),
