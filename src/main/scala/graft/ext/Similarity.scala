@@ -66,6 +66,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe sign-LSH ANN: probe the query's bucket AND every Hamming-1
+    * neighbor (one flipped plane bit) — the standard recall repair for
+    * bucketed LSH (Lv et al., VLDB 2007): a near neighbor on the wrong side
+    * of ONE hyperplane is recovered without lowering nPlanes. Probe cost is
+    * (1 + nPlanes)/2^nPlanes of the corpus in expectation — with 8 planes
+    * that is ~3.5%, vs 6% for single-probe 4-plane at far worse recall. The
+    * probe set is an equi-join key list, so the scan side stays a bucketed
+    * equi-join at any scale. */
+  def annTopKMultiProbe(em: DataFrame, idCol: String, vecCol: String,
+                        queryVec: DataFrame, k: Int, nPlanes: Int, dim: Int,
+                        seed: Long = 42L): DataFrame = {
+    val ps = planes(nPlanes, dim, seed)
+    val bucketed = em.withColumn("bucket", lshBucket(col(vecCol), ps))
+    val flips = lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))
+    val probes = queryVec.withColumn("bucket0", lshBucket(col("qv"), ps))
+      .select(col("qv"), col("bucket0"), explode(array(flips: _*)).as("flip"))
+      .select(col("qv"), col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
+    bucketed.join(broadcast(probes), Seq("bucket"))
+      .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------ IVF --
 
   /** The IVF centroid ARTIFACT path: deterministic Lloyd's k-means over a

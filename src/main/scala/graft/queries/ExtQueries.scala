@@ -236,6 +236,29 @@ object ExtQueries {
           "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10"
       }),
 
+    ("x_ann_lsh_mp", // multi-probe LSH ANN: query bucket + all Hamming-1
+      // neighbors at 8 planes (256 buckets) — ~3.5% of the corpus probed
+      // with far better recall than single-probe; the probe list is
+      // deterministic from the query bucket, so DuckDB reproduces it.
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.annTopKMultiProbe(em.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", q, k = 10, nPlanes = 8, dim = 64)
+      },
+      Some {
+        val ps = Similarity.planes(8, 64)
+        val flipList = (Seq("b0") ++ (0 until 8).map(i => s"xor(b0, ${1L << i})"))
+          .mkString("[", ", ", "]")
+        s"WITH q AS (SELECT embedding AS qv, ${lshBucketSql("embedding", ps)} AS b0 " +
+          s"FROM $Embs WHERE vec_id = 0), " +
+          s"p AS (SELECT qv, UNNEST($flipList) AS bucket FROM q), " +
+          s"b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding", ps)} AS bucket " +
+          s"FROM $Embs WHERE vec_id <> 0), " +
+          s"c AS (SELECT vec_id, round($CosExpr, 6) AS cos FROM b JOIN p USING (bucket)) " +
+          "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10"
+      }),
+
     ("x_ann_ivf", // IVF ANN off the precomputed centroid artifact; oracle is
       // generated at Verify dump time (SparkEntry.dynamicOracleSql) because
       // the centroid literals are data-derived

@@ -130,6 +130,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(got1.forall(b => b >= 0 && b < 16))
   }
 
+  test("multi-probe LSH: recall >= single-probe at the same plane count") {
+    val em = graft.queries.Td.t(spark, sf0001, "embeddings")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val body = em.filter(col("vec_id") =!= 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val truth = ids(Similarity.bruteForceTopK(body, "vec_id", "embedding", q, 10))
+    val single = ids(Similarity.annTopK(body, "vec_id", "embedding", q, 10, nPlanes = 8, dim = 64))
+    val multi = ids(Similarity.annTopKMultiProbe(body, "vec_id", "embedding", q, 10, nPlanes = 8, dim = 64))
+    assert((multi & truth).size >= (single & truth).size)
+    assert(multi.nonEmpty)
+  }
+
   test("IVF write-time index: probes prune partitions and agree with ivfTopK") {
     val em = graft.queries.Td.t(spark, sf0001, "embeddings")
     val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
