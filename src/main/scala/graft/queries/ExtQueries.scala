@@ -172,6 +172,42 @@ object ExtQueries {
         " AS BIGINT) AS simhash FROM (SELECT doc_id, string_split(text, ' ') AS ws " +
         s"FROM $Docs) t ORDER BY doc_id")),
 
+    ("x_simhash_pairs", // SimHash pairing: band the 16-bit signature into
+      // its two bytes, candidates = pairs sharing either band (an equi-join,
+      // Σ band-bucket² cost — guaranteed complete for hamming <= 1 by
+      // pigeonhole), ranked by exact hamming. Top-20 closest, deterministic.
+      (s: SparkSession, d: String) => {
+        val sh = graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"),
+            transform(split(col("text"), " "), w => md5(w)).as("__wh"))
+          .select(col("doc_id"), Dedup.simhash16FromHashes(col("__wh")).as("sh"))
+        val banded = sh.select(col("doc_id"), col("sh"),
+          explode(array(
+            struct(lit(0).as("band"), col("sh").bitwiseAND(lit(255L)).as("key")),
+            struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
+          .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.key").as("key"))
+        banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+            Dedup.hamming(col("x.sh"), col("y.sh")).cast("long").as("hamming"))
+          .distinct()
+          .orderBy("hamming", "a_id", "b_id")
+          .limit(20)
+      },
+      Some("WITH sh AS (SELECT doc_id, CAST(" +
+        (1 to 16).map(simhashTermSql).mkString(" + ") +
+        " AS BIGINT) AS sh FROM (SELECT doc_id, string_split(text, ' ') AS ws " +
+        s"FROM $Docs) t), " +
+        "banded AS (SELECT doc_id, sh, UNNEST([" +
+        "{'band': 0, 'key': sh & 255}, {'band': 1, 'key': sh >> 8}" +
+        "], recursive := true) FROM sh) " +
+        "SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id, " +
+        "CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming " +
+        "FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key " +
+        "AND x.doc_id < y.doc_id " +
+        "ORDER BY hamming, a_id, b_id LIMIT 20")),
+
     ("x_near_dup", // full MinHash-LSH pipeline incl. Jaccard verify
       (s: SparkSession, d: String) =>
         Dedup.nearDupPairs(t(s, d, "documents"), "text", "doc_id", threshold = 0.2)
