@@ -89,10 +89,14 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: equi-join on (band, bucket), a < b, distinct.
-    * THE scale property: cost is Σ bucket² per band, not n². */
+    * THE scale property: cost is Σ bucket² per band, not n². The shuffle_hash
+    * hint matters twice: broadcasting a corpus-sized band set would OOM at
+    * scale, and with both sides shuffling the IDENTICAL upstream subplan
+    * (scan → shingles → signature → bands) the exchange is computed once
+    * and reused instead of once per join side. */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bucket"))
-    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bucket"))
+    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bucket")).hint("shuffle_hash")
+    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bucket")).hint("shuffle_hash")
     a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()

@@ -186,7 +186,11 @@ object ExtQueries {
             struct(lit(0).as("band"), col("sh").bitwiseAND(lit(255L)).as("key")),
             struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
           .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.key").as("key"))
-        banded.as("x").join(banded.as("y"),
+        // shuffle_hash (not broadcast): both sides then shuffle the IDENTICAL
+        // banded subplan on (band, key), so ReuseExchange computes the
+        // 16-pass simhash once instead of once per join side
+        banded.as("x").hint("shuffle_hash")
+          .join(banded.as("y").hint("shuffle_hash"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
