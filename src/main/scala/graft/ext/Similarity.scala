@@ -249,8 +249,12 @@ object Similarity {
     val ps = planes(nPlanes, dim, seed)
     val b = em.select(col(idCol), col(vecCol))
       .withColumn("bucket", lshBucket(col(vecCol), ps))
+    // shuffle_hash: a corpus-sized bucketed set must never be broadcast, and
+    // identical shuffled subplans let the bucket assignment compute once
     val a = b.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("va"))
+      .hint("shuffle_hash")
     val c = b.select(col("bucket"), col(idCol).as("b_id"), col(vecCol).as("vb"))
+      .hint("shuffle_hash")
     a.join(c, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       // threshold applies to the ROUNDED cosine so the survivor set is
