@@ -37,8 +37,16 @@ object Verify {
     // {{SF}} placeholder -> actual sf dir (oracle SQL for tables the harness
     // may not have registered reads the parquet directly by absolute path).
     // dynamicOracleSql entries (IVF centroid literals) are generated here,
-    // with the session, so they match the artifacts the queries used.
-    val json = (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir))
+    // with the session, so they match the artifacts the queries used. They
+    // read the data dir — guard them so an unreadable dir still produces a
+    // parseable oracle_sql.json (the per-query failures are already logged).
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles skipped: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{SF}}", sfDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
