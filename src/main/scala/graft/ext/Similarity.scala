@@ -206,17 +206,33 @@ object Similarity {
 
   /** Build-once index location per (dataset, centroid-config): the write-time
     * assignment is paid on first use in this JVM, queries after that only
-    * read. Stands in for the ingest-time partitioned write at scale. */
+    * read. Stands in for the ingest-time partitioned write at scale. The
+    * cache key carries a fingerprint of the centroid array, so re-indexing
+    * the same dir with different centroids (or list counts) builds a fresh
+    * index instead of silently returning the stale one. */
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private def centroidFingerprint(centroids: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    centroids.foreach { c =>
+      val bb = java.nio.ByteBuffer.allocate(8 * c.length)
+      c.foreach(bb.putDouble)
+      md.update(bb.array())
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def indexPathFor(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   centroids: Array[Array[Double]]): String =
-    indexCache.getOrElseUpdate(dir, {
+                   centroids: Array[Array[Double]],
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   excludeId: Option[Long] = Some(0L)): String =
+    indexCache.getOrElseUpdate(
+      s"$dir#$idCol#$vecCol#$excludeId#${centroidFingerprint(centroids)}", {
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_idx").toString
-      val em = spark.read.parquet(s"$dir/embeddings.parquet")
-        .filter(col("vec_id") =!= 0)
-      ivfWriteIndex(em, "vec_id", "embedding", centroids, path)
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      val em = excludeId.fold(base)(x => base.filter(col(idCol) =!= x))
+      ivfWriteIndex(em, idCol, vecCol, centroids, path)
       path
     })
 

@@ -46,6 +46,15 @@ final case class FlatTables(
   */
 object Flatten {
 
+  /** JS `s ? parseInt(s) : null` parity for RPC-supplied integer strings
+    * (worker.js:139-140): skip leading whitespace, take an optional sign and
+    * the leading digit run — so '123abb' parses to 123 like parseInt, instead
+    * of try_cast's null — and degrade to null (never an ANSI abort) when no
+    * digits lead. Accepted divergence: parseInt's hex auto-detect ('0x1f');
+    * RPC gas values are decimal strings. */
+  private def parseIntJs(s: Column): Column =
+    regexp_extract(s, "^\\s*([+-]?\\d+)", 1).try_cast("long")
+
   /** Normalized attribute array with positional index, JS-default semantics. */
   private def attrsNorm(attrs: Column): Column =
     transform(attrs, (a, i) => struct(
@@ -96,11 +105,8 @@ object Flatten {
       col("height"),
       col("tx_index"),
       coalesce(col("r.code"), lit(0)).as("code"), // JS `code || 0`
-      // try_cast, not cast: under Spark 4's ANSI default a malformed
-      // RPC-supplied gas string would abort the whole ingest batch, whereas
-      // the reference's parseInt (worker.js:139-140) degrades to null
-      col("r.gas_wanted").try_cast("long").as("gas_wanted"),
-      col("r.gas_used").try_cast("long").as("gas_used"),
+      parseIntJs(col("r.gas_wanted")).as("gas_wanted"),
+      parseIntJs(col("r.gas_used")).as("gas_used"),
       when(coalesce(col("r.data"), lit("")) === "", lit(""))
         .otherwise(Fns.b64ToHex(col("r.data"))).as("data"),
       col("tx_hash"),

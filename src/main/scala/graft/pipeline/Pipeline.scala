@@ -55,15 +55,15 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   private def nowTs = timestamp_seconds(lit(cfg.now()))
 
   /** Process-monotonic micro-stamp: epoch micros from the injected seconds
-    * clock plus a per-JVM sequence. Version columns built from this are
-    * strictly monotonic even when two state transitions land in the same
-    * wall-clock second — ClickHouse ReplacingMergeTree resolves equal
-    * versions by insert order, but parquet appends have none, so the version
-    * itself must carry the order (Store.latest ties are otherwise
+    * clock, forced strictly increasing by a JVM-wide last-issued register
+    * (max(last+1, clock-derived) — no per-instance counter, no modulo wrap).
+    * Version columns built from this are strictly monotonic even when two
+    * state transitions land in the same wall-clock second, across ALL
+    * Pipeline instances in the JVM — ClickHouse ReplacingMergeTree resolves
+    * equal versions by insert order, but parquet appends have none, so the
+    * version itself must carry the order (Store.latest ties are otherwise
     * nondeterministic). */
-  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def nextMicros(): Long =
-    cfg.now() * 1000000L + seq.getAndIncrement() % 1000000L
+  private def nextMicros(): Long = Pipeline.nextMicros(cfg.now())
 
   // ------------------------------------------------------------- ingest ----
 
@@ -126,7 +126,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   /** Seed work items for [from, to], subtracting already-queued
     * pending/processing ranges (J4; orchestrator.js:574-636). */
-  def seedWorkQueue(from: Long, to: Long): Seq[Iv] = {
+  def seedWorkQueue(from: Long, to: Long): Seq[Iv] = Pipeline.seedLock.synchronized {
     if (to < from) return Seq.empty
     import spark.implicits._
     val queued = workQueue()
@@ -136,11 +136,11 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       .collect().map(r => Iv(r.getLong(0), r.getLong(1))).toSeq
     val items = Intervals.planWorkItems(from, to, cfg.assignRange, queued)
     if (items.nonEmpty) {
-      // ids continue from max(existing)+1: wall-clock-derived ids collide
-      // when two seeding calls land in the same second, and the latest-by-id
-      // FINAL view then silently drops one pending range. (Multi-process
-      // seeders would need a coordinator-issued range, like the reference's
-      // DB sequence.)
+      // ids continue from max(existing)+1 under Pipeline.seedLock: the
+      // read-modify-write over the appended table is serialized JVM-wide,
+      // so concurrent in-process seeders can't mint colliding ids. (Multi-
+      // process seeders would need a coordinator-issued range, like the
+      // reference's DB sequence — documented single-driver invariant.)
       val base = 1L + readTable("work_queue")
         .agg(coalesce(max("id"), lit(0L))).head.getLong(0)
       val stamp = timestamp_micros(lit(nextMicros()))
@@ -335,4 +335,21 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       iv
     }
   }
+}
+
+object Pipeline {
+  /** JVM-wide last-issued micro-stamp. `updateAndGet(max(last+1, computed))`
+    * can never go backwards or repeat, even across Pipeline instances or
+    * >1e6 stamps within one injected-clock second (the stamp then runs ahead
+    * of the clock instead of wrapping). */
+  private val lastIssuedMicros = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+  private[pipeline] def nextMicros(nowSeconds: Long): Long =
+    lastIssuedMicros.updateAndGet(last => math.max(last + 1, nowSeconds * 1000000L))
+
+  /** Serializes work-queue seeding across Pipeline instances in this JVM —
+    * seedWorkQueue's max(id)+1 is a read-modify-write over an appended table.
+    * Multi-PROCESS seeders remain out of scope by design: the reference gets
+    * its ids from a Postgres sequence (a central coordinator); our
+    * single-driver deployment model keeps one seeder per warehouse. */
+  private[pipeline] val seedLock = new Object
 }

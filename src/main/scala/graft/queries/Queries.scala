@@ -35,6 +35,14 @@ object Queries {
 
   import Td.t
 
+  /** Scalar max(col) read null-safely: max over an empty table is null, and
+    * Row.getLong would NPE. Returns `default` (e.g. -1 ⇒ empty spark.range)
+    * when there are no rows. */
+  private def maxOrElse(df: DataFrame, c: String, default: Long): Long = {
+    val row = df.agg(max(c)).head
+    if (row.isNullAt(0)) default else row.getLong(0)
+  }
+
   // ------------------------------------------------------------------------
   // P — projection / filter / predicates
   // ------------------------------------------------------------------------
@@ -133,7 +141,7 @@ object Queries {
         // from spark.range (parallel Range node, like Pipeline.findGaps):
         // explode(sequence(0, mx)) would materialize the whole series in
         // ONE row = one task, and sequence() caps element count.
-        val mx = t(s, d, "orders").agg(max("o_orderkey")).head.getLong(0)
+        val mx = maxOrElse(t(s, d, "orders"), "o_orderkey", -1L)
         s.range(0L, mx + 1).toDF("height")
           .join(t(s, d, "lineitem").select(col("l_orderkey").as("height")).distinct(),
             Seq("height"), "left_anti")
@@ -321,7 +329,7 @@ object Queries {
     ("a11_gap_stats",
       (s: SparkSession, d: String) => {
         // Scalar max + spark.range: parallel series generation (see j3 note).
-        val mx = t(s, d, "orders").agg(max("o_orderkey")).head.getLong(0)
+        val mx = maxOrElse(t(s, d, "orders"), "o_orderkey", -1L)
         s.range(0L, mx + 1).toDF("height")
           .join(t(s, d, "lineitem").select(col("l_orderkey").as("height")).distinct(),
             Seq("height"), "left_anti")

@@ -83,18 +83,27 @@ class FlattenSpec extends SparkTestBase {
     assert(t2.getAs[String]("data") === "")
   }
 
-  test("txs: non-numeric gas strings null out instead of failing the batch") {
+  test("txs: malformed gas strings parse like JS parseInt, never abort the batch") {
     // Spark 4 is ANSI by default: a plain cast would THROW on "12abc" and
-    // abort the whole ingest batch; the reference's parseInt degrades to
-    // null (worker.js:139-140), which try_cast reproduces.
+    // abort the whole ingest batch. The reference's parseInt (worker.js:
+    // 139-140) takes the leading digit run: '12abc' -> 12, '1e5' -> 1,
+    // ' -3' -> -3, and degrades to null only when no digits lead.
     import spark.implicits._
     val env = spark.read.schema(graft.schema.Schemas.envelope).json(
-      Seq("""{"height":7,"time":"2025-06-01T00:00:00Z","app_hash":"A","txs":["dGVzdA=="],"txs_results":[{"code":0,"gas_wanted":"12abc","gas_used":"1e5","data":"","log":"","events":[]}],"finalize_block_events":[]}""").toDS())
-    val tx = graft.ingest.Flatten(env,
+      Seq("""{"height":7,"time":"2025-06-01T00:00:00Z","app_hash":"A","txs":["dGVzdA==","dGVzdA==","dGVzdA=="],"txs_results":[
+        {"code":0,"gas_wanted":"12abc","gas_used":"1e5","data":"","log":"","events":[]},
+        {"code":0,"gas_wanted":" -3","gas_used":"abc","data":"","log":"","events":[]},
+        {"code":0,"gas_wanted":"+7","gas_used":"9.9","data":"","log":"","events":[]}],"finalize_block_events":[]}"""
+        .replaceAll("\n\\s*", "")).toDS())
+    val txs = graft.ingest.Flatten(env,
       org.apache.spark.sql.functions.lit("2025-06-02 00:00:00").cast("timestamp"))
-      .txs.collect()(0)
-    assert(tx.isNullAt(tx.fieldIndex("gas_wanted")))
-    assert(tx.isNullAt(tx.fieldIndex("gas_used"))) // "1e5" is not a LONG literal
+      .txs.orderBy("tx_index").collect()
+    assert(txs(0).getAs[Long]("gas_wanted") === 12L) // parseInt('12abc') = 12
+    assert(txs(0).getAs[Long]("gas_used") === 1L)    // parseInt('1e5') = 1
+    assert(txs(1).getAs[Long]("gas_wanted") === -3L) // whitespace + sign
+    assert(txs(1).isNullAt(txs(1).fieldIndex("gas_used"))) // no leading digits
+    assert(txs(2).getAs[Long]("gas_wanted") === 7L)  // explicit plus
+    assert(txs(2).getAs[Long]("gas_used") === 9L)    // parseInt('9.9') = 9
   }
 
   test("tx_events: one row per (tx, event) incl. zero-attr events") {

@@ -196,4 +196,24 @@ class PipelineSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
     assert(rows.forall(_.getAs[String]("app_hash") === "AH"))
   }
+
+  test("version stamps: strictly monotonic across Pipeline instances under a frozen clock") {
+    // Two instances sharing a warehouse, clock frozen at one second: a
+    // per-instance counter would stamp all three writes second*1e6 + 0 and
+    // the FINAL view's tie-break would be nondeterministic; the JVM-wide
+    // last-issued register orders them by write order.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val frozen = () => 7777777L
+    val p1 = new Pipeline(spark, PipelineConfig(warehouse = dir, now = frozen))
+    val p2 = new Pipeline(spark, PipelineConfig(warehouse = dir, now = frozen))
+    p1.advanceIndexState(10L)
+    p2.advanceIndexState(20L)
+    p1.advanceIndexState(30L)
+    assert(p1.lastIndexedHeight() === 30L)
+    val stamps = spark.read.parquet(s"$dir/index_state")
+      .select(unix_micros(col("updated_at")).as("us"), col("last_processed_height"))
+      .orderBy("us").collect()
+    assert(stamps.map(_.getLong(1)).toSeq === Seq(10L, 20L, 30L))
+    assert(stamps.map(_.getLong(0)).distinct.length === 3, "stamps must be unique")
+  }
 }

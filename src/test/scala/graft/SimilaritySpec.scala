@@ -170,4 +170,15 @@ class SimilaritySpec extends SparkTestBase {
     val viaIndex = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaIndex === direct)
   }
+
+  test("indexPathFor: cache keyed on centroid fingerprint, not just dir") {
+    val c1 = Similarity.centroidsFor(spark, sf0001)
+    val p1 = Similarity.indexPathFor(spark, sf0001, c1)
+    assert(Similarity.indexPathFor(spark, sf0001, c1) === p1,
+      "same dir + same centroids must reuse the built index")
+    // same dir, different centroids: must NOT return the stale index
+    val c2 = c1.map(_.map(_ + 1.0))
+    val p2 = Similarity.indexPathFor(spark, sf0001, c2)
+    assert(p2 !== p1)
+  }
 }
