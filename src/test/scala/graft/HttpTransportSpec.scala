@@ -1,86 +1,118 @@
 package graft
 
 import java.net.InetSocketAddress
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.sources.{HttpTransport, RpcClient, RpcConfig, RpcSource}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
 
-/** The production `java.net.http` transport against a real localhost HTTP
-  * server (JDK built-in — no egress): S1–S3 end-to-end over the wire,
-  * including endpoint rotation away from a dead port and 5xx retry. */
-class HttpTransportSpec extends SparkTestBase {
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{HttpTransport, RpcClient, RpcConfig}
+
+/** S1–S3 over REAL HTTP: a localhost `com.sun.net.httpserver.HttpServer`
+  * (JDK-only, no egress) stands in for a Tendermint RPC node, so the full
+  * production path — HttpTransport → RpcClient retry/rotation → JSON
+  * extraction — is exercised end-to-end, not just with fixture lambdas. */
+class HttpTransportSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var good: HttpServer = _
+  private var flaky: HttpServer = _
+  private val flakyHits = new AtomicInteger(0)
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-    val bytes = body.getBytes("UTF-8")
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
   }
 
-  /** Serve the three RPC paths the source layer uses; returns (server, base). */
-  private def startServer(): (HttpServer, String) = {
-    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    srv.createContext("/status", (ex: HttpExchange) =>
-      respond(ex, 200,
-        """{"result":{"sync_info":{"latest_block_height":"42"}}}"""))
-    srv.createContext("/block_results", (ex: HttpExchange) =>
-      respond(ex, 200,
-        """{"result":{"txs_results":[],"finalize_block_events":[]}}"""))
-    srv.createContext("/block", (ex: HttpExchange) => {
-      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-      val h = q.stripPrefix("height=")
+  override def beforeAll(): Unit = {
+    good = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    good.createContext("/status", (ex: HttpExchange) =>
+      respond(ex, 200, """{"result":{"sync_info":{"latest_block_height":"12345"}}}"""))
+    good.createContext("/block", (ex: HttpExchange) => {
+      val h = ex.getRequestURI.getQuery.stripPrefix("height=")
       respond(ex, 200,
         s"""{"result":{"block":{"header":{"time":"2025-06-01T12:00:00Z","app_hash":"AH$h"},"data":{"txs":[]}}}}""")
     })
-    srv.createContext("/flaky", new com.sun.net.httpserver.HttpHandler {
-      private val hits = new java.util.concurrent.atomic.AtomicInteger(0)
-      def handle(ex: HttpExchange): Unit =
-        if (hits.incrementAndGet() == 1) respond(ex, 503, "busy")
-        else respond(ex, 200, """{"ok":true}""")
+    good.createContext("/block_results", (ex: HttpExchange) =>
+      respond(ex, 200, """{"result":{"txs_results":[],"finalize_block_events":[]}}"""))
+    good.createContext("/teapot", (ex: HttpExchange) => respond(ex, 418, "short and stout"))
+    good.start()
+
+    flaky = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    flaky.createContext("/", (ex: HttpExchange) => {
+      flakyHits.incrementAndGet()
+      respond(ex, 500, "boom")
     })
-    srv.start()
-    (srv, s"http://127.0.0.1:${srv.getAddress.getPort}")
+    flaky.start()
   }
 
-  test("HttpTransport: tip discovery and distributed fetch over real HTTP") {
-    val (srv, base) = startServer()
-    try {
-      val client = new RpcClient(
-        RpcConfig(Seq(base), retriesPerEndpoint = 2, sleeper = _ => ()),
-        HttpTransport.transport())
-      assert(client.latestHeight() === 42L)
-      // executors (local threads) open their own per-JVM HttpClient lazily
-      val rows = RpcSource.fetchEnvelopes(spark, client, 1, 4, parallelism = 2)
-        .orderBy("height").collect()
-      assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
-      assert(rows.map(_.getAs[String]("app_hash")).toSeq ===
-        Seq("AH1", "AH2", "AH3", "AH4"))
-    } finally srv.stop(0)
+  override def afterAll(): Unit = {
+    good.stop(0)
+    flaky.stop(0)
   }
 
-  test("HttpTransport: rotation away from a dead endpoint (connection refused)") {
-    val (srv, base) = startServer()
-    // a port with nothing listening: bind+close to reserve a dead one
-    val dead = {
-      val s = new java.net.ServerSocket(0, 1, java.net.InetAddress.getByName("127.0.0.1"))
-      val p = s.getLocalPort; s.close(); s"http://127.0.0.1:$p"
-    }
-    try {
-      val client = new RpcClient(
-        RpcConfig(Seq(dead, base), retriesPerEndpoint = 2, sleeper = _ => ()),
-        HttpTransport.transport())
-      assert(client.latestHeight() === 42L) // survives ECONNREFUSED via rotation
-    } finally srv.stop(0)
+  private def base(s: HttpServer) = s"http://127.0.0.1:${s.getAddress.getPort}"
+
+  test("GET body round-trips; query strings reach the server") {
+    val t = HttpTransport.transport()
+    assert(t(base(good), "/block?height=7").contains(""""app_hash":"AH7""""))
   }
 
-  test("HttpTransport: non-2xx raises and the retry loop recovers") {
-    val (srv, base) = startServer()
-    try {
-      val client = new RpcClient(
-        RpcConfig(Seq(base), retriesPerEndpoint = 3, sleeper = _ => ()),
-        HttpTransport.transport())
-      assert(client.get("/flaky") === """{"ok":true}""") // 503 then 200
-      val e = intercept[RuntimeException](HttpTransport.fetch(base, "/nope", 5000))
-      assert(e.getMessage.contains("404"))
-    } finally srv.stop(0)
+  test("non-2xx surfaces as an exception naming the status") {
+    val e = intercept[RuntimeException](HttpTransport.fetch(base(good), "/teapot", 5000))
+    assert(e.getMessage.contains("418"))
+  }
+
+  test("tip discovery over real HTTP") {
+    val client = new RpcClient(
+      RpcConfig(Seq(base(good)), sleeper = _ => ()), HttpTransport.transport())
+    assert(client.latestHeight() == 12345L)
+  }
+
+  test("rotation: 500s on the first endpoint fail over to the second") {
+    flakyHits.set(0)
+    val client = new RpcClient(
+      RpcConfig(Seq(base(flaky), base(good)), retriesPerEndpoint = 2, sleeper = _ => ()),
+      HttpTransport.transport())
+    assert(client.latestHeight() == 12345L)
+    assert(flakyHits.get() == 2) // exhausted retriesPerEndpoint before rotating
+  }
+
+  test("connection refused rotates to a live endpoint") {
+    // grab a port that nothing listens on
+    val sock = new java.net.ServerSocket(0)
+    val deadPort = sock.getLocalPort
+    sock.close()
+    val client = new RpcClient(
+      RpcConfig(Seq(s"http://127.0.0.1:$deadPort", base(good)),
+        retriesPerEndpoint = 1, sleeper = _ => ()),
+      HttpTransport.transport(requestTimeoutMs = 2000))
+    assert(client.latestHeight() == 12345L)
+  }
+
+  test("all endpoints down: bounded attempts then a terminal failure") {
+    val client = new RpcClient(
+      RpcConfig(Seq(base(flaky)), retriesPerEndpoint = 3, sleeper = _ => ()),
+      HttpTransport.transport())
+    flakyHits.set(0)
+    val e = intercept[RuntimeException](client.get("/status"))
+    assert(e.getMessage.contains("All RPC endpoints failed"))
+    assert(flakyHits.get() == 3)
+  }
+
+  test("distributed fetchEnvelopes: executors fetch over real HTTP") {
+    // each local executor thread resolves its own per-JVM HttpClient lazily;
+    // the transport closure ships with only the timeout captured
+    val client = new RpcClient(
+      RpcConfig(Seq(base(good)), sleeper = _ => ()), HttpTransport.transport())
+    val rows = graft.sources.RpcSource
+      .fetchEnvelopes(SparkTestBase.session, client, 1, 4, parallelism = 2)
+      .orderBy("height").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getAs[String]("app_hash")).toSeq ==
+      Seq("AH1", "AH2", "AH3", "AH4"))
   }
 }
