@@ -34,14 +34,22 @@ object Bench {
     // Measured BEFORE the query loop: after ~95 queries the session's
     // accumulated state (shuffle files, cleaner backlog, GC churn) slows
     // this same batch ~15x, which would measure the harness, not the path.
+    // The host shows BURSTY hypervisor CPU steal (identical runs measured
+    // 60s..359s in one day); every timing below is a min-of-REPS, the
+    // standard noise-floor estimator — a steal burst inflates a sample, it
+    // never deflates one, so the min is the honest steady-state number.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+
     val nBlocks = sys.env.getOrElse("SPARK_GRAFT_INGEST_BLOCKS", "2000").toInt
     val ingestSec =
       try {
-        val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
-        val env = syntheticEnvelopes(spark, nBlocks)
-        val t0 = System.nanoTime()
-        graft.streaming.StreamingIngest.ingestBatch(wh, env)
-        (System.nanoTime() - t0) / 1e9
+        (1 to reps).map { _ =>
+          val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
+          val env = syntheticEnvelopes(spark, nBlocks)
+          val t0 = System.nanoTime()
+          graft.streaming.StreamingIngest.ingestBatch(wh, env)
+          (System.nanoTime() - t0) / 1e9
+        }.min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ingest FAILED: ${e.getMessage}"); -1.0
@@ -52,15 +60,20 @@ object Bench {
       f"[bench] ingest $nBlocks blocks in $ingestSec%.2f s -> $blocksPerMin blocks/min")
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      var ok = true
+      var sec = Double.MaxValue
+      var r = 0
+      while (r < reps && ok) { // a failure is terminal, not worth repeating
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+          ok = false
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name $sec%.2f s")
+        sec = math.min(sec, (System.nanoTime() - t0) / 1e9)
+        r += 1
+      }
+      System.err.println(f"[bench] $name $sec%.2f s (min of $r)")
       (name, sec, ok)
     }
 
@@ -69,7 +82,7 @@ object Bench {
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"ingest_blocks_per_min":$blocksPerMin,"ingest_blocks":$nBlocks,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"reps":$reps,"ingest_blocks_per_min":$blocksPerMin,"ingest_blocks":$nBlocks,"sf":"$sfDir"}""")
     spark.stop()
   }
 
