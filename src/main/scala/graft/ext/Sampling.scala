@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling / batching operators for an LLM training-data pipeline
+  * (beyond the reference, per the builder brief — like `Dedup`/`Similarity`).
+  *
+  * All randomness is hash-derived (md5 of the stable doc id), never `rand()`:
+  * the sample is reproducible across runs, engines, and partitionings, and a
+  * re-run over grown data keeps previously-kept documents kept (the property
+  * training-data pipelines need for incremental corpus refreshes).
+  *
+  * Scale shapes:
+  *  - stratified sampling is a map-side filter — zero shuffles before the
+  *    (tiny) per-stratum summary agg;
+  *  - sequence packing shards the corpus by hash first, then runs the
+  *    cumulative-sum window WITHIN each shard — no global sort, parallelism
+  *    = nShards, each shard's window is a single local sort;
+  *  - quantiles shrink to a value-histogram first (one shuffle to ~hundreds
+  *    of rows), then window over the histogram — never a global sort of the
+  *    corpus, never a collect of raw values.
+  */
+object Sampling {
+
+  /** Deterministic [0,100) percentile bucket for a document id: first 4 hex
+    * chars of md5 (16 bits, uniform) mod 100. DuckDB reproduces it exactly
+    * (ExtQueries.hexToIntSql). */
+  def hashPct(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
+  /** Keep a document iff hashPct(id) < rate(stratum); unknown strata drop. */
+  def stratifiedKeep(id: Column, stratum: Column, rates: Map[String, Int]): Column = {
+    val rate = rates.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(stratum === k, lit(v)).otherwise(acc)
+    }
+    hashPct(id) < rate
+  }
+
+  /** Per-stratum sample audit: total vs kept under the rate table. */
+  def stratifiedSummary(docs: DataFrame, idCol: String, stratumCol: String,
+                        rates: Map[String, Int]): DataFrame =
+    docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum(stratifiedKeep(col(idCol), col(stratumCol), rates).cast("long"))
+          .as("n_kept"))
+      .orderBy(stratumCol)
+
+  /** Hash-shard for packing: first 2 hex chars of md5(id) mod nShards. */
+  def hashShard(id: Column, nShards: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long") % nShards
+
+  /** Contiguous sequence packing: within each hash shard, walk documents in
+    * id order accumulating token counts; a document's bin is where its START
+    * offset falls — floor((cum - n) / budget) — so every bin except a shard's
+    * last holds >= budget tokens and no document is split. Returns one row
+    * per (shard, bin) with doc/token totals. The window never sees more than
+    * one shard: parallelism is nShards, not 1. */
+  def packSummary(docs: DataFrame, idCol: String, tokens: Column,
+                  budget: Int, nShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), tokens.as("n_tokens"),
+        hashShard(col(idCol), nShards).as("shard"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .orderBy("shard", "bin")
+  }
+
+  /** Exact corpus quantiles via value-histogram: groupBy value (the shrink —
+    * one shuffle down to |distinct values| rows), cumulative count over the
+    * tiny histogram, then the p-th value is the smallest with cum >= k_p
+    * where k_p = ceil(p% * n) computed in INTEGER arithmetic ((n*p + 99)
+    * div 100) so both engines pick the identical element — no float
+    * interpolation to drift. */
+  def quantileSummary(values: DataFrame, valueCol: String,
+                      ps: Seq[Int]): DataFrame = {
+    val hist = values.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = values.agg(count(lit(1)).as("tot"))
+    val aggs = min("tot").as("n_rows") +:
+      ps.map(p => min(when(col("cum") >= expr(s"(tot * $p + 99) div 100"),
+        col("v"))).as(s"p$p"))
+    hist.withColumn("cum", sum("c").over(w))
+      .crossJoin(tot)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}

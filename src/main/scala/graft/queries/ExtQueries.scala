@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextFns}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextFns}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (the driver ships both tables alongside the TPC-H-ish ones).
@@ -107,6 +107,12 @@ object ExtQueries {
       "WHERE b.list IN (sl[1].l, sl[2].l)) " +
       "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10"
   }
+
+  /** Per-language keep rates (percent) for the stratified sample: the shape a
+    * data-mix rebalance uses (downsample dominant languages, keep the rest).
+    * Declared before `inventory` — its oracle SQL is built eagerly. */
+  private val SampleRates =
+    Map("en" -> 10, "zh" -> 25, "de" -> 50, "fr" -> 75, "es" -> 100)
 
   val inventory: Seq[(String, Q, Option[String])] = Seq(
 
@@ -476,5 +482,55 @@ object ExtQueries {
           s"concat_ws(',', $counts) AS bin_counts " +
           s"FROM (SELECT doc_id, text, lower(hex(CAST(text AS BLOB))) AS hx FROM $Docs) " +
           "ORDER BY doc_id"
-      }))
+      }),
+
+    // ------------------------------------------- sampling / batching -------
+    ("x_sample_stratified", // hash-threshold stratified sampling: keep iff
+      // md5-derived pct < per-lang rate. Map-side filter (zero shuffles
+      // before the tiny per-stratum audit agg), reproducible across runs and
+      // engines — rand() would be neither.
+      (s: SparkSession, d: String) =>
+        Sampling.stratifiedSummary(t(s, d, "documents"), "doc_id", "lang",
+          SampleRates),
+      Some {
+        val rateCase = "CASE lang " + SampleRates.toSeq.sorted
+          .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+          " ELSE 0 END"
+        s"SELECT lang, count(*) AS n_total, " +
+          "CAST(sum(CASE WHEN pct < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+          s"FROM (SELECT lang, ${hexToIntSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 100 AS pct, " +
+          s"$rateCase AS rate FROM $Docs) GROUP BY lang ORDER BY lang"
+      }),
+
+    ("x_pack_sequences", // token-budget sequence packing: hash-shard the
+      // corpus, cumulative token count per shard in doc_id order, bin =
+      // start-offset div budget. The window is per-shard (parallelism =
+      // nShards, no global sort); bins never split a document.
+      (s: SparkSession, d: String) =>
+        Sampling.packSummary(t(s, d, "documents"), "doc_id",
+          TextFns.tokenCount(col("text")), budget = 1000, nShards = 8),
+      Some("WITH tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n, " +
+        s"${hexToIntSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)")} % 8 AS shard FROM $Docs), " +
+        "c AS (SELECT shard, doc_id, n, sum(n) OVER " +
+        "(PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM tk) " +
+        "SELECT shard, CAST((cum - n) // 1000 AS BIGINT) AS bin, count(*) AS n_docs, " +
+        "CAST(sum(n) AS BIGINT) AS tokens FROM c GROUP BY 1, 2 ORDER BY shard, bin")),
+
+    ("x_token_quantiles", // exact p50/p90/p99 of per-doc token counts via a
+      // value-histogram: one shuffle shrinks the corpus to |distinct counts|
+      // rows, the quantile walk runs over that. Rank k = (n*p + 99) div 100
+      // in integer arithmetic — both engines pick the identical element.
+      (s: SparkSession, d: String) =>
+        Sampling.quantileSummary(
+          t(s, d, "documents").select(TextFns.tokenCount(col("text")).as("n")),
+          "n", Seq(50, 90, 99)),
+      Some("WITH tk AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v " +
+        s"FROM $Docs), h AS (SELECT v, count(*) AS c FROM tk GROUP BY v), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM tk), " +
+        "cc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, tot FROM h, t) " +
+        "SELECT CAST(min(tot) AS BIGINT) AS n_rows, " +
+        "CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS BIGINT) AS p50, " +
+        "CAST(min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS BIGINT) AS p90, " +
+        "CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99 " +
+        "FROM cc")))
 }

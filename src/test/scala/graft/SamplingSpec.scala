@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Sampling, TextFns}
+import graft.queries.Td
+
+/** Sampling / packing / quantile operators vs locally-computed ground truth. */
+class SamplingSpec extends SparkTestBase {
+
+  private lazy val docs = Td.t(spark, sf0001, "documents")
+
+  test("stratified sampling: deterministic, rate-faithful, stable under growth") {
+    val rates = Map("en" -> 10, "es" -> 100)
+    val kept = docs.filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"), rates))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // rate 100 keeps every es doc; unknown strata (zh/de/fr) keep none
+    val es = docs.filter(col("lang") === "es").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(es.subsetOf(kept))
+    val known = docs.filter(col("lang").isin("en", "es")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.subsetOf(known))
+    // en keep fraction lands near 10% (hash-uniform; 193 docs at sf0.001)
+    val enTotal = docs.filter(col("lang") === "en").count()
+    val enKept = (kept -- es).size
+    assert(enKept > 0 && enKept < enTotal * 0.25,
+      s"en kept $enKept of $enTotal, expected ~10%")
+    // incremental stability: the decision depends only on (id, lang, rate),
+    // so sampling half the corpus keeps exactly the kept ∩ half set
+    val halfKept = docs.filter(col("doc_id") < 250)
+      .filter(Sampling.stratifiedKeep(col("doc_id"), col("lang"), rates))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(halfKept === kept.filter(_ < 250))
+  }
+
+  test("pack summary: no doc split, shard totals conserved, bins start-aligned") {
+    val budget = 1000
+    val packed = Sampling.packSummary(docs, "doc_id",
+      TextFns.tokenCount(col("text")), budget, nShards = 4).collect()
+    // token conservation: packed totals == raw totals per shard
+    val rawByShard = docs
+      .select(Sampling.hashShard(col("doc_id"), 4).as("shard"),
+        TextFns.tokenCount(col("text")).as("n"))
+      .groupBy("shard").agg(sum("n").as("tok"), count(lit(1)).as("nd"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val packedByShard = packed.groupBy(_.getLong(0)).map { case (s, rows) =>
+      s -> (rows.map(_.getLong(3)).sum, rows.map(_.getLong(2)).sum)
+    }
+    assert(packedByShard === rawByShard)
+    // ground-truth replay: walking each shard in id order reproduces the bins
+    val local = docs
+      .select(Sampling.hashShard(col("doc_id"), 4).as("shard"), col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+        var cum = 0L
+        rows.sortBy(_._2).map { case (_, _, n) =>
+          val bin = cum / budget; cum += n; (s, bin)
+        }
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val packedBins = packed.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(packedBins === local)
+  }
+
+  test("quantile summary: histogram walk equals sorted-array rank pick") {
+    val q = Sampling.quantileSummary(
+      docs.select(TextFns.tokenCount(col("text")).as("n")), "n", Seq(50, 90, 99))
+      .collect()(0)
+    val sorted = docs.select(TextFns.tokenCount(col("text")))
+      .collect().map(_.getLong(0)).sorted
+    val n = sorted.length
+    def rank(p: Int) = sorted(((n.toLong * p + 99) / 100).toInt - 1)
+    assert(q.getAs[Long]("n_rows") === n.toLong)
+    assert(q.getAs[Long]("p50") === rank(50))
+    assert(q.getAs[Long]("p90") === rank(90))
+    assert(q.getAs[Long]("p99") === rank(99))
+  }
+}
