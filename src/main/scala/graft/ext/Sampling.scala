@@ -70,6 +70,39 @@ object Sampling {
       .orderBy("shard", "bin")
   }
 
+  /** Per-source quota: keep at most `cap` documents per source, chosen
+    * deterministically (lowest ids win — any stable priority column works).
+    * One shuffle on source; a skewed mega-source concentrates in one task
+    * but only until its first `cap` rows are ranked — row_number short-
+    * circuits nothing in Spark, so at 100 TB pair this with a pre-filter
+    * (e.g. stratifiedKeep) when sources are pathological. */
+  def sourceCapKeep(docs: DataFrame, idCol: String, sourceCol: String,
+                    cap: Int): DataFrame =
+    docs.withColumn("__rn", row_number().over(
+        Window.partitionBy(sourceCol).orderBy(idCol)))
+      .filter(col("__rn") <= cap).drop("__rn")
+
+  /** Per-source audit of the quota: total vs kept vs the cap. */
+  def sourceCapSummary(docs: DataFrame, idCol: String, sourceCol: String,
+                       cap: Int): DataFrame =
+    docs.withColumn("__rn", row_number().over(
+        Window.partitionBy(sourceCol).orderBy(idCol)))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum((col("__rn") <= cap).cast("long")).as("n_kept"))
+      .orderBy(sourceCol)
+
+  /** Deterministic train/val/test assignment off the same md5 percentile:
+    * [0,train) -> train, [train,train+valPct) -> val, rest -> test. A doc's
+    * split never changes as the corpus grows — the property that keeps eval
+    * sets uncontaminated across refreshes. */
+  def splitAssign(id: Column, trainPct: Int, valPct: Int): Column = {
+    val pct = hashPct(id)
+    when(pct < trainPct, "train")
+      .when(pct < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Exact corpus quantiles via value-histogram: groupBy value (the shrink —
     * one shuffle down to |distinct values| rows), cumulative count over the
     * tiny histogram, then the p-th value is the smallest with cum >= k_p

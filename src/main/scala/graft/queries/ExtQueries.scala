@@ -532,5 +532,29 @@ object ExtQueries {
         "CAST(min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN v END) AS BIGINT) AS p50, " +
         "CAST(min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN v END) AS BIGINT) AS p90, " +
         "CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99 " +
-        "FROM cc")))
+        "FROM cc")),
+
+    ("x_source_cap", // per-source quota (domain caps à la CCNet): keep the
+      // cap lowest-id docs per source; one shuffle on source, deterministic
+      // rank, summary audited per source.
+      (s: SparkSession, d: String) =>
+        Sampling.sourceCapSummary(t(s, d, "documents"), "doc_id", "source", 40),
+      Some("SELECT source, count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        "FROM (SELECT source, row_number() OVER " +
+        s"(PARTITION BY source ORDER BY doc_id) AS rn FROM $Docs) " +
+        "GROUP BY source ORDER BY source")),
+
+    ("x_split_assign", // hash-derived train/val/test split: assignment is a
+      // pure function of doc_id, so eval membership survives corpus growth.
+      // 90/5/5; audited per (lang, split).
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .groupBy(col("lang"), Sampling.splitAssign(col("doc_id"), 90, 5).as("split"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "split"),
+      Some("SELECT lang, CASE WHEN pct < 90 THEN 'train' WHEN pct < 95 THEN 'val' " +
+        "ELSE 'test' END AS split, count(*) AS n FROM " +
+        s"(SELECT lang, ${hexToIntSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 100 AS pct " +
+        s"FROM $Docs) GROUP BY 1, 2 ORDER BY lang, split")))
 }

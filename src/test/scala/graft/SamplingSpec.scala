@@ -62,6 +62,38 @@ class SamplingSpec extends SparkTestBase {
     assert(packedBins === local)
   }
 
+  test("source cap: keeps exactly the cap lowest ids per source") {
+    val cap = 5
+    val kept = Sampling.sourceCapKeep(docs, "doc_id", "source", cap)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = docs.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) => rows.sortBy(_._2).take(cap) }
+    assert(kept.sorted === expected.sorted)
+    // and the summary agrees with the filter
+    val summary = Sampling.sourceCapSummary(docs, "doc_id", "source", cap)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(summary.values.forall(_ <= cap))
+    assert(summary.values.sum === kept.size.toLong)
+  }
+
+  test("split assignment: partitions the corpus, stable under growth") {
+    val split = docs.select(col("doc_id"),
+        Sampling.splitAssign(col("doc_id"), 90, 5).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ~90/5/5 on 500 docs; loose bounds, deterministic data so never flaky
+    val n = split.size.toDouble
+    assert(split.values.count(_ == "train") / n > 0.8)
+    assert(split.values.count(_ == "test") / n < 0.15)
+    // growth stability: recomputing on a subset never flips an assignment
+    val sub = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), Sampling.splitAssign(col("doc_id"), 90, 5).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(sub.forall { case (id, s) => split(id) == s })
+  }
+
   test("quantile summary: histogram walk equals sorted-array rank pick") {
     val q = Sampling.quantileSummary(
       docs.select(TextFns.tokenCount(col("text")).as("n")), "n", Seq(50, 90, 99))
