@@ -55,15 +55,17 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   private def nowTs = timestamp_seconds(lit(cfg.now()))
 
   /** Process-monotonic micro-stamp: epoch micros from the injected seconds
-    * clock, forced strictly increasing by a JVM-wide last-issued register
-    * (max(last+1, clock-derived) — no per-instance counter, no modulo wrap).
-    * Version columns built from this are strictly monotonic even when two
-    * state transitions land in the same wall-clock second, across ALL
-    * Pipeline instances in the JVM — ClickHouse ReplacingMergeTree resolves
-    * equal versions by insert order, but parquet appends have none, so the
-    * version itself must carry the order (Store.latest ties are otherwise
-    * nondeterministic). */
-  private def nextMicros(): Long = Pipeline.nextMicros(cfg.now())
+    * clock, forced strictly increasing by a per-WAREHOUSE last-issued
+    * register (max(last+1, clock-derived) — no per-instance counter, no
+    * modulo wrap). Version columns built from this are strictly monotonic
+    * even when two state transitions land in the same wall-clock second,
+    * across all Pipeline instances writing the same store — ClickHouse
+    * ReplacingMergeTree resolves equal versions by insert order, but parquet
+    * appends have none, so the version itself must carry the order
+    * (Store.latest ties are otherwise nondeterministic). Keyed by warehouse,
+    * not JVM-global: unrelated pipelines (with their own injected clocks)
+    * must not drag each other's stamps forward. */
+  private def nextMicros(): Long = Pipeline.nextMicros(cfg.warehouse, cfg.now())
 
   // ------------------------------------------------------------- ingest ----
 
@@ -338,13 +340,16 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 }
 
 object Pipeline {
-  /** JVM-wide last-issued micro-stamp. `updateAndGet(max(last+1, computed))`
-    * can never go backwards or repeat, even across Pipeline instances or
-    * >1e6 stamps within one injected-clock second (the stamp then runs ahead
-    * of the clock instead of wrapping). */
-  private val lastIssuedMicros = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
-  private[pipeline] def nextMicros(nowSeconds: Long): Long =
-    lastIssuedMicros.updateAndGet(last => math.max(last + 1, nowSeconds * 1000000L))
+  /** Last-issued micro-stamp per warehouse. `updateAndGet(max(last+1,
+    * computed))` can never go backwards or repeat for one store, even across
+    * Pipeline instances or >1e6 stamps within one injected-clock second (the
+    * stamp then runs ahead of the clock instead of wrapping). */
+  private val lastIssuedMicros =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicLong]
+  private[pipeline] def nextMicros(warehouse: String, nowSeconds: Long): Long =
+    lastIssuedMicros
+      .getOrElseUpdate(warehouse, new java.util.concurrent.atomic.AtomicLong(Long.MinValue))
+      .updateAndGet(last => math.max(last + 1, nowSeconds * 1000000L))
 
   /** Serializes work-queue seeding across Pipeline instances in this JVM —
     * seedWorkQueue's max(id)+1 is a read-modify-write over an appended table.
