@@ -59,23 +59,28 @@ object Bench {
     System.err.println(
       f"[bench] ingest $nBlocks blocks in $ingestSec%.2f s -> $blocksPerMin blocks/min")
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var ok = true
-      var sec = Double.MaxValue
-      var r = 0
-      while (r < reps && ok) { // a failure is terminal, not worth repeating
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          ok = false
-        }
-        sec = math.min(sec, (System.nanoTime() - t0) / 1e9)
-        r += 1
+    // Interleaved passes, not back-to-back reps: a steal burst lasts long
+    // enough to cover consecutive runs of the same query (observed: adjacent
+    // alphabetical queries inflated 20-60x together), but two samples a full
+    // pass apart (~minutes) rarely land in the same burst — the per-query
+    // min across passes is then the clean number.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    val bad = scala.collection.mutable.Set.empty[String]
+    for (r <- 1 to reps; (name, fn) <- named if !bad(name)) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        System.err.println(f"[bench] pass $r $name $sec%.2f s")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        bad += name
+        best(name) = (System.nanoTime() - t0) / 1e9
       }
-      System.err.println(f"[bench] $name $sec%.2f s (min of $r)")
-      (name, sec, ok)
     }
+    val results = named.map { case (name, _) => (name, best(name), !bad(name)) }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
