@@ -64,7 +64,12 @@ object Bench {
     // alphabetical queries inflated 20-60x together), but two samples a full
     // pass apart (~minutes) rarely land in the same burst — the per-query
     // min across passes is then the clean number.
+    // Optional comma-separated filter for iterating on one query's cost
+    // (e.g. SPARK_GRAFT_BENCH_ONLY=x_simhash_pairs); unset = full inventory.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     val bad = scala.collection.mutable.Set.empty[String]
     for (r <- 1 to reps; (name, fn) <- named if !bad(name)) {
