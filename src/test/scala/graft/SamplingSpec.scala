@@ -94,6 +94,42 @@ class SamplingSpec extends SparkTestBase {
     assert(sub.forall { case (id, s) => split(id) == s })
   }
 
+  test("quantile summary: property — matches rank pick on arbitrary value sets") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val p = Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 50L)),
+        Gen.chooseNum(1, 99)) { (vs: List[Long], pct: Int) =>
+      val df = vs.toDF("v")
+      val row = Sampling.quantileSummary(df, "v", Seq(pct)).collect()(0)
+      val sorted = vs.sorted
+      val k = ((vs.length.toLong * pct + 99) / 100).toInt
+      row.getAs[Long]("n_rows") == vs.length.toLong &&
+        row.getAs[Long](s"p$pct") == sorted(k - 1)
+    }
+    val r = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("edge cases: empty input never throws, single doc packs into bin 0") {
+    import spark.implicits._
+    val empty = docs.filter(col("doc_id") < 0)
+    assert(Sampling.stratifiedSummary(empty, "doc_id", "lang", Map("en" -> 50))
+      .collect().isEmpty)
+    assert(Sampling.packSummary(empty, "doc_id", TextFns.tokenCount(col("text")),
+      1000, 4).collect().isEmpty)
+    assert(Sampling.sourceCapSummary(empty, "doc_id", "source", 3)
+      .collect().isEmpty)
+    // quantile over zero rows: a single all-null row (agg with no groups),
+    // defined and non-throwing
+    val q0 = Sampling.quantileSummary(empty.select(col("n_chars").as("n")), "n",
+      Seq(50)).collect()(0)
+    assert(q0.isNullAt(q0.fieldIndex("p50")))
+    val one = Sampling.packSummary(docs.filter(col("doc_id") === 1), "doc_id",
+      TextFns.tokenCount(col("text")), 10, 4).collect()
+    assert(one.length === 1 && one(0).getLong(1) === 0L)
+  }
+
   test("quantile summary: histogram walk equals sorted-array rank pick") {
     val q = Sampling.quantileSummary(
       docs.select(TextFns.tokenCount(col("text")).as("n")), "n", Seq(50, 90, 99))
