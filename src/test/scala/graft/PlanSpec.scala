@@ -62,6 +62,39 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("x_sample_stratified / x_split_assign: map-side filter shapes, no joins") {
+    // The keep/split decision is a scalar expression: nothing may shuffle or
+    // join before the audit agg — the 100 TB sample is one pass over the scan.
+    for (name <- Seq("x_sample_stratified", "x_split_assign")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name: ${p.take(1500)}")
+      // exactly the agg's exchange — no extra repartition/sort network round
+      val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 2, s"$name has $exchanges exchanges:\n${p.take(2000)}")
+    }
+  }
+
+  test("x_pack_sequences: single shard-key shuffle feeds the window") {
+    val p = plan("x_pack_sequences")
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"))
+    // window partitions by shard: its sort is [shard, doc_id], never a global
+    // order-by over the corpus
+    val sortLines = p.linesIterator.filter(_.contains("Sort ")).mkString("\n")
+    assert(sortLines.contains("shard"), sortLines)
+  }
+
+  test("x_token_quantiles: histogram shrink happens before the window") {
+    val p = plan("x_token_quantiles")
+    // partial+final HashAggregate pair on the value — the corpus-sized input
+    // is reduced before the (single-partition) cumulative window runs
+    assert(p.contains("HashAggregate"), p.take(1500))
+    val windowIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(windowIdx >= 0, p.take(1500))
+    assert(aggIdx > windowIdx, "histogram agg must sit BELOW the window in the plan")
+  }
+
   test("whole-stage codegen active in flagship plan") {
     // AQE wraps the plan pre-execution; disable it for this one inspection so
     // the WholeStageCodegen spans are visible in the physical plan.
