@@ -133,6 +133,43 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Persist a band table for incremental probing, partitioned by band so a
+    * probe of one band prunes the rest at planning time. At 100 TB this is
+    * the corpus signature store: written once at ingest, appended as the
+    * corpus grows, orders of magnitude smaller than the text. */
+  def writeBands(bands: DataFrame, path: String): Unit =
+    bands.write.mode("append").partitionBy("band").parquet(path)
+
+  /** Corpus-refresh dedup: band ONLY the new batch and probe it against the
+    * existing corpus' band table (read from `writeBands` output in prod —
+    * passed as a DataFrame here). The expensive side of the join is the new
+    * batch, not the corpus: cost is |new| signatures + one equi-join against
+    * the persisted bands + verify on candidates — never a re-LSH of the
+    * whole corpus. Returns (new_id, old_id, jaccard >= threshold). */
+  def incrementalNearDups(newDf: DataFrame, oldDf: DataFrame,
+                          textCol: String, idCol: String,
+                          numHashes: Int = 8, bandSize: Int = 2,
+                          shingleK: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val newBands = lshBands(minhashSig(newDf, textCol, idCol, numHashes, shingleK),
+      idCol, numHashes, bandSize)
+    val oldBands = lshBands(minhashSig(oldDf, textCol, idCol, numHashes, shingleK),
+      idCol, numHashes, bandSize)
+    val cands = newBands
+      .select(col(idCol).as("new_id"), col("band"), col("bucket")).hint("shuffle_hash")
+      .join(oldBands.select(col(idCol).as("old_id"), col("band"), col("bucket"))
+        .hint("shuffle_hash"), Seq("band", "bucket"))
+      .select("new_id", "old_id").distinct()
+    def setsOf(df: DataFrame) = Par.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
+    cands
+      .join(setsOf(newDf).select(col(idCol).as("new_id"), col("sset").as("sa")), Seq("new_id"))
+      .join(setsOf(oldDf).select(col(idCol).as("old_id"), col("sset").as("sb")), Seq("old_id"))
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   /** 16-bit SimHash from a PRE-MATERIALIZED array of md5(word) hex strings.
     * Bit p is the majority vote of the top bit of hex digit p (digit >= 8),
     * weighted ±1 per token. Static per-position expressions; the hash array

@@ -534,6 +534,73 @@ object ExtQueries {
         "CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99 " +
         "FROM cc")),
 
+    ("x_incr_near_dup", // corpus-refresh dedup: docs >= 250 are the "new
+      // batch", probed against the existing corpus' bands (< 250). Only the
+      // new batch pays signature cost against a persisted band store at
+      // scale (Dedup.writeBands); banding is per-doc, so banding the two
+      // subsets separately equals banding the union — which is what the
+      // oracle does, with the split applied at the candidate join.
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Dedup.incrementalNearDups(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "text", "doc_id", threshold = 0.2)
+          .orderBy("new_id", "old_id")
+      },
+      Some(s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
+        s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
+        "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
+        "AND a.doc_id >= 250 AND b.doc_id < 250), " +
+        "ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh) " +
+        "SELECT new_id, old_id, CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
+        "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) AS jaccard " +
+        "FROM cand JOIN ds x ON x.doc_id = new_id JOIN ds y ON y.doc_id = old_id " +
+        "WHERE CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
+        "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.2 " +
+        "ORDER BY new_id, old_id")),
+
+    ("x_curation_funnel", // the end-to-end curation pipeline in one pass:
+      // quality gate -> language gate -> stratum-free 60% sample -> near-dup
+      // fingerprint dedup, reported as cumulative stage counts. One scan +
+      // one (tiny) agg; every stage reuses an operator oracle-proven above.
+      (s: SparkSession, d: String) => {
+        val staged = graft.ext.Par.ensure(
+            t(s, d, "documents").select("doc_id", "text", "lang"))
+          .withColumn("__ws", split(col("text"), " "))
+          .withColumn("fp",
+            array_min(transform(Dedup.shinglesOfWords(col("__ws"), 3), x => md5(x))))
+          .withColumn("q", round(TextFns.qualityScore(col("text")), 6) >= 0.5)
+          .withColumn("l", col("lang").isin("en", "es", "fr"))
+          .withColumn("smp", Sampling.hashPct(col("doc_id")) < 60)
+        staged.agg(
+          count(lit(1)).as("n_total"),
+          sum(col("q").cast("long")).as("n_quality"),
+          sum((col("q") && col("l")).cast("long")).as("n_lang"),
+          sum((col("q") && col("l") && col("smp")).cast("long")).as("n_sampled"),
+          countDistinct(when(col("q") && col("l") && col("smp"), col("fp")))
+            .as("n_unique"))
+      },
+      Some {
+        val quality = "round(greatest(least(" +
+          "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 - " +
+          "(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 0.3 + " +
+          "(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) AS DOUBLE) " +
+          "/ greatest(len(string_split(text, ' ')), 1)) * 0.5 + 0.3, 1.0), 0.0), 6)"
+        s"$ShingleCte, fp AS (SELECT doc_id, min(md5(s)) AS f FROM u GROUP BY doc_id), " +
+          s"base AS (SELECT d.doc_id, $quality >= 0.5 AS q, " +
+          "d.lang IN ('en', 'es', 'fr') AS l, " +
+          s"${hexToIntSql("substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)")} % 100 < 60 AS smp, " +
+          s"f FROM $Docs d JOIN fp ON d.doc_id = fp.doc_id) " +
+          "SELECT count(*) AS n_total, " +
+          "CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
+          "CAST(sum(CASE WHEN q AND l THEN 1 ELSE 0 END) AS BIGINT) AS n_lang, " +
+          "CAST(sum(CASE WHEN q AND l AND smp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, " +
+          "CAST(count(DISTINCT CASE WHEN q AND l AND smp THEN f END) AS BIGINT) AS n_unique " +
+          "FROM base"
+      }),
+
     ("x_source_cap", // per-source quota (domain caps à la CCNet): keep the
       // cap lowest-id docs per source; one shuffle on source, deterministic
       // rank, summary audited per source.

@@ -87,6 +87,38 @@ class DedupSpec extends SparkTestBase {
     assert(got === 4)
   }
 
+  test("incremental near-dup: equals the cross-batch slice of the full dedup") {
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+    val full = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        "text", "doc_id", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full emits (a < b); incremental emits (new, old) = (b, a) for exactly
+    // the pairs straddling the split
+    val expected = full.filter { case (a, b) => a < 250 && b >= 250 }
+      .map { case (a, b) => (b, a) }
+    assert(incr === expected)
+    assert(incr.nonEmpty, "split must produce cross-batch pairs at sf0.001")
+  }
+
+  test("band store: partitioned by band, probe of one band prunes the rest") {
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+    val bands = Dedup.lshBands(Dedup.minhashSig(docs, "text", "doc_id"), "doc_id")
+    val path = java.nio.file.Files.createTempDirectory("graft_bands").toString
+    Dedup.writeBands(bands, path)
+    val store = spark.read.parquet(path)
+    assert(store.count() === bands.count())
+    val probe = store.filter(col("band") === 2)
+    // partition pruning: the band predicate becomes a PartitionFilter on the
+    // scan (inputFiles can't show this — it lists the unfiltered relation)
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*band".r.findFirstIn(planStr).isDefined,
+      planStr.take(1200))
+    assert(probe.select("doc_id").count() > 0)
+  }
+
   test("wordShingles: k-grams with short-text fallback") {
     val got = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.wordShingles(col("t"), 3)).collect()
