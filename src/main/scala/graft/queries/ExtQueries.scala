@@ -534,6 +534,27 @@ object ExtQueries {
         "CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99 " +
         "FROM cc")),
 
+    ("x_repetition", // Gopher-style repetition signal: 1 - distinct/total
+      // shingles per doc. Repetitive boilerplate scores high and gets
+      // flagged; pure per-row compute, no shuffle before the final sort.
+      (s: SparkSession, d: String) =>
+        graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+          .select(col("doc_id"), Dedup.shinglesOfWords(col("__ws"), 3).as("sh"))
+          .select(col("doc_id"),
+            size(col("sh")).cast("long").as("n_shingles"),
+            size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+          .withColumn("rep_ratio", round(
+            lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+          .withColumn("repetitive", (col("rep_ratio") > 0.01).cast("long"))
+          .orderBy("doc_id"),
+      Some(s"$ShingleCte SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles, " +
+        "CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct, " +
+        "round(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles), 6) AS rep_ratio, " +
+        "CAST(round(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles), 6) > 0.01 " +
+        "AS BIGINT) AS repetitive " +
+        "FROM sh ORDER BY doc_id")),
+
     ("x_incr_near_dup", // corpus-refresh dedup: docs >= 250 are the "new
       // batch", probed against the existing corpus' bands (< 250). Only the
       // new batch pays signature cost against a persisted band store at
