@@ -534,6 +534,39 @@ object ExtQueries {
         "CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99 " +
         "FROM cc")),
 
+    ("x_tfidf_top", // distinctive terms per doc: tf-idf with an INTEGER
+      // score (tf * 1e6 div df) so both engines rank identically — no libm
+      // log in the hash path. Shape: tokens -> (doc,term) tf agg -> df agg
+      // (vocabulary-sized, broadcast) -> join -> per-doc top-3 window. At
+      // 100 TB the df table is the vocabulary, which fits a broadcast; if it
+      // ever didn't, the join key (term) is already the shuffle key.
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))
+        tf.join(broadcast(dfT), Seq("term"))
+          .withColumn("score", expr("tf * 1000000 div df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "term", "tf", "df", "score")
+          .orderBy(col("doc_id"), col("score").desc, col("term"))
+      },
+      Some("WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term " +
+        s"FROM $Docs), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT doc_id, t.term, tf, df, tf * 1000000 // df AS score " +
+        "FROM tf t JOIN df USING (term)), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, term) AS rn FROM sc) " +
+        "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, " +
+        "CAST(score AS BIGINT) AS score FROM r WHERE rn <= 3 " +
+        "ORDER BY doc_id, score DESC, term")),
+
     ("x_repetition", // Gopher-style repetition signal: 1 - distinct/total
       // shingles per doc. Repetitive boilerplate scores high and gets
       // flagged; pure per-row compute, no shuffle before the final sort.
