@@ -108,7 +108,13 @@ object Sampling {
     * tiny histogram, then the p-th value is the smallest with cum >= k_p
     * where k_p = ceil(p% * n) computed in INTEGER arithmetic ((n*p + 99)
     * div 100) so both engines pick the identical element — no float
-    * interpolation to drift. */
+    * interpolation to drift.
+    *
+    * Scale caveat: the shrink only helps when |distinct values| << n (true
+    * for token counts, lengths, small-int features). For continuous values
+    * bucket first (e.g. `round(v, 2)` or a width_bucket) — an unbucketed
+    * continuous column degenerates the histogram to corpus size and the
+    * single-partition window becomes the bottleneck. */
   def quantileSummary(values: DataFrame, valueCol: String,
                       ps: Seq[Int]): DataFrame = {
     val hist = values.groupBy(col(valueCol).as("v"))
