@@ -38,7 +38,7 @@ object Bench {
     // 60s..359s in one day); every timing below is a min-of-REPS, the
     // standard noise-floor estimator — a steal burst inflates a sample, it
     // never deflates one, so the min is the honest steady-state number.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
 
     val nBlocks = sys.env.getOrElse("SPARK_GRAFT_INGEST_BLOCKS", "2000").toInt
     val ingestSec =
