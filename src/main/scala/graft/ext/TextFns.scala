@@ -75,6 +75,35 @@ object TextFns {
   /** Winnowing-style shingle fingerprint: minimum shingle hash — equals the
     * first MinHash component, so near-identical docs collide. Hot paths
     * should pass a materialized words column via the Dedup two-step API. */
+  /** Gopher-style repetition stats from a PRE-MATERIALIZED shingle array:
+    * (n_shingles, n_distinct, rounded repetition ratio). Boilerplate repeats
+    * shingles; prose doesn't. */
+  def repetitionStats(shingles: Column): (Column, Column, Column) = {
+    val n = size(shingles).cast("long")
+    val d = size(array_distinct(shingles)).cast("long")
+    (n, d, round(org.apache.spark.sql.functions.lit(1.0) - d.cast("double") / n, 6))
+  }
+
+  /** Distinctive terms: integer-scored tf-idf (tf * 1e6 div df — engine-
+    * exact, no libm log), top-k per document with (score desc, term asc)
+    * tie-break. df side is vocabulary-sized — broadcast; term is already
+    * the shuffle key if the vocabulary ever outgrows that. */
+  def distinctiveTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Par.ensure(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col(idCol), col("score").desc, col("term"))
+  }
+
   def shingleFingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(Dedup.wordShingles(text, k), s => md5(s)))
 }

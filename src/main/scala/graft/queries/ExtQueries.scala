@@ -540,21 +540,8 @@ object ExtQueries {
       // (vocabulary-sized, broadcast) -> join -> per-doc top-3 window. At
       // 100 TB the df table is the vocabulary, which fits a broadcast; if it
       // ever didn't, the join key (term) is already the shuffle key.
-      (s: SparkSession, d: String) => {
-        import org.apache.spark.sql.expressions.Window
-        val toks = graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("score").desc, col("term"))
-        tf.join(broadcast(dfT), Seq("term"))
-          .withColumn("score", expr("tf * 1000000 div df"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select("doc_id", "term", "tf", "df", "score")
-          .orderBy(col("doc_id"), col("score").desc, col("term"))
-      },
+      (s: SparkSession, d: String) =>
+        TextFns.distinctiveTerms(t(s, d, "documents"), "doc_id", "text", 3),
       Some("WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term " +
         s"FROM $Docs), " +
         "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
@@ -570,17 +557,18 @@ object ExtQueries {
     ("x_repetition", // Gopher-style repetition signal: 1 - distinct/total
       // shingles per doc. Repetitive boilerplate scores high and gets
       // flagged; pure per-row compute, no shuffle before the final sort.
-      (s: SparkSession, d: String) =>
-        graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
+      (s: SparkSession, d: String) => {
+        val shingled = graft.ext.Par.ensure(
+            t(s, d, "documents").select("doc_id", "text"))
           .select(col("doc_id"), split(col("text"), " ").as("__ws"))
           .select(col("doc_id"), Dedup.shinglesOfWords(col("__ws"), 3).as("sh"))
-          .select(col("doc_id"),
-            size(col("sh")).cast("long").as("n_shingles"),
-            size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
-          .withColumn("rep_ratio", round(
-            lit(1.0) - col("n_distinct").cast("double") / col("n_shingles"), 6))
+        val (n, dct, ratio) = TextFns.repetitionStats(col("sh"))
+        shingled
+          .select(col("doc_id"), n.as("n_shingles"), dct.as("n_distinct"),
+            ratio.as("rep_ratio"))
           .withColumn("repetitive", (col("rep_ratio") > 0.01).cast("long"))
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
       Some(s"$ShingleCte SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles, " +
         "CAST(len(list_distinct(shingles)) AS BIGINT) AS n_distinct, " +
         "round(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE) / len(shingles), 6) AS rep_ratio, " +

@@ -49,6 +49,29 @@ class TextFnsSpec extends SparkTestBase {
     assert(got(0) !== got(2))
   }
 
+  test("repetitionStats: known-vector ratios, prose vs boilerplate") {
+    val df = Seq("a b c a b c a b c", "all words differ here fully").toDF("t")
+      .select(graft.ext.Dedup.shinglesOfWords(split(col("t"), " "), 3).as("sh"))
+    val (n, d, r) = TextFns.repetitionStats(col("sh"))
+    val rows = df.select(n, d, r).collect()
+    // 9 words -> 7 shingles, 3 distinct ("a b c","b c a","c a b"): 1 - 3/7
+    assert(rows(0).getLong(0) === 7L && rows(0).getLong(1) === 3L)
+    assert(rows(0).getDouble(2) === 0.571429)
+    // 5 words -> 3 shingles, all distinct: ratio 0
+    assert(rows(1).getLong(0) === 3L && rows(1).getDouble(2) === 0.0)
+  }
+
+  test("distinctiveTerms: known-vector scores and tie-breaks") {
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextFns.distinctiveTerms(docs, "doc_id", "text", 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // df: a=2 docs, b=1, c=1. scores: doc1 a=2e6/2=1e6, b=1e6; doc2 c=1e6, a=5e5.
+    // within a doc: score desc then term asc
+    assert(got.toSeq === Seq(
+      (1L, "a", 2L, 2L, 1000000L), (1L, "b", 1L, 1L, 1000000L),
+      (2L, "c", 1L, 1L, 1000000L), (2L, "a", 1L, 2L, 500000L)))
+  }
+
   test("shingleFingerprint equals first minhash component semantics") {
     val df = Seq("a b c d e").toDF("t")
     val fp = df.select(TextFns.shingleFingerprint(col("t"))).collect()(0).getString(0)
