@@ -130,6 +130,25 @@ class SamplingSpec extends SparkTestBase {
     assert(one.length === 1 && one(0).getLong(1) === 0L)
   }
 
+  test("curation funnel: one-pass stage counts equal sequential filtering") {
+    val q = graft.queries.ExtQueries.inventory
+      .find(_._1 == "x_curation_funnel").get._2
+    val row = q(spark, sf0001).collect()(0)
+    assert(row.getAs[Long]("n_total") === docs.count())
+    val qual = docs.filter(round(TextFns.qualityScore(col("text")), 6) >= 0.5)
+    assert(row.getAs[Long]("n_quality") === qual.count())
+    val langd = qual.filter(col("lang").isin("en", "es", "fr"))
+    assert(row.getAs[Long]("n_lang") === langd.count())
+    val samp = langd.filter(Sampling.hashPct(col("doc_id")) < 60)
+    assert(row.getAs[Long]("n_sampled") === samp.count())
+    assert(row.getAs[Long]("n_unique") ===
+      samp.select(TextFns.shingleFingerprint(col("text"))).distinct().count())
+    // the funnel is strictly narrowing
+    val ns = Seq("n_total", "n_quality", "n_lang", "n_sampled", "n_unique")
+      .map(row.getAs[Long])
+    assert(ns === ns.sorted.reverse)
+  }
+
   test("quantile summary: histogram walk equals sorted-array rank pick") {
     val q = Sampling.quantileSummary(
       docs.select(TextFns.tokenCount(col("text")).as("n")), "n", Seq(50, 90, 99))
