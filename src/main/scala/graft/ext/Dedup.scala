@@ -170,6 +170,40 @@ object Dedup {
       .select("new_id", "old_id", "jaccard")
   }
 
+  /** Near-dup CLUSTERS from the pair graph: connected components by
+    * min-label propagation (the GraphX/small-star idea as plain DataFrame
+    * joins). Each node starts labeled with itself; every round it takes the
+    * min label among itself and its neighbors; fixpoint after at most
+    * graph-diameter rounds — near-dup clusters are small, so single digits
+    * in practice, `maxIters` is a backstop not a budget. Each round is one
+    * join + one agg (shuffles on node id); `localCheckpoint` truncates the
+    * growing lineage so round N doesn't replan rounds 1..N-1. Returns
+    * (id, cluster_id = min reachable id): keep-one-per-cluster is then a
+    * filter on id == cluster_id. */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("s"), col("b_id").as("t"))
+      .union(pairs.select(col("b_id").as("s"), col("a_id").as("t")))
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("cid", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("t") === labels("id"))
+        .groupBy(col("s")).agg(min("cid").as("ncid"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("s"), "left")
+        .select(col("id"),
+          least(col("cid"), coalesce(col("ncid"), col("cid"))).as("cid"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cid") =!= col("o.cid")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 16-bit SimHash from a PRE-MATERIALIZED array of md5(word) hex strings.
     * Bit p is the majority vote of the top bit of hex digit p (digit >= 8),
     * weighted ±1 per token. Static per-position expressions; the hash array

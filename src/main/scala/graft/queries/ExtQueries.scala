@@ -534,6 +534,39 @@ object ExtQueries {
         "CAST(min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99 " +
         "FROM cc")),
 
+    ("x_dedup_clusters", // pairs -> clusters: connected components over the
+      // verified near-dup graph by min-label propagation (diameter-bounded
+      // DataFrame join rounds). cluster_id = min reachable doc_id; the
+      // keep-one-per-cluster decision is then `id == cluster_id`. Oracle:
+      // recursive-CTE transitive closure over the same pair set.
+      (s: SparkSession, d: String) => {
+        val pairs = Dedup.nearDupPairs(t(s, d, "documents"), "text", "doc_id",
+            threshold = 0.2)
+          .select("a_id", "b_id")
+        Dedup.dedupClusters(pairs)
+          .select(col("id").as("doc_id"), col("cid").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val sql = s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
+          s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
+          "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+          "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+          "ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh), " +
+          "pairs AS (SELECT a_id, b_id FROM cand " +
+          "JOIN ds x ON x.doc_id = a_id JOIN ds y ON y.doc_id = b_id " +
+          "WHERE CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
+          "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.2), " +
+          "e AS (SELECT a_id AS s, b_id AS t FROM pairs " +
+          "UNION ALL SELECT b_id, a_id FROM pairs), " +
+          "reach AS (SELECT s AS a, t AS b FROM e " +
+          "UNION SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s) " +
+          "SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach " +
+          "GROUP BY a ORDER BY doc_id"
+        sql.replaceFirst("WITH ", "WITH RECURSIVE ")
+      }),
+
     ("x_tfidf_top", // distinctive terms per doc: tf-idf with an INTEGER
       // score (tf * 1e6 div df) so both engines rank identically — no libm
       // log in the hash path. Shape: tokens -> (doc,term) tf agg -> df agg

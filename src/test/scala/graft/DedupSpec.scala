@@ -103,6 +103,15 @@ class DedupSpec extends SparkTestBase {
     assert(incr.nonEmpty, "split must produce cross-batch pairs at sf0.001")
   }
 
+  test("dedupClusters: min-label propagation over a known pair graph") {
+    // chain 1-2-3-7 needs multiple propagation rounds; 10-11 is a 2-cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 7L)).toDF("a_id", "b_id")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("band store: partitioned by band, probe of one band prunes the rest") {
     val docs = graft.queries.Td.t(spark, sf0001, "documents")
     val bands = Dedup.lshBands(Dedup.minhashSig(docs, "text", "doc_id"), "doc_id")
