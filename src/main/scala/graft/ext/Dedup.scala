@@ -181,8 +181,12 @@ object Dedup {
     * (id, cluster_id = min reachable id): keep-one-per-cluster is then a
     * filter on id == cluster_id. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("s"), col("b_id").as("t"))
-      .union(pairs.select(col("b_id").as("s"), col("a_id").as("t")))
+    // Materialize the pair set BEFORE the symmetric union: both union
+    // branches read the checkpointed rows instead of each re-running the
+    // (potentially expensive — e.g. full near-dup) upstream pipeline.
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("a_id").as("s"), col("b_id").as("t"))
+      .union(p.select(col("b_id").as("s"), col("a_id").as("t")))
       .localCheckpoint()
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("cid", col("id")).localCheckpoint()
