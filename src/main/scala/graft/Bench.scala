@@ -41,19 +41,21 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
 
     val nBlocks = sys.env.getOrElse("SPARK_GRAFT_INGEST_BLOCKS", "2000").toInt
-    val ingestSec =
+    // try per REP, not around all reps: one failed rep must not discard
+    // another rep's clean sample (min-of-reps noise model).
+    val ingestSamples = (1 to reps).flatMap { r =>
       try {
-        (1 to reps).map { _ =>
-          val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
-          val env = syntheticEnvelopes(spark, nBlocks)
-          val t0 = System.nanoTime()
-          graft.streaming.StreamingIngest.ingestBatch(wh, env)
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
+        val env = syntheticEnvelopes(spark, nBlocks)
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIngest.ingestBatch(wh, env)
+        Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] ingest FAILED: ${e.getMessage}"); -1.0
+          System.err.println(s"[bench] ingest rep $r FAILED: ${e.getMessage}"); None
       }
+    }
+    val ingestSec = if (ingestSamples.nonEmpty) ingestSamples.min else -1.0
     val blocksPerMin =
       if (ingestSec > 0) f"${nBlocks * 60.0 / ingestSec}%.0f" else "-1"
     System.err.println(
@@ -79,27 +81,35 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toLong
     val benchStart = System.nanoTime()
     def withinBudget = (System.nanoTime() - benchStart) / 1e9 < budgetSec
+    val everOk = scala.collection.mutable.Set.empty[String]
     for (r <- 1 to reps; (name, fn) <- named if !bad(name) && (r == 1 || withinBudget)) {
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        everOk += name
         System.err.println(f"[bench] pass $r $name $sec%.2f s")
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $name FAILED pass $r: ${e.getMessage}")
         bad += name
-        best(name) = (System.nanoTime() - t0) / 1e9
+        // a clean earlier-pass minimum stays authoritative — a later-pass
+        // failure (e.g. environment) must not replace it with time-to-failure
+        if (!best.contains(name)) best(name) = (System.nanoTime() - t0) / 1e9
       }
     }
-    val results = named.map { case (name, _) => (name, best(name), !bad(name)) }
+    // failed = never succeeded in any pass; succeeded-then-failed is flaky
+    // (timing valid, flagged separately), consistent with min-of-reps.
+    val results = named.map { case (name, _) => (name, best(name), everOk(name)) }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val flaky = named.collect { case (n, _) if bad(n) && everOk(n) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_queries":${results.size},"reps":$reps,"ingest_blocks_per_min":$blocksPerMin,"ingest_blocks":$nBlocks,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"n_queries":${results.size},"reps":$reps,"ingest_blocks_per_min":$blocksPerMin,"ingest_blocks":$nBlocks,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -23,12 +23,15 @@ object TextFns {
   def punctRatio(text: Column): Column =
     nonAlphaCount(text).cast("double") / greatest(length(text), lit(1))
 
-  /** Fraction of whitespace tokens found in `stopwords`. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val ws = split(text, " ")
+  /** Fraction of tokens from a PRE-MATERIALIZED words column found in
+    * `stopwords` — hot paths that already split pass their array. */
+  def stopwordRatioOfWords(ws: Column, stopwords: Seq[String]): Column =
     size(filter(ws, w => w.isin(stopwords.map(x => x: Any): _*))).cast("double") /
       greatest(size(ws), lit(1))
-  }
+
+  /** Fraction of whitespace tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioOfWords(split(text, " "), stopwords)
 
   /** Count of tokens from `vocab` present in the text. */
   def hitCount(text: Column, vocab: Seq[String]): Column =
@@ -49,14 +52,20 @@ object TextFns {
       .otherwise(lit("fr"))
   }
 
-  /** Simple quality score in [0,1]: length-capped minus punctuation penalty
-    * plus stopword-presence bonus. Deterministic, monotone in its inputs. */
-  def qualityScore(text: Column): Column = {
+  /** Quality score reusing a PRE-MATERIALIZED words column for the stopword
+    * term (the curation funnel shares one split across fingerprint, quality
+    * and language stages). Value-identical to [[qualityScore]]. */
+  def qualityScoreOfWords(text: Column, ws: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val punct = punctRatio(text)
-    val stop = stopwordRatio(text, enStop)
+    val stop = stopwordRatioOfWords(ws, enStop)
     greatest(least(lenScore * 0.5 - punct * 0.3 + stop * 0.5 + lit(0.3), lit(1.0)), lit(0.0))
   }
+
+  /** Simple quality score in [0,1]: length-capped minus punctuation penalty
+    * plus stopword-presence bonus. Deterministic, monotone in its inputs. */
+  def qualityScore(text: Column): Column =
+    qualityScoreOfWords(text, split(text, " "))
 
   /** Document fingerprint: md5 of the lowercased text normalized to
     * [a-z0-9 ] — stable under case/punctuation jitter. */

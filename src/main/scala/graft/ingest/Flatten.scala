@@ -50,8 +50,12 @@ object Flatten {
     * (worker.js:139-140): skip leading whitespace, take an optional sign and
     * the leading digit run — so '123abb' parses to 123 like parseInt, instead
     * of try_cast's null — and degrade to null (never an ANSI abort) when no
-    * digits lead. Accepted divergence: parseInt's hex auto-detect ('0x1f');
-    * RPC gas values are decimal strings. */
+    * digits lead. Accepted divergences: (a) parseInt's hex auto-detect
+    * ('0x1f') — RPC gas values are decimal strings; (b) digit runs beyond
+    * Long range (a 20+-digit gas value) yield null here where JS parseInt
+    * returns an approximate double — gas is bounded by block gas limits
+    * (~1e8), 11 orders of magnitude under Long.MaxValue, so a >19-digit run
+    * is corrupt input and null-on-corrupt matches the rest of the flatten. */
   private def parseIntJs(s: Column): Column =
     regexp_extract(s, "^\\s*([+-]?\\d+)", 1).try_cast("long")
 

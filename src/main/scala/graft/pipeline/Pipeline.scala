@@ -34,15 +34,29 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   private def path(table: String) = s"${cfg.warehouse}/$table"
 
-  private def tableExists(table: String): Boolean =
-    new java.io.File(path(table)).exists()
+  /** Existence goes through the Hadoop FileSystem API (like Store.compact /
+    * tableStats), so a warehouse on s3a://, hdfs://, or any non-local scheme
+    * resolves correctly — a java.io.File check would report every remote
+    * table as missing, silently resetting resume heights and re-seeding the
+    * whole queue on a cluster deployment. */
+  private def tableExists(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
-  /** Read a state/analytic table, empty-but-typed when not yet written. */
-  def readTable(table: String): DataFrame =
-    if (tableExists(table)) spark.read.parquet(path(table))
+  /** Read a state/analytic table, empty-but-typed when not yet written.
+    * Existence is double-probed and the read retried (Store.withReadRetry):
+    * a concurrent Store.compact publish has a millisecond window where the
+    * directory is mid-swap, and a single miss must NOT read as "empty
+    * table" — that would silently reset resume heights and re-seed the
+    * whole queue. */
+  def readTable(table: String): DataFrame = {
+    val exists = tableExists(table) || { Thread.sleep(10); tableExists(table) }
+    if (exists) Store.withReadRetry() { spark.read.parquet(path(table)) }
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schemaOf(table))
+  }
 
   private def schemaOf(table: String) = table match {
     case "blocks" => Schemas.blocks

@@ -610,15 +610,19 @@ object ExtQueries {
         "FROM sh ORDER BY doc_id")),
 
     ("x_incr_near_dup", // corpus-refresh dedup: docs >= 250 are the "new
-      // batch", probed against the existing corpus' bands (< 250). Only the
-      // new batch pays signature cost against a persisted band store at
-      // scale (Dedup.writeBands); banding is per-doc, so banding the two
-      // subsets separately equals banding the union — which is what the
-      // oracle does, with the split applied at the candidate join.
+      // batch", probed against the existing corpus' PERSISTED band store
+      // (< 250; Dedup.writeBands parquet, built once per JVM and read
+      // thereafter — the ingest-time artifact at scale). Only the new batch
+      // pays signature cost; old text is shingled only for candidate docs.
+      // Banding is per-doc, so banding the two subsets separately equals
+      // banding the union — which is what the oracle does, with the split
+      // applied at the candidate join.
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
-        Dedup.incrementalNearDups(
-          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        val store = s.read.parquet(
+          Dedup.bandStorePathFor(s, d, "doc_id", "text", idUpperExclusive = 250L))
+        Dedup.incrementalNearDupsFromBands(
+          docs.filter(col("doc_id") >= 250), store, docs.filter(col("doc_id") < 250),
           "text", "doc_id", threshold = 0.2)
           .orderBy("new_id", "old_id")
       },
@@ -646,7 +650,8 @@ object ExtQueries {
           .withColumn("__ws", split(col("text"), " "))
           .withColumn("fp",
             array_min(transform(Dedup.shinglesOfWords(col("__ws"), 3), x => md5(x))))
-          .withColumn("q", round(TextFns.qualityScore(col("text")), 6) >= 0.5)
+          .withColumn("q",
+            round(TextFns.qualityScoreOfWords(col("text"), col("__ws")), 6) >= 0.5)
           .withColumn("l", col("lang").isin("en", "es", "fr"))
           .withColumn("smp", Sampling.hashPct(col("doc_id")) < 60)
         staged.agg(
@@ -676,6 +681,32 @@ object ExtQueries {
           "FROM base"
       }),
 
+    ("x_stream_dedup_eq", // streaming-dedup batch equivalence: the corpus
+      // fed through firstSeenWins (one MemoryStream micro-batch, generous
+      // watermark so nothing expires) must reproduce the pure-SQL
+      // first-seen ordinal assignment — the streaming operator family's
+      // only hash-checked entry (steady-state streaming semantics stay
+      // spec-tested in StreamingDedupSpec). Event time is monotone in
+      // doc_id, so the oracle is a plain window over (hash, doc_id).
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("text"),
+            timestamp_seconds(lit(1000000000L) + col("doc_id")).as("event_time"))
+          .as[graft.streaming.StreamingDedup.Doc]
+          .collect().toSeq.sortBy(_.doc_id)
+        graft.streaming.StreamingDedup.firstSeenWinsBatchRun(s, docs)
+          .select(col("doc_id"), col("content_hash"),
+            col("is_first").cast("long").as("is_first"), col("dup_ordinal"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, md5(text) AS content_hash, " +
+        "CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_first, " +
+        "CAST(rn - 1 AS BIGINT) AS dup_ordinal FROM " +
+        "(SELECT doc_id, text, row_number() OVER " +
+        s"(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM $Docs) " +
+        "ORDER BY doc_id")),
+
     ("x_source_cap", // per-source quota (domain caps à la CCNet): keep the
       // cap lowest-id docs per source; one shuffle on source, deterministic
       // rank, summary audited per source.
@@ -698,5 +729,63 @@ object ExtQueries {
       Some("SELECT lang, CASE WHEN pct < 90 THEN 'train' WHEN pct < 95 THEN 'val' " +
         "ELSE 'test' END AS split, count(*) AS n FROM " +
         s"(SELECT lang, ${hexToIntSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 100 AS pct " +
-        s"FROM $Docs) GROUP BY 1, 2 ORDER BY lang, split")))
+        s"FROM $Docs) GROUP BY 1, 2 ORDER BY lang, split")),
+
+    // ------------------------------------------------- event-time joins ----
+    ("x_asof_join", // as-of join: each purchase event attributed to the
+      // latest signup of the same user at-or-before it (single-shuffle
+      // union+window trick, plans/AsOf.scala). Oracle: per-left LATERAL
+      // argmax with the same (ts desc, tie desc) pick order — NOT DuckDB's
+      // ASOF JOIN, whose equal-ts tie-break among duplicate right rows is
+      // unspecified. ts flows as epoch MICROS on both engines: Spark reads
+      // the parquet's raw nanos (legacy nanosAsLong) and truncates with an
+      // exact integer div; DuckDB's TIMESTAMP is already micros — nanos
+      // would silently diverge in the sub-micro digits (and overflow
+      // float64 exactness in the comparator).
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val left = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"))
+        val right = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), expr("ts div 1000").as("ts"),
+            col("event_id").as("signup_id"))
+        graft.plans.AsOf.asofJoin(left, right, Seq("user_id"), "ts",
+          pick = Seq("signup_id"), tie = Some("signup_id"))
+          .orderBy("event_id")
+      },
+      Some("WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "r AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS signup_id FROM events " +
+        "WHERE event_type = 'signup') " +
+        "SELECT l.event_id, l.user_id, l.ts, m.ts AS asof_ts, " +
+        "m.signup_id AS asof_signup_id " +
+        "FROM l LEFT JOIN LATERAL (" +
+        "SELECT r.ts, r.signup_id FROM r " +
+        "WHERE r.user_id = l.user_id AND r.ts <= l.ts " +
+        "ORDER BY r.ts DESC, r.signup_id DESC LIMIT 1) m ON true " +
+        "ORDER BY event_id")),
+
+    ("x_sessions", // gap-based sessionization (plans/Sessions.scala): new
+      // session when the same-user gap exceeds 1 hour; per-session rollup
+      // with integer-cents value sum (hash-stable — no double summation
+      // order dependence). ts in epoch micros, same rationale as
+      // x_asof_join.
+      (s: SparkSession, d: String) =>
+        graft.plans.Sessions.summary(
+          t(s, d, "events").withColumn("ts", expr("ts div 1000")),
+          "user_id", "ts",
+          maxGap = 3600L * 1000000L, tie = "event_id",
+          extra = Seq(sum(round(col("value") * 100).cast("long")).as("value_cents")))
+          .orderBy("user_id", "session_id"),
+      Some("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM events), " +
+        "w AS (SELECT *, CASE WHEN lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL " +
+        "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "> 3600000000 THEN 1 ELSE 0 END AS nw FROM e), " +
+        "sess AS (SELECT *, sum(nw) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM w) " +
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
+        "min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
+        "FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id")))
 }

@@ -58,6 +58,15 @@ object Schemas {
       StructField("txs_results", ArrayType(txResult)),
       StructField("finalize_block_events", ArrayType(event)))))))
 
+  /** Raw /tx RPC response shape (per-tx point query, only the fields the
+    * check_msgs debug oracle reads; ref src/tools/check_msgs.js:17-20,36). */
+  val txRpc: StructType = StructType(Seq(
+    StructField("result", StructType(Seq(
+      StructField("hash", StringType),
+      StructField("height", StringType),
+      StructField("tx_result", StructType(Seq(
+        StructField("events", ArrayType(event))))))))))
+
   // --------------------------------------------------------------- catalog --
 
   /** blocks (ref models.js:85-100). created_at is the block time truncated to

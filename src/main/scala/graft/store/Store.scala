@@ -123,6 +123,34 @@ object Store {
     fs.delete(old, true)
   }
 
+  /** Bounded retry for reads racing a [[compact]] publish: between
+    * rename(live→old) and rename(tmp→live) the table directory does not
+    * exist, and an in-flight scan planned against pre-swap files can hit
+    * vanished files once the old generation is deleted. Both surface as
+    * path-missing/file-not-found failures — transient by construction, the
+    * swap completes in milliseconds — so retry those a few times and
+    * propagate everything else untouched. Single-driver deployments never
+    * hit this; sustained multi-reader concurrency should upgrade to
+    * versioned dirs + a pointer file (or Delta) instead. */
+  def withReadRetry[T](attempts: Int = 6, backoffMs: Long = 50)(body: => T): T = {
+    def vanished(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        (t.getMessage != null &&
+          (t.getMessage.contains("PATH_NOT_FOUND") ||
+            t.getMessage.contains("does not exist") ||
+            t.getMessage.contains("FileNotFoundException"))) ||
+        vanished(t.getCause))
+    var i = 1
+    while (true) {
+      try return body
+      catch {
+        case t: Throwable if vanished(t) && i < attempts =>
+          i += 1; Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** S11 — catalog/size introspection over a warehouse directory of tables
     * (analogue of system.tables/system.parts, ref init_clickhouse.js:464-532). */
   def tableStats(spark: SparkSession, basePath: String): DataFrame = {

@@ -93,4 +93,29 @@ object StreamingDedup {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** Fixture-stream harness for the batch-equivalence CORRECTNESS check
+    * (x_stream_dedup_eq): run `docs` through [[firstSeenWins]] as one
+    * MemoryStream micro-batch (generous watermark/TTL, so nothing expires)
+    * and return the completed result as a batch DataFrame. With one batch
+    * and monotone event times the contract reduces to: per content hash,
+    * ordinal by (event_time, doc_id) order — a plain window in the DuckDB
+    * oracle, making the only otherwise-oracle-free operator family
+    * hash-diffable. */
+  def firstSeenWinsBatchRun(spark: org.apache.spark.sql.SparkSession,
+                            docs: Seq[Doc], lateness: String = "10 minutes",
+                            stateTtlMs: Long = 86400000L): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    ms.addData(docs)
+    // unique memory-sink name: Verify and Bench may run this several times
+    // in one session
+    val name = "graft_stream_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = firstSeenWins(ms.toDS(), lateness, stateTtlMs)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }

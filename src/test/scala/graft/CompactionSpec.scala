@@ -50,6 +50,38 @@ class CompactionSpec extends SparkTestBase {
     assert(buckets === Set("height_bucket=0", "height_bucket=1"))
   }
 
+  test("compact publish window: concurrent retried reads never fail, counts stay sane") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact3").toString
+    val p = s"$dir/state"
+    Seq((1L, "a", 1), (2L, "b", 1), (1L, "c", 2)).toDF("id", "s", "v")
+      .write.mode("append").parquet(p)
+
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val reader = new Thread(() => {
+      while (!stop) {
+        try counts.add(Store.withReadRetry() { spark.read.parquet(p).count() })
+        catch { case t: Throwable => failures.add(t); stop = true }
+      }
+    })
+    reader.start()
+    try {
+      // repeated compacts maximize the chance a read lands in the publish
+      // window; appends between them keep each compact non-trivial
+      (1 to 5).foreach { i =>
+        Seq((i.toLong + 10, "x", i)).toDF("id", "s", "v")
+          .write.mode("append").parquet(p)
+        Store.compact(spark, p, Seq("id"), Some("v"))
+      }
+    } finally { stop = true; reader.join(30000) }
+    assert(failures.isEmpty, s"concurrent read failed: ${failures.peek()}")
+    assert(!counts.isEmpty, "reader thread never completed a read")
+    // every observed count is a legal table size (post-compact sizes range
+    // from the initial 4 rows down/up through the appended generations)
+    counts.forEach(c => assert(c >= 2L && c <= 9L, s"implausible count $c"))
+  }
+
   test("A16: observe() metrics surface via QueryExecutionListener") {
     import graft.pipeline.{Pipeline, PipelineConfig}
     val metrics = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()

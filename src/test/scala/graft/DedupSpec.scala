@@ -112,6 +112,67 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupClusters: deep chain (diameter 34) converges in log rounds") {
+    // a web-boilerplate-style near-dup CHAIN: a naive one-hop propagation
+    // needs diameter rounds (> the default 20); pointer jumping must close
+    // it well within the budget, with every node labeled by the chain min
+    val pairs = (1L until 35L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Dedup.dedupClusters(pairs, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 35)
+    assert(got.values.toSet === Set(1L))
+  }
+
+  test("dedupClusters: non-convergence throws, never returns partial labels") {
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(pairs, maxIters = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("simhash16 single-pass equals the per-bit reference formulation") {
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+    val wh = transform(split(col("text"), " "), w => md5(w))
+    val high = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val perBit = (1 to 16).map { p =>
+      val vote = aggregate(
+        transform(wh, h =>
+          when(substring(h, p, 1).isin(high.map(x => x: Any): _*), lit(1))
+            .otherwise(lit(-1))),
+        lit(0), (acc, v) => acc + v)
+      when(vote >= 0, lit(1L << (p - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val mismatches = docs
+      .select(Dedup.simhash16FromHashes(wh).as("a"), perBit.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("incremental near-dup from the persisted band store: equal result, store is scanned") {
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+    val storePath = Dedup.bandStorePathFor(spark, sf0001, "doc_id", "text",
+      idUpperExclusive = 250L)
+    val store = spark.read.parquet(storePath)
+    val fromStore = Dedup.incrementalNearDupsFromBands(
+      docs.filter(col("doc_id") >= 250), store, docs.filter(col("doc_id") < 250),
+      "text", "doc_id", threshold = 0.2)
+    // the probe's old side must come from the band-store parquet (lineage
+    // inspected with materialization off — localCheckpoint would hide it)
+    val visible = Dedup.incrementalNearDupsFromBands(
+      docs.filter(col("doc_id") >= 250), store, docs.filter(col("doc_id") < 250),
+      "text", "doc_id", threshold = 0.2, materializeCands = false)
+    assert(visible.inputFiles.exists(_.contains(storePath)),
+      s"band store $storePath not in ${visible.inputFiles.take(5).mkString(",")}")
+    val inline = Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+      "text", "doc_id", threshold = 0.2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(fromStore) === key(inline))
+    assert(key(fromStore).nonEmpty)
+  }
+
   test("band store: partitioned by band, probe of one band prunes the rest") {
     val docs = graft.queries.Td.t(spark, sf0001, "documents")
     val bands = Dedup.lshBands(Dedup.minhashSig(docs, "text", "doc_id"), "doc_id")

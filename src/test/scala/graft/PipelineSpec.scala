@@ -216,4 +216,42 @@ class PipelineSpec extends SparkTestBase {
     assert(stamps.map(_.getLong(1)).toSeq === Seq(10L, 20L, 30L))
     assert(stamps.map(_.getLong(0)).distinct.length === 3, "stamps must be unique")
   }
+
+  test("warehouse on a non-file: URI scheme: resume + seed survive (Hadoop FS table IO)") {
+    // mockfs:// resolves through the Hadoop FileSystem API only — a
+    // java.io.File existence check against the URI string is always false,
+    // which used to reset resume heights and re-seed everything on any
+    // non-local warehouse (the s3a/hdfs deployment landmine).
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_mock").toString
+    val wh = s"mockfs://$dir"
+    val p = new Pipeline(spark, PipelineConfig(
+      warehouse = wh, startHeight = 1, assignRange = 10, numWorkers = 2,
+      backfillMode = true, now = () => { clock += 1; clock }))
+    assert(p.runOnce(tip = 25, fetch = iv => envelopes(iv.start to iv.end))
+      === Some(Iv(1, 10)))
+    assert(p.lastIndexedHeight() === 10L)
+    // a FRESH instance over the same remote-scheme warehouse resumes (no
+    // height reset) and does not re-seed the already-queued range
+    val p2 = new Pipeline(spark, PipelineConfig(
+      warehouse = wh, startHeight = 1, assignRange = 10, numWorkers = 2,
+      backfillMode = true, now = () => { clock += 1; clock }))
+    assert(p2.lastIndexedHeight() === 10L)
+    assert(p2.runOnce(tip = 25, fetch = iv => envelopes(iv.start to iv.end))
+      === Some(Iv(11, 20)))
+    val statuses = p2.workQueue().orderBy("id").collect()
+      .map(r => (r.getAs[Long]("start_height"), r.getAs[String]("status")))
+    assert(statuses.count(_._2 == "done") === 2)
+    assert(statuses.map(_._1).distinct.length === statuses.length,
+      "re-seeding duplicated work items")
+  }
+}
+
+/** RawLocalFileSystem re-registered under a non-file scheme: mockfs:// paths
+  * hit the local disk, but ONLY through the Hadoop FileSystem API — exactly
+  * what a java.io.File-based existence check cannot see. */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
 }
