@@ -95,6 +95,29 @@ class PlanSpec extends SparkTestBase {
     assert(aggIdx > windowIdx, "histogram agg must sit BELOW the window in the plan")
   }
 
+  test("x_asof_join: single-shuffle union+window — no join operator, no fan-out") {
+    // The as-of trick's whole point: the only exchange is the hash partition
+    // on the key that ANY join on it would pay, and no row ever multiplies
+    // through a range-join blow-up.
+    val p = plan("x_asof_join")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Window"), p.take(1500))
+    assert(p.contains("Union"), p.take(1500))
+  }
+
+  test("x_sessions: both windows + the rollup share one key partitioning") {
+    val p = plan("x_sessions")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("Window"), p.take(1500))
+    // lag-flag window and running-sum window share (user_id; ts, event_id):
+    // Catalyst plans them into window evaluation over ONE hash exchange, and
+    // the (user_id, session_id) agg rides the same partitioning — the output
+    // sort's range exchange is the only other network round.
+    val hashExchanges = p.linesIterator
+      .count(l => l.trim.startsWith("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"$hashExchanges hash exchanges:\n${p.take(2500)}")
+  }
+
   test("whole-stage codegen active in flagship plan") {
     // AQE wraps the plan pre-execution; disable it for this one inspection so
     // the WholeStageCodegen spans are visible in the physical plan.
