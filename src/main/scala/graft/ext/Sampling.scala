@@ -30,6 +30,15 @@ object Sampling {
   def hashPct(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
 
+  /** Deterministic training-order shuffle key: md5 over a salted id. A new
+    * epoch's reshuffle is a new salt — reproducible across runs and engines
+    * (`rand()` is neither) and stable under corpus growth. Global top-k by
+    * this key is TakeOrderedAndProject (no full sort); materializing a full
+    * shuffled corpus sorts WITHIN output partitions by the same key after a
+    * hash repartition on it — no global order needed for training shards. */
+  def shuffleHash(id: Column, salt: String): Column =
+    md5(concat_ws(":", lit(salt), id.cast("string")))
+
   /** Keep a document iff hashPct(id) < rate(stratum); unknown strata drop. */
   def stratifiedKeep(id: Column, stratum: Column, rates: Map[String, Int]): Column = {
     val rate = rates.foldLeft(lit(0)) { case (acc, (k, v)) =>

@@ -115,4 +115,29 @@ object TextFns {
 
   def shingleFingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(Dedup.wordShingles(text, k), s => md5(s)))
+
+  /** Eval-set decontamination — the GPT-3/Dolma-style n-gram overlap check:
+    * corpus documents sharing ANY word n-gram with the eval/benchmark set,
+    * with the count of distinct shared n-grams per document (the evidence a
+    * decontamination pass drops or flags them on).
+    *
+    * Scale shape: the eval side is benchmark-sized (MBs against a 100 TB
+    * corpus), so its distinct n-gram set BROADCASTS; the corpus side is one
+    * explode → equi-join → agg on the doc id — linear, no shuffle of the
+    * corpus text beyond the per-doc hit counts. */
+  def contaminationHits(corpus: org.apache.spark.sql.DataFrame,
+                        evalDocs: org.apache.spark.sql.DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int): org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      Par.ensure(df.select(col(idCol), col(textCol)))
+        .select(col(idCol), split(col(textCol), " ").as("__ws"))
+        .select(col(idCol),
+          explode(array_distinct(Dedup.shinglesOfWords(col("__ws"), n))).as("g"))
+    val evalGrams = grams(evalDocs).select("g").distinct()
+    grams(corpus)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits")) // grams are pre-distinct per doc
+  }
 }

@@ -21,13 +21,15 @@ object ExtQueries {
   private val Docs = "read_parquet('{{SF}}/documents.parquet')"
   private val Embs = "read_parquet('{{SF}}/embeddings.parquet')"
 
-  /** Shared DuckDB CTE: word 3-shingles of documents. */
-  private val ShingleCte =
+  /** Shared DuckDB CTE: word k-shingles of documents. */
+  private def shingleCteOf(k: Int): String =
     s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
-      "sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN " +
-      "[array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws)-2)] " +
+      s"sh AS (SELECT doc_id, CASE WHEN len(ws) >= $k THEN " +
+      s"[array_to_string(ws[i:i+${k - 1}], ' ') for i in generate_series(1, len(ws)-${k - 1})] " +
       "ELSE [array_to_string(ws, ' ')] END AS shingles FROM w), " +
       "u AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh)"
+
+  private val ShingleCte = shingleCteOf(3)
 
   /** Parse a hex string to BIGINT (DuckDB has no conv()): fold the chars
     * through a*16 + digit, BIGINT-casting the accumulator seed. */
@@ -730,6 +732,36 @@ object ExtQueries {
         "ELSE 'test' END AS split, count(*) AS n FROM " +
         s"(SELECT lang, ${hexToIntSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 100 AS pct " +
         s"FROM $Docs) GROUP BY 1, 2 ORDER BY lang, split")),
+
+    ("x_decontaminate", // eval-set decontamination (GPT-3/Dolma n-gram
+      // overlap): corpus docs sharing any 5-gram with the eval slice
+      // (doc_id % 97 == 0), with the distinct-shared-gram count. Eval
+      // n-grams broadcast (benchmarks are MBs against a 100 TB corpus);
+      // the corpus side is explode -> equi-join -> per-doc agg, linear.
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        TextFns.contaminationHits(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"${shingleCteOf(5)}, " +
+        "dd AS (SELECT doc_id, UNNEST(list_distinct(shingles)) AS s FROM sh) " +
+        "SELECT dd.doc_id, count(*) AS n_hits FROM dd " +
+        "JOIN (SELECT DISTINCT s FROM dd WHERE doc_id % 97 = 0) ev USING (s) " +
+        "WHERE dd.doc_id % 97 <> 0 GROUP BY 1 ORDER BY doc_id")),
+
+    ("x_shuffle_order", // deterministic training-order shuffle: top-20 docs
+      // by a salted-hash key (new epoch = new salt). Reproducible across
+      // runs/engines where rand() is neither; top-k is
+      // TakeOrderedAndProject — no full sort at corpus scale.
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), Sampling.shuffleHash(col("doc_id"), "epoch0").as("h"))
+          .orderBy("h").limit(20),
+      Some("SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h " +
+        s"FROM $Docs ORDER BY h LIMIT 20")),
 
     // ------------------------------------------------- event-time joins ----
     ("x_asof_join", // as-of join: each purchase event attributed to the

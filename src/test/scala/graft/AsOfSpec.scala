@@ -68,6 +68,35 @@ class AsOfSpec extends SparkTestBase {
       (2L, 1L, 0L, 0L, 1L, 500L)))
   }
 
+  test("asofJoin property: equals the naive range-join + argmax on random data") {
+    import org.scalacheck.{Gen, Prop}
+    val rowGen = for {
+      k <- Gen.chooseNum(1L, 4L)
+      ts <- Gen.chooseNum(0L, 40L) // small domain forces equal-ts collisions
+    } yield (k, ts)
+    val p = Prop.forAll(
+      Gen.listOfN(12, rowGen), Gen.listOfN(12, rowGen)) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("id", "k", "ts")
+      val right = rs.zipWithIndex.map { case ((k, ts), i) =>
+        (k, ts, s"v$i", i.toLong) }.toDF("k", "ts", "v", "rid")
+      val got = AsOf.asofJoin(left, right, Seq("k"), "ts",
+          pick = Seq("v"), tie = Some("rid"))
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[String]("asof_v"))).toMap
+      // naive oracle: per left row, the max-(ts, rid) right row with ts <= l.ts
+      val naive = ls.zipWithIndex.map { case ((k, ts), i) =>
+        val cands = rs.zipWithIndex.filter { case ((rk, rts), _) => rk == k && rts <= ts }
+        i.toLong -> cands.sortBy { case ((_, rts), ri) => (rts, ri) }.lastOption
+          .map { case (_, ri) => s"v$ri" }
+      }.toMap
+      got == naive
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("sessions: equal-ts events order by tie column (stable boundaries)") {
     val ev = Seq((10L, 1L, 100L), (11L, 1L, 100L), (12L, 1L, 250L))
       .toDF("event_id", "user_id", "ts")

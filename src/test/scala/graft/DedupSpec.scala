@@ -173,6 +173,33 @@ class DedupSpec extends SparkTestBase {
     assert(key(fromStore).nonEmpty)
   }
 
+  test("dedupClusters property: equals union-find on random pair graphs") {
+    import org.scalacheck.{Gen, Prop}
+    val pairGen = for {
+      a <- Gen.chooseNum(1L, 24L)
+      b <- Gen.chooseNum(1L, 24L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val p = Prop.forAll(Gen.nonEmptyListOf(pairGen)) { pairs =>
+      val got = Dedup.dedupClusters(pairs.toDF("a_id", "b_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // naive union-find oracle
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p0 = parent.getOrElseUpdate(x, x)
+        if (p0 == x) x else { val r = find(p0); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val naive = parent.keys.map(n => n -> find(n)).toMap
+      got == naive
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("band store: partitioned by band, probe of one band prunes the rest") {
     val docs = graft.queries.Td.t(spark, sf0001, "documents")
     val bands = Dedup.lshBands(Dedup.minhashSig(docs, "text", "doc_id"), "doc_id")

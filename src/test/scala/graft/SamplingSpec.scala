@@ -149,6 +149,24 @@ class SamplingSpec extends SparkTestBase {
     assert(ns === ns.sorted.reverse)
   }
 
+  test("shuffleHash: deterministic order, salt changes it, growth-stable") {
+    import org.apache.spark.sql.functions.col
+    val order1 = docs.select(col("doc_id"), Sampling.shuffleHash(col("doc_id"), "e0").as("h"))
+      .orderBy("h").collect().map(_.getLong(0)).toSeq
+    val order2 = docs.select(col("doc_id"), Sampling.shuffleHash(col("doc_id"), "e0").as("h"))
+      .orderBy("h").collect().map(_.getLong(0)).toSeq
+    assert(order1 === order2, "same salt must reproduce the same order")
+    val orderB = docs.select(col("doc_id"), Sampling.shuffleHash(col("doc_id"), "e1").as("h"))
+      .orderBy("h").collect().map(_.getLong(0)).toSeq
+    assert(order1 !== orderB, "a new epoch salt must reshuffle")
+    assert(order1.sorted !== order1, "hash order must not be id order")
+    // growth-stable: adding docs never reorders existing pairs
+    val half = docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"), Sampling.shuffleHash(col("doc_id"), "e0").as("h"))
+      .orderBy("h").collect().map(_.getLong(0)).toSeq
+    assert(order1.filter(_ < 250) === half)
+  }
+
   test("quantile summary: histogram walk equals sorted-array rank pick") {
     val q = Sampling.quantileSummary(
       docs.select(TextFns.tokenCount(col("text")).as("n")), "n", Seq(50, 90, 99))

@@ -72,6 +72,21 @@ class TextFnsSpec extends SparkTestBase {
       (2L, "c", 1L, 1L, 1000000L), (2L, "a", 1L, 2L, 500000L)))
   }
 
+  test("contaminationHits: shared n-grams found, distinct-counted, clean docs absent") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 2 distinct 5-grams
+      (2L, "totally unrelated words in this document here"),
+      (3L, "quick brown fox jumps over and over again")     // shares 1
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "we saw the quick brown fox jumps over a fence")).toDF("doc_id", "text")
+    val got = TextFns.contaminationHits(corpus, eval, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown fox jumps" and "quick brown fox jumps over";
+    // doc 3 only the latter; doc 2 nothing -> absent from the report
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("shingleFingerprint equals first minhash component semantics") {
     val df = Seq("a b c d e").toDF("t")
     val fp = df.select(TextFns.shingleFingerprint(col("t"))).collect()(0).getString(0)
