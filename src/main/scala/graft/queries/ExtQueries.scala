@@ -486,6 +486,38 @@ object ExtQueries {
           "ORDER BY doc_id"
       }),
 
+    ("x_mm_frames", // frame sampling as a pure expression: 8 evenly spaced
+      // single-byte "frames" per media blob (no decode required — the real
+      // video path samples containers the same way before any codec runs).
+      // Emitted as hex CSV; offsets are exact integer arithmetic on both
+      // engines (trunc(x+1) == floor(x)+1 for positive x).
+      (s: SparkSession, d: String) =>
+        Multimodal.frameSample(
+          Multimodal.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"), 8)
+          .select(col("doc_id"),
+            concat_ws(",", transform(col("frames"), f => lower(hex(f)))).as("frames_hex"))
+          .orderBy("doc_id"),
+      // DuckDB has no substr(BLOB,...): slice the hex rendering instead —
+      // byte p of the blob is chars [2p-1, 2p] of hex(blob)
+      Some("SELECT doc_id, array_to_string([lower(substr(hx, " +
+        "2 * CAST(i * greatest(ln, 1) // 8 + 1 AS INT) - 1, 2)) " +
+        "for i in generate_series(0, 7)], ',') AS frames_hex " +
+        "FROM (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, " +
+        s"octet_length(CAST(text AS BLOB)) AS ln FROM $Docs) ORDER BY doc_id")),
+
+    ("x_mm_resize", // resize as a metadata-contract transform (the pixel op
+      // is codec territory; downstream operators consume the clamped dims).
+      (s: SparkSession, d: String) =>
+        Multimodal.resizeMeta(
+          Multimodal.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"), 48, 32)
+          .select(col("doc_id"), col("meta.format").as("format"),
+            col("meta.width").as("w"), col("meta.height").as("h"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format, " +
+        "CAST(least(doc_id % 64 + 16, 48) AS INT) AS w, " +
+        "CAST(least(doc_id % 48 + 16, 32) AS INT) AS h " +
+        s"FROM $Docs ORDER BY doc_id")),
+
     // ------------------------------------------- sampling / batching -------
     ("x_sample_stratified", // hash-threshold stratified sampling: keep iff
       // md5-derived pct < per-lang rate. Map-side filter (zero shuffles
