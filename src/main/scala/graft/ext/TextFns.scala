@@ -74,8 +74,15 @@ object TextFns {
 
   /** Karp-Rabin polynomial rolling hash over the character stream:
     * h = Σ c_i · 31^(n-i) mod 1e9+7 — the classic document-fingerprint
-    * primitive, as a pure fold expression (codegen-friendly, no UDF). */
+    * primitive, as a native codegen'd expression (one tight loop per row;
+    * see functions/Expressions.scala RollingHash). */
   def rollingHash(text: Column): Column =
+    graft.functions.GraftExpressions.rolling_hash(text)
+
+  /** The pure column-fold formulation — value-identical (TextFnsSpec
+    * asserts), kept as the cross-checkable reference for the native
+    * expression; materializes |chars| single-char strings per row. */
+  def rollingHashFold(text: Column): Column =
     aggregate(
       split(text, ""),
       lit(0L),

@@ -59,6 +59,31 @@ case class MaybeB64Decode(child: Expression)
     copy(child = newChild)
 }
 
+/** Karp-Rabin rolling hash as a codegen'd unary expression: one tight
+  * code-point loop per row, staying inside whole-stage codegen. Replaces
+  * the split("")→aggregate fold in the fingerprint hot path, which
+  * materialized |chars| single-char strings per row (the dominant cost of
+  * x_fingerprint at sf0.1). Value-identical to the fold (spec-asserted). */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Fns.rollingHashStr(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Fns.rollingHashStr($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import GraftBridge.{column, expression}
 
@@ -68,11 +93,16 @@ object GraftExpressions {
   def maybe_b64_decode(c: Column): Column =
     column(MaybeB64Decode(expression(c)))
 
-  /** Register both for the SQL surface (S7): usable from spark.sql(...). */
+  def rolling_hash(c: Column): Column =
+    column(RollingHash(expression(c)))
+
+  /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "format_readable_size", exprs => FormatReadableSize(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "maybe_b64_decode", exprs => MaybeB64Decode(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
   }
 }

@@ -86,6 +86,26 @@ object Fns {
 
   val formatReadableSize: UserDefinedFunction = udf((b: Long) => formatReadableSizeStr(b))
 
+  /** Karp-Rabin rolling-hash core: fold code points through
+    * (acc*31 + cp) mod 1e9+7. One tight loop per row — the expression-fold
+    * formulation (split("") → per-char array → aggregate) materializes
+    * |chars| single-char strings per row. Code points (not UTF-16 units)
+    * match both `ascii()` over empty-regex split pieces (Java splits
+    * between code points) and DuckDB's per-character string_split. Empty
+    * string hashes to 0 like the fold's single-empty-piece ascii('')=0.
+    * Top-level object method => static forwarder callable from
+    * Janino-generated code (see FormatReadableSize). */
+  def rollingHashStr(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** F16 (tx retry): backoff seconds = min(600, 2^attempts * 5).
     * Ref: scripts/retry_failed.js:81-83. */
   def backoffSeconds(attempts: Column): Column =

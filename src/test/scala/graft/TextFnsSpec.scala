@@ -72,6 +72,24 @@ class TextFnsSpec extends SparkTestBase {
       (2L, "c", 1L, 1L, 1000000L), (2L, "a", 1L, 2L, 500000L)))
   }
 
+  test("rollingHash native expression equals the fold formulation (+ edge vectors)") {
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+    val mismatch = docs.select(
+        TextFns.rollingHash(col("text")).as("a"),
+        TextFns.rollingHashFold(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatch === 0L)
+    val edge = Seq("", "a", "abc", "café", "ηξ mixed π").toDF("t")
+      .select(TextFns.rollingHash(col("t")).as("a"),
+        TextFns.rollingHashFold(col("t")).as("b"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) === r.getLong(1), r.toString))
+    // and the codegen'd plan stays codegen'd (no fallback marker)
+    val p = docs.select(TextFns.rollingHash(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Fallback"), p.take(800))
+  }
+
   test("contaminationHits: shared n-grams found, distinct-counted, clean docs absent") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // shares 2 distinct 5-grams
