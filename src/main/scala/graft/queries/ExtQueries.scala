@@ -116,6 +116,30 @@ object ExtQueries {
   private val SampleRates =
     Map("en" -> 10, "zh" -> 25, "de" -> 50, "fr" -> 75, "es" -> 100)
 
+  /** Shared recursive-CTE oracle for near-dup clusters at threshold 0.2:
+    * LSH candidates + true-Jaccard verify -> symmetric edges -> transitive
+    * reachability -> min reachable id per node, exposed as
+    * `clusters(doc_id, cluster_id)` for x_dedup_clusters / x_dedup_keep. */
+  private val ClusterCte = {
+    val sql = s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
+      s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
+      "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
+      "ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh), " +
+      "pairs AS (SELECT a_id, b_id FROM cand " +
+      "JOIN ds x ON x.doc_id = a_id JOIN ds y ON y.doc_id = b_id " +
+      "WHERE CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
+      "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.2), " +
+      "e AS (SELECT a_id AS s, b_id AS t FROM pairs " +
+      "UNION ALL SELECT b_id, a_id FROM pairs), " +
+      "reach AS (SELECT s AS a, t AS b FROM e " +
+      "UNION SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s), " +
+      "clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id " +
+      "FROM reach GROUP BY a)"
+    sql.replaceFirst("WITH ", "WITH RECURSIVE ")
+  }
+
   val inventory: Seq[(String, Q, Option[String])] = Seq(
 
     // ------------------------------------------------------------- dedup --
@@ -581,25 +605,29 @@ object ExtQueries {
           .select(col("id").as("doc_id"), col("cid").as("cluster_id"))
           .orderBy("doc_id")
       },
-      Some {
-        val sql = s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
-          s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
-          "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)), " +
-          "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
-          "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
-          "ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh), " +
-          "pairs AS (SELECT a_id, b_id FROM cand " +
-          "JOIN ds x ON x.doc_id = a_id JOIN ds y ON y.doc_id = b_id " +
-          "WHERE CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
-          "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.2), " +
-          "e AS (SELECT a_id AS s, b_id AS t FROM pairs " +
-          "UNION ALL SELECT b_id, a_id FROM pairs), " +
-          "reach AS (SELECT s AS a, t AS b FROM e " +
-          "UNION SELECT r.a, e.t FROM reach r JOIN e ON r.b = e.s) " +
-          "SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach " +
-          "GROUP BY a ORDER BY doc_id"
-        sql.replaceFirst("WITH ", "WITH RECURSIVE ")
-      }),
+      Some(s"$ClusterCte SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id")),
+
+    ("x_dedup_keep", // the dedup DECISION end-to-end: near-dup pairs ->
+      // connected components -> keep-one-per-cluster (cluster min survives;
+      // docs in no pair survive trivially). One row of corpus-level
+      // accounting — the number a curation run reports.
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+          .select("a_id", "b_id")
+        val clusters = Dedup.dedupClusters(pairs)
+          .select(col("id").as("doc_id"), col("cid"))
+        docs.join(clusters, Seq("doc_id"), "left").agg(
+          count(lit(1)).as("n_total"),
+          sum(col("cid").isNotNull.cast("long")).as("n_in_pairs"),
+          sum((col("cid").isNull || col("cid") === col("doc_id")).cast("long"))
+            .as("n_kept"))
+      },
+      Some(s"$ClusterCte SELECT count(*) AS n_total, " +
+        "CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_pairs, " +
+        "CAST(sum(CASE WHEN c.doc_id IS NULL OR c.cluster_id = d.doc_id " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        s"FROM $Docs d LEFT JOIN clusters c ON d.doc_id = c.doc_id")),
 
     ("x_tfidf_top", // distinctive terms per doc: tf-idf with an INTEGER
       // score (tf * 1e6 div df) so both engines rank identically — no libm
