@@ -56,7 +56,7 @@ object Flatten {
     * returns an approximate double — gas is bounded by block gas limits
     * (~1e8), 11 orders of magnitude under Long.MaxValue, so a >19-digit run
     * is corrupt input and null-on-corrupt matches the rest of the flatten. */
-  private def parseIntJs(s: Column): Column =
+  private[graft] def parseIntJs(s: Column): Column =
     regexp_extract(s, "^\\s*([+-]?\\d+)", 1).try_cast("long")
 
   /** Normalized attribute array with positional index, JS-default semantics. */

@@ -191,4 +191,30 @@ class FlattenSpec extends SparkTestBase {
     assert(f.txs.count() === 1)
     assert(f.blocks.collect()(0).getAs[Int]("txs_results_count") === 2)
   }
+
+  test("parseIntJs property: matches a JS-parseInt model on arbitrary strings") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    // JS `s ? parseInt(s) : null` model, restricted to the documented
+    // contract: decimal strings (no hex auto-detect), digit runs within
+    // Long range (beyond-Long runs yield null here, approx double in JS)
+    def model(s: String): Option[Long] =
+      if (s == null || s.isEmpty) None
+      else """^\s*([+-]?\d+)""".r.findFirstMatchIn(s)
+        .flatMap(m => scala.util.Try(m.group(1).toLong).toOption)
+    val piece = Gen.oneOf(
+      Gen.numStr.map(_.take(18)), Gen.const(" "), Gen.const("  "),
+      Gen.const("+"), Gen.const("-"), Gen.const("abc"), Gen.const("12x9"),
+      Gen.const("0x1A"), Gen.const(""), Gen.const("9.75"), Gen.const("\t7"))
+    val strGen = Gen.listOfN(3, piece).map(_.mkString)
+    val p = Prop.forAll(Gen.listOfN(40, strGen)) { ss =>
+      val got = ss.toDF("s")
+        .select(Flatten.parseIntJs(col("s")).as("v"))
+        .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSeq
+      got == ss.map(model)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
 }
