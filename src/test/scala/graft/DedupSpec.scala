@@ -173,6 +173,11 @@ class DedupSpec extends SparkTestBase {
     assert(key(fromStore).nonEmpty)
   }
 
+  test("dedupClusters: empty pair set converges immediately to empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.dedupClusters(empty).count() === 0L)
+  }
+
   test("dedupClusters property: equals union-find on random pair graphs") {
     import org.scalacheck.{Gen, Prop}
     val pairGen = for {
