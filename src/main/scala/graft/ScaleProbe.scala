@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Sampling, TextFns}
+
+/** Empirical scale probe for the LLM-pipeline operator stack: synthesize an
+  * N-document corpus (100–1000× the shipped fixtures) and time the headline
+  * dedup/text operators on it, printing one JSON line per run.
+  *
+  * Why it exists: the 100 TB design claims (LSH candidates are Σ bucket²
+  * not n², cluster cost scales with the pair graph, sampling/packing are
+  * one-pass) should be MEASURED, not argued. This is the local stand-in for
+  * a cluster soak test; PLANS.md records the resulting scaling table.
+  *
+  * Corpus synthesis: each of the sf base docs is copied `N/|base|` times.
+  * Copy 0 keeps the original text (preserving the base corpus's own
+  * near-dup structure); copies >= 1 re-order words by md5(word ⊕ base ⊕
+  * copy) — a PER-DOCUMENT key, so reordered copies share no shingle runs
+  * with anything (a common sort key would manufacture cross-doc runs out
+  * of overlapping vocabulary and melt LSH into a dense pair clique — the
+  * first version of this probe did exactly that). Word multisets survive,
+  * so token statistics stay realistic.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... java -cp ... graft.ScaleProbe [nDocs]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(50000)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("base_id"), col("text"), col("lang"))
+    val nBase = base.count()
+    val copies = math.max(1L, n / nBase)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale_docs").toString
+    val synth = base
+      .join(spark.range(copies).toDF("k")) // cross: |base| × copies
+      .select(
+        (col("base_id") * copies + col("k")).as("doc_id"),
+        expr("CASE WHEN k = 0 THEN text ELSE concat_ws(' ', transform(" +
+          "array_sort(transform(split(text, ' '), " +
+          "w -> struct(md5(concat(w, CAST(k AS STRING), '|', " +
+          "CAST(base_id AS STRING))) AS h, w AS w))), " +
+          "s -> s.w)) END").as("text"),
+        col("lang"))
+      .repartition(cpus.toInt)
+    synth.write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val nDocs = docs.count()
+
+    def time[T](body: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = body
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+
+    val (tExact, rExact) = time {
+      Dedup.exactDedup(docs, "text", "doc_id").count()
+    }
+    results += "exact_dedup" -> ((tExact, rExact))
+
+    val (tSig, rSig) = time {
+      Dedup.minhashSig(docs, "text", "doc_id").count()
+    }
+    results += "minhash_sig" -> ((tSig, rSig))
+
+    // Stage-level diagnostics: candidate volume is THE LSH health metric
+    // (Σ bucket²); a candidate blow-up shows here before the verify pays it.
+    val (tCand, candN) = time {
+      val sig = Dedup.minhashSig(docs, "text", "doc_id")
+      Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id"), "doc_id").count()
+    }
+    results += "lsh_candidates" -> ((tCand, candN))
+
+    val (tPairs, pairsN) = time {
+      Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+        .select("a_id", "b_id").count()
+    }
+    results += "near_dup_pairs" -> ((tPairs, pairsN))
+
+    val (tClust, rClust) = time {
+      // pairs materialized first so this times the cluster rounds, not a
+      // recompute of the LSH pipeline
+      val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+        .select("a_id", "b_id").localCheckpoint()
+      Dedup.dedupClusters(pairs).count()
+    }
+    results += "pairs_plus_clusters" -> ((tClust, rClust))
+
+    val (tTok, rTok) = time {
+      graft.ext.Par.ensure(docs.select("text"))
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20).count()
+    }
+    results += "token_topk" -> ((tTok, rTok))
+
+    val (tFunnel, rFunnel) = time {
+      val staged = graft.ext.Par.ensure(docs.select("doc_id", "text", "lang"))
+        .withColumn("__ws", split(col("text"), " "))
+        .withColumn("fp",
+          array_min(transform(Dedup.shinglesOfWords(col("__ws"), 3), x => md5(x))))
+        .withColumn("q",
+          round(TextFns.qualityScoreOfWords(col("text"), col("__ws")), 6) >= 0.5)
+        .withColumn("smp", Sampling.hashPct(col("doc_id")) < 60)
+      staged.agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(when(col("q") && col("smp"), col("fp"))).as("n_unique"))
+        .collect()(0).getLong(0)
+    }
+    results += "curation_funnel" -> ((tFunnel, rFunnel))
+
+    val qs = results.map { case (k, (t, rows)) =>
+      "\"" + k + "\":{\"sec\":" + f"$t%.2f" + ",\"rows\":" + rows + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","n_docs":$nDocs,"copies":$copies,"ops":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
