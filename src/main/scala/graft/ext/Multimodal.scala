@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * metadata struct, with decode / feature-extract / frame-sample stages.
   *
   * The Spark-side plumbing here — schema, batch shape, partition-parallel
-  * mapPartitions decode, expression-based sampling — is real and tested. The
-  * codec itself is STUBBED (this container ships no image/audio libraries):
-  * `decodeFeatures` derives a deterministic fake feature vector (a normalized
-  * 16-bin byte histogram) where a real deployment would call the decoder.
-  * Swapping in a real codec changes only the marked function body.
+  * mapPartitions decode, expression-based sampling — is real and tested.
+  * Decode is two-tier: bytes that carry a known image magic (PNG/JPEG/GIF/BMP)
+  * go through a REAL `javax.imageio` decode into pixel statistics; anything
+  * else (audio/video containers this JVM has no codec for, or plain bytes)
+  * falls back to a deterministic normalized 16-bin byte histogram so the
+  * pipeline shape stays total. Both paths emit the same 16-float vector.
   */
 object Multimodal {
 
@@ -41,13 +42,64 @@ object Multimodal {
         (col(idCol) * 40L).as("duration_ms")).as("meta"))
 
   private val NumBins = 16
+  private val LumaBins = 12
 
-  /** ---- STUB DECODE ----
-    * Real impl: decode `content` with an image/audio codec and emit model
-    * features. Fake: a normalized byte histogram — deterministic, preserves
-    * the real batch shape (one iterator pass per partition, primitive-array
-    * feature output). */
+  /** Cheap container sniff on magic bytes — avoids paying an ImageIO reader
+    * probe per row for the (dominant) non-image case. */
+  private[ext] def looksLikeImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||   // PNG
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||  // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||           // GIF
+      (b(0) == 'B' && b(1) == 'M'))                                           // BMP
+
+  /** Real image decode: `javax.imageio` (ships with the JDK — no external
+    * dependency) into a 16-float pixel-stat vector:
+    * dims 0..11 = normalized 12-bin luma histogram (Rec.601 weights),
+    * dim 12/13/14 = mean R/G/B in [0,1], dim 15 = luma std-dev in [0,1].
+    * Returns null if ImageIO has no reader for the bytes (caller falls back). */
+  private[ext] def decodeImageToFeatures(content: Array[Byte]): Array[Float] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    val n = w.toLong * h
+    if (n == 0L) return null
+    val out = new Array[Float](NumBins)
+    var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+    var sumY = 0.0; var sumY2 = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b // Rec.601
+        out(math.min(LumaBins - 1, (luma / 256.0 * LumaBins).toInt)) += 1f
+        sumR += r; sumG += g; sumB += b; sumY += luma; sumY2 += luma * luma
+        x += 1
+      }
+      y += 1
+    }
+    var j = 0
+    while (j < LumaBins) { out(j) /= n; j += 1 }
+    out(12) = (sumR / n / 255.0).toFloat
+    out(13) = (sumG / n / 255.0).toFloat
+    out(14) = (sumB / n / 255.0).toFloat
+    val meanY = sumY / n
+    out(15) = (math.sqrt(math.max(0.0, sumY2 / n - meanY * meanY)) / 255.0).toFloat
+    out
+  }
+
+  /** Decode `content` to a 16-float feature vector. Image bytes (by magic)
+    * take the real `ImageIO` pixel-stat path; everything else gets the
+    * deterministic normalized byte histogram — same shape, always total. */
   def decodeBytesToFeatures(content: Array[Byte]): Array[Float] = {
+    if (looksLikeImage(content)) {
+      val feats = decodeImageToFeatures(content)
+      if (feats != null) return feats
+    }
     val hist = new Array[Float](NumBins)
     if (content != null && content.nonEmpty) {
       var i = 0
@@ -72,7 +124,8 @@ object Multimodal {
       StructField("n_bytes", LongType)))
     val encoder = org.apache.spark.sql.Encoders.row(outSchema)
     media.select("doc_id", "content").mapPartitions { it =>
-      // per-partition codec init would go here
+      // per-partition codec init: no disk-backed ImageInputStream caches
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val bytes = r.getAs[Array[Byte]]("content")
         Row(r.getLong(0), decodeBytesToFeatures(bytes).toSeq,

@@ -35,6 +35,52 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.toSeq.map(_.toSeq) === b.toSeq.map(_.toSeq))
   }
 
+  // ---- real JDK ImageIO decode path ----
+
+  /** Fixture PNG bytes: w×h solid-color image, encoded with the same JDK
+    * codec the decode path reads with. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeBytesToFeatures: real PNG bytes take the ImageIO pixel path") {
+    val red = Multimodal.decodeBytesToFeatures(pngBytes(8, 6, 0xff0000))
+    assert(red.length === 16)
+    // mean R/G/B in dims 12..14: solid red -> (1, 0, 0)
+    assert(math.abs(red(12) - 1f) < 1e-3 && red(13) === 0f && red(14) === 0f)
+    // solid color -> (near-)zero luma std-dev, all luma mass in one bin
+    assert(red(15) < 1e-6f)
+    assert(math.abs(red.take(12).sum - 1f) < 1e-5)
+    assert(red.take(12).count(_ > 0f) === 1)
+    // red luma = 0.299*255 = 76.2 -> bin floor(76.2/256*12) = 3
+    assert(red(3) === 1f)
+
+    val white = Multimodal.decodeBytesToFeatures(pngBytes(4, 4, 0xffffff))
+    assert(white(12) > 0.99f && white(13) > 0.99f && white(14) > 0.99f)
+    assert(white(11) === 1f) // luma 255 -> top bin
+  }
+
+  test("decodeFeatures distributed path decodes real PNGs and falls back on text") {
+    val rows = Seq(
+      (10L, pngBytes(5, 5, 0x00ff00)),                // real image
+      (11L, "not an image".getBytes("UTF-8")),        // fallback histogram
+      (12L, Array[Byte](0x89.toByte, 'P', 'N', 'G'))) // PNG magic, truncated -> fallback
+      .toDF("doc_id", "content")
+    val got = Multimodal.decodeFeatures(rows).orderBy("doc_id").collect()
+    val green = got(0).getSeq[Float](1)
+    assert(math.abs(green(13) - 1f) < 1e-3 && green(12) === 0f) // mean G = 1
+    val text = got(1).getSeq[Float](1)
+    assert(math.abs(text.sum - 1f) < 1e-5) // byte histogram normalized
+    val trunc = got(2).getSeq[Float](1)
+    assert(math.abs(trunc.sum - 1f) < 1e-5) // graceful fallback, no crash
+  }
+
   test("frameSample: n frames from content") {
     val got = Multimodal.frameSample(media.filter(col("doc_id") === 0), 4)
       .collect()(0).getSeq[Array[Byte]](1)
