@@ -77,12 +77,28 @@ object ScaleProbe {
     results += "minhash_sig" -> ((tSig, rSig))
 
     // Stage-level diagnostics: candidate volume is THE LSH health metric
-    // (Σ bucket²); a candidate blow-up shows here before the verify pays it.
+    // (Σ min(bucket, cap)²); a candidate blow-up shows here before the
+    // verify pays it. The first 50 k run of this probe measured 83M
+    // candidates (4068 true pairs) from boilerplate-shingle buckets of 11 k
+    // docs — that finding produced Dedup.DefaultMaxBucket.
     val (tCand, candN) = time {
       val sig = Dedup.minhashSig(docs, "text", "doc_id")
       Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id"), "doc_id").count()
     }
     results += "lsh_candidates" -> ((tCand, candN))
+
+    // Bucket-size health: the largest bucket and how many band rows the
+    // degenerate-bucket cap excludes (0 on healthy corpora).
+    val (tBkt, bktStats) = time {
+      val sizes = Dedup.lshBands(Dedup.minhashSig(docs, "text", "doc_id"), "doc_id")
+        .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      val r = sizes.agg(max("n").as("max_bucket"),
+        sum(when(col("n") > Dedup.DefaultMaxBucket, col("n")).otherwise(0L)).as("dropped"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    results += "max_bucket" -> ((tBkt, bktStats._1))
+    results += "band_rows_dropped" -> ((0.0, bktStats._2))
 
     val (tPairs, pairsN) = time {
       Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)

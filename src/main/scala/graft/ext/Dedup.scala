@@ -98,15 +98,33 @@ object Dedup {
       .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
   }
 
+  /** Degenerate-bucket cap: buckets larger than this are dropped from
+    * candidate generation. Boilerplate shingles ("row row row" runs, common
+    * templates) become the global minimum hash for THOUSANDS of documents,
+    * and one such bucket contributes size² candidate pairs — the ScaleProbe
+    * measured 83M candidates (4068 true pairs) from a 50 k-doc corpus before
+    * this cap existed. Members of a dropped bucket stay eligible through
+    * their other bands, and exact dedup still catches identical texts. The
+    * real test-corpus buckets max out at 16 (sf0.1), so the cap is inert at
+    * gate scale; the DuckDB oracle twins apply the identical cap, so the
+    * hash-compare stays exact at ANY scale. */
+  val DefaultMaxBucket = 1000
+
   /** Candidate near-dup pairs: equi-join on (band, bucket), a < b, distinct.
-    * THE scale property: cost is Σ bucket² per band, not n². The shuffle_hash
-    * hint matters twice: broadcasting a corpus-sized band set would OOM at
-    * scale, and with both sides shuffling the IDENTICAL upstream subplan
-    * (scan → shingles → signature → bands) the exchange is computed once
-    * and reused instead of once per join side. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("a_id"), col("band"), col("bucket")).hint("shuffle_hash")
-    val b = bands.select(col(idCol).as("b_id"), col("band"), col("bucket")).hint("shuffle_hash")
+    * THE scale property: cost is Σ min(bucket, cap)² per band, not n². The
+    * bucket-size window rides the same (band, bucket) hash partitioning the
+    * join needs — no extra shuffle. The shuffle_hash hint matters twice:
+    * broadcasting a corpus-sized band set would OOM at scale, and with both
+    * sides shuffling the IDENTICAL upstream subplan (scan → shingles →
+    * signature → bands) the exchange is computed once and reused instead of
+    * once per join side. */
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val capped = bands.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val a = capped.select(col(idCol).as("a_id"), col("band"), col("bucket")).hint("shuffle_hash")
+    val b = capped.select(col(idCol).as("b_id"), col("band"), col("bucket")).hint("shuffle_hash")
     a.join(b, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -123,9 +141,10 @@ object Dedup {
     * by true shingle Jaccard ≥ threshold. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 8, bandSize: Int = 2, shingleK: Int = 3,
-                   threshold: Double = 0.7): DataFrame = {
+                   threshold: Double = 0.7,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sig = minhashSig(df, textCol, idCol, numHashes, shingleK)
-    val cands = candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol)
+    val cands = candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol, maxBucket)
     // Probed twice (a-side and b-side) by the verify joins, but NOT cached:
     // both probes shuffle the identical subplan hashed by the id, so Spark's
     // ReuseExchange computes the shingle sets once and reuses the shuffle
@@ -163,17 +182,30 @@ object Dedup {
                                    oldDf: DataFrame, textCol: String, idCol: String,
                                    numHashes: Int = 8, bandSize: Int = 2,
                                    shingleK: Int = 3, threshold: Double = 0.7,
-                                   materializeCands: Boolean = true): DataFrame = {
+                                   materializeCands: Boolean = true,
+                                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val newBands = lshBands(minhashSig(newDf, textCol, idCol, numHashes, shingleK),
       idCol, numHashes, bandSize)
+    // Degenerate-bucket cap on the COMBINED (new + old) bucket population —
+    // banding is per-doc, so this equals the batch path's cap over the
+    // unioned corpus (which is exactly what the oracle computes). The union
+    // shuffles once on (band, bucket); both join sides filter from the same
+    // windowed subplan, so the exchange is reused, not recomputed.
+    val unionBands = newBands
+      .select(col(idCol), col("band"), col("bucket"), lit(true).as("__new"))
+      .union(oldBands.select(col(idCol), col("band"), col("bucket"), lit(false).as("__new")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val capped = unionBands.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
     // Materialized once (default): probed by both verify joins AND the
     // old-side candidate prune — without this the new-batch LSH replans 3x.
     // Tests pass materializeCands=false to keep the full lineage visible
     // (localCheckpoint truncates it, hiding the band-store scan from
     // inputFiles assertions).
-    val candsPlan = newBands
+    val candsPlan = capped.filter(col("__new"))
       .select(col(idCol).as("new_id"), col("band"), col("bucket")).hint("shuffle_hash")
-      .join(oldBands.select(col(idCol).as("old_id"), col("band"), col("bucket"))
+      .join(capped.filter(!col("__new"))
+        .select(col(idCol).as("old_id"), col("band"), col("bucket"))
         .hint("shuffle_hash"), Seq("band", "bucket"))
       .select("new_id", "old_id").distinct()
     val cands = if (materializeCands) candsPlan.localCheckpoint() else candsPlan
@@ -197,11 +229,12 @@ object Dedup {
   def incrementalNearDups(newDf: DataFrame, oldDf: DataFrame,
                           textCol: String, idCol: String,
                           numHashes: Int = 8, bandSize: Int = 2,
-                          shingleK: Int = 3, threshold: Double = 0.7): DataFrame = {
+                          shingleK: Int = 3, threshold: Double = 0.7,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val oldBands = lshBands(minhashSig(oldDf, textCol, idCol, numHashes, shingleK),
       idCol, numHashes, bandSize)
     incrementalNearDupsFromBands(newDf, oldBands, oldDf, textCol, idCol,
-      numHashes, bandSize, shingleK, threshold)
+      numHashes, bandSize, shingleK, threshold, maxBucket = maxBucket)
   }
 
   /** Build-once persisted band store per (dataset dir, corpus split, LSH

@@ -57,6 +57,18 @@ object ExtQueries {
       s"md5(CAST(h$b AS VARCHAR) || '|' || CAST(h${b + 1} AS VARCHAR))")
       .mkString("[", ", ", "]")
 
+  /** Twin of Dedup.candidatePairs' degenerate-bucket cap: band rows whose
+    * (band, bucket) population exceeds Dedup.DefaultMaxBucket are excluded
+    * from candidate generation on BOTH engines (count(*) OVER mirrors the
+    * Spark window). Inert at gate scale (max real bucket is 16) — the point
+    * is that the contract stays hash-exact at any corpus size. */
+  private val BandsCte =
+    "bands AS (SELECT doc_id, band, bucket FROM " +
+      "(SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM " +
+      s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
+      "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)) " +
+      s"WHERE bsz <= ${Dedup.DefaultMaxBucket})"
+
   private def simhashTermSql(p: Int): String =
     s"(CASE WHEN 2 * len(list_filter(ws, x -> substr(md5(x), $p, 1) IN " +
       s"('8','9','a','b','c','d','e','f'))) - len(ws) >= 0 THEN ${1L << (p - 1)} ELSE 0 END)"
@@ -121,9 +133,7 @@ object ExtQueries {
     * reachability -> min reachable id per node, exposed as
     * `clusters(doc_id, cluster_id)` for x_dedup_clusters / x_dedup_keep. */
   private val ClusterCte = {
-    val sql = s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
-      s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
-      "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)), " +
+    val sql = s"$SigCte, $BandsCte, " +
       "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
       "ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh), " +
@@ -168,9 +178,7 @@ object ExtQueries {
         Dedup.candidatePairs(Dedup.lshBands(sig, "doc_id"), "doc_id")
           .orderBy("a_id", "b_id")
       },
-      Some(s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
-        s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
-        "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)) " +
+      Some(s"$SigCte, $BandsCte " +
         "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id " +
         "ORDER BY a_id, b_id")),
@@ -250,9 +258,7 @@ object ExtQueries {
           .orderBy("a_id", "b_id"),
       // jaccard = int/int division of identical operands on both engines,
       // so even the unrounded double hash-matches
-      Some(s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
-        s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
-        "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)), " +
+      Some(s"$SigCte, $BandsCte, " +
         "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id), " +
         "ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh) " +
@@ -688,9 +694,7 @@ object ExtQueries {
           "text", "doc_id", threshold = 0.2)
           .orderBy("new_id", "old_id")
       },
-      Some(s"$SigCte, bands AS (SELECT doc_id, band, bucket FROM " +
-        s"(SELECT doc_id, $BandBucketsSql AS bs FROM sig), " +
-        "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)), " +
+      Some(s"$SigCte, $BandsCte, " +
         "cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id FROM bands a " +
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
         "AND a.doc_id >= 250 AND b.doc_id < 250), " +
@@ -744,24 +748,20 @@ object ExtQueries {
       }),
 
     ("x_stream_dedup_eq", // streaming-dedup batch equivalence: the corpus
-      // fed through firstSeenWins (one MemoryStream micro-batch, generous
-      // watermark so nothing expires) must reproduce the pure-SQL
+      // replayed through firstSeenWins as a REAL multi-batch file stream
+      // (doc_id-range chunks, maxFilesPerTrigger=1, parquet sink — no
+      // driver collect on input or output) must reproduce the pure-SQL
       // first-seen ordinal assignment — the streaming operator family's
-      // only hash-checked entry (steady-state streaming semantics stay
-      // spec-tested in StreamingDedupSpec). Event time is monotone in
-      // doc_id, so the oracle is a plain window over (hash, doc_id).
-      (s: SparkSession, d: String) => {
-        import s.implicits._
-        val docs = t(s, d, "documents")
-          .select(col("doc_id"), col("text"),
-            timestamp_seconds(lit(1000000000L) + col("doc_id")).as("event_time"))
-          .as[graft.streaming.StreamingDedup.Doc]
-          .collect().toSeq.sortBy(_.doc_id)
-        graft.streaming.StreamingDedup.firstSeenWinsBatchRun(s, docs)
+      // hash-checked entry (steady-state semantics stay spec-tested in
+      // StreamingDedupSpec). Event time is monotone in doc_id and batches
+      // arrive doc_id-ascending, so the oracle is a plain window over
+      // (hash, doc_id).
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamingDedup
+          .firstSeenWinsFileRun(s, s"$d/documents.parquet")
           .select(col("doc_id"), col("content_hash"),
             col("is_first").cast("long").as("is_first"), col("dup_ordinal"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some("SELECT doc_id, md5(text) AS content_hash, " +
         "CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_first, " +
         "CAST(rn - 1 AS BIGINT) AS dup_ordinal FROM " +

@@ -116,6 +116,60 @@ object StreamingDedup {
     val q = firstSeenWins(ms.toDS(), lateness, stateTtlMs)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    // Force analysis so the plan captures the sink relation, then drop the
+    // temp view — otherwise repeated runs in one session pin every sink's
+    // rows in the catalog for the JVM lifetime.
+    val out = spark.table(name)
+    out.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    out
+  }
+
+  /** File-stream harness: replay a documents parquet directory through
+    * [[firstSeenWins]] as a REAL multi-batch stream — no driver collect on
+    * either side. The corpus is staged as `chunks` doc_id-range files whose
+    * modification times increase with the range, so the file source (which
+    * replays oldest-first) delivers doc_id-ascending micro-batches; event
+    * time is monotone in doc_id, so first-seen-by-arrival equals
+    * first-by-(event_time, doc_id) and the batch-window oracle stays exact.
+    * Output goes to a parquet sink (streaming files, not driver memory) and
+    * is read back as the returned DataFrame. */
+  def firstSeenWinsFileRun(spark: org.apache.spark.sql.SparkSession,
+                           docsParquetDir: String, chunks: Int = 4,
+                           lateness: String = "10 minutes",
+                           stateTtlMs: Long = 7L * 86400000L): DataFrame = {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage").toString
+    val inDir = s"$stage/in"; val outDir = s"$stage/out"; val ckpt = s"$stage/ckpt"
+
+    spark.read.parquet(docsParquetDir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
+        timestamp_seconds(lit(1000000000L) + col("doc_id")).as("event_time"))
+      .repartitionByRange(chunks, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(inDir)
+
+    // part-file name order == range-partition order == doc_id order; stamp
+    // strictly increasing mtimes (60 s apart) so the source's oldest-first
+    // ordering replays them in that order.
+    val parts = new java.io.File(inDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val now = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(now - (parts.length - i).toLong * 60000L)
+    }
+
+    val inStream = spark.readStream
+      .schema("doc_id LONG, text STRING, event_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .as[Doc]
+    val q = firstSeenWins(inStream, lateness, stateTtlMs)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
   }
 }

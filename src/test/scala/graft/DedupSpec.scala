@@ -39,6 +39,24 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("candidatePairs: degenerate buckets above maxBucket are dropped") {
+    // bucket "big" holds 3 docs, "ok" holds 2: with maxBucket=2 only the
+    // "ok" pair survives; members of "big" stay eligible via other bands
+    // (doc 1 and 2 also share bucket "side" in band 1)
+    val bands = Seq(
+      (1L, 0, "big"), (2L, 0, "big"), (3L, 0, "big"),
+      (4L, 0, "ok"), (5L, 0, "ok"),
+      (1L, 1, "side"), (2L, 1, "side"))
+      .toDF("doc_id", "band", "bucket")
+    val capped = Dedup.candidatePairs(bands, "doc_id", maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((4L, 5L), (1L, 2L)))
+    // uncapped keeps the full Σ bucket² set
+    val full = Dedup.candidatePairs(bands, "doc_id", maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
   test("near-dup end-to-end: jaccard-verified pairs at threshold") {
     val got = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -56,6 +56,27 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("firstSeenWinsFileRun: multi-batch file stream matches the batch window") {
+    // a tiny corpus with cross-chunk duplicates: doc_ids 0..19, text cycling
+    // through 5 distinct values so every chunk contains dups of earlier ones
+    val dir = java.nio.file.Files.createTempDirectory("graft_filerun_docs").toString
+    val docs = (0L until 20L).map(i => (i, s"text ${i % 5}", "xx"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.mode("overwrite").parquet(dir)
+
+    val got = StreamingDedup.firstSeenWinsFileRun(spark, dir, chunks = 4)
+      .select("doc_id", "is_first", "dup_ordinal")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+
+    assert(got.size === 20) // every doc emitted, none dropped
+    (0L until 20L).foreach { i =>
+      val expectFirst = i < 5            // first occurrence of each text
+      val expectOrd = i / 5              // one dup per later cycle
+      assert(got(i) === ((expectFirst, expectOrd)),
+        s"doc $i: got ${got(i)}, want ($expectFirst, $expectOrd)")
+    }
+  }
+
   test("exactWithinWatermark: built-in drop suppresses dups in horizon") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Doc]
