@@ -69,6 +69,15 @@ object ExtQueries {
       "LATERAL (SELECT UNNEST(generate_series(1, 4)) AS band, UNNEST(bs) AS bucket)) " +
       s"WHERE bsz <= ${Dedup.DefaultMaxBucket})"
 
+  /** Twin of TextFns.qualityScore over a `text` column (shared by
+    * x_text_quality and the keep-best survivor rule). */
+  private val QualitySql =
+    "greatest(least(" +
+      "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 - " +
+      "(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 0.3 + " +
+      "(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) AS DOUBLE) " +
+      "/ greatest(len(string_split(text, ' ')), 1)) * 0.5 + 0.3, 1.0), 0.0)"
+
   private def simhashTermSql(p: Int): String =
     s"(CASE WHEN 2 * len(list_filter(ws, x -> substr(md5(x), $p, 1) IN " +
       s"('8','9','a','b','c','d','e','f'))) - len(ws) >= 0 THEN ${1L << (p - 1)} ELSE 0 END)"
@@ -435,11 +444,7 @@ object ExtQueries {
         "CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS n_nonalpha, " +
         "round(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) AS DOUBLE) " +
         "/ greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio, " +
-        "round(greatest(least(" +
-        "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5 - " +
-        "(CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) / greatest(length(text), 1)) * 0.3 + " +
-        "(CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','a'))) AS DOUBLE) " +
-        "/ greatest(len(string_split(text, ' ')), 1)) * 0.5 + 0.3, 1.0), 0.0), 6) AS quality " +
+        s"round($QualitySql, 6) AS quality " +
         s"FROM $Docs ORDER BY doc_id")),
 
     ("x_lang_guess",
@@ -634,6 +639,36 @@ object ExtQueries {
         "CAST(sum(CASE WHEN c.doc_id IS NULL OR c.cluster_id = d.doc_id " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
         s"FROM $Docs d LEFT JOIN clusters c ON d.doc_id = c.doc_id")),
+
+    ("x_dedup_keep_best", // the survivor rule real curation uses: keep the
+      // HIGHEST-quality doc per near-dup cluster (not min-id), doc_id as the
+      // deterministic tiebreak — argmax-per-cluster, the Store.latest shape.
+      // One row per cluster: (cluster_id, keep_id, best_q). Quality ranks on
+      // the unrounded double (bit-identical across engines — x_text_quality
+      // hash-proves the formula) and is emitted rounded.
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+          .select("a_id", "b_id")
+        val clusters = Dedup.dedupClusters(pairs)
+          .select(col("id").as("doc_id"), col("cid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy(col("__q").desc, col("doc_id"))
+        docs.join(clusters, Seq("doc_id"))
+          .select(col("doc_id"), col("cid"), TextFns.qualityScore(col("text")).as("__q"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("cid").as("cluster_id"), col("doc_id").as("keep_id"),
+            round(col("__q"), 6).as("best_q"))
+          .orderBy("cluster_id")
+      },
+      Some(s"$ClusterCte SELECT cluster_id, keep_id, best_q FROM " +
+        "(SELECT c.cluster_id, d.doc_id AS keep_id, " +
+        s"round($QualitySql, 6) AS best_q, " +
+        "row_number() OVER (PARTITION BY c.cluster_id " +
+        s"ORDER BY $QualitySql DESC, d.doc_id) AS rn " +
+        s"FROM clusters c JOIN $Docs d ON d.doc_id = c.doc_id) " +
+        "WHERE rn = 1 ORDER BY cluster_id")),
 
     ("x_tfidf_top", // distinctive terms per doc: tf-idf with an INTEGER
       // score (tf * 1e6 div df) so both engines rank identically — no libm
@@ -854,6 +889,40 @@ object ExtQueries {
         "FROM l LEFT JOIN LATERAL (" +
         "SELECT r.ts, r.signup_id FROM r " +
         "WHERE r.user_id = l.user_id AND r.ts <= l.ts " +
+        "ORDER BY r.ts DESC, r.signup_id DESC LIMIT 1) m ON true " +
+        "ORDER BY event_id")),
+
+    ("x_asof_tol", // tolerance-gated as-of: same attribution, but signups
+      // older than 2 days (in epoch-micros units) are nulled out — the
+      // window-gating branch of AsOf.asofJoin (plans/AsOf.scala tolerance
+      // param), which x_asof_join's unbounded variant never exercises.
+      // 2 days sits near the match-age median on this data, so both the
+      // kept and the nulled branch are non-vacuous at every SF. The oracle
+      // gates INSIDE the LATERAL: latest-within-tolerance equals
+      // latest-then-null-if-stale because ts DESC makes the latest match
+      // also the youngest.
+      (s: SparkSession, d: String) => {
+        val ev = t(s, d, "events")
+        val left = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts"))
+        val right = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), expr("ts div 1000").as("ts"),
+            col("event_id").as("signup_id"))
+        graft.plans.AsOf.asofJoin(left, right, Seq("user_id"), "ts",
+          pick = Seq("signup_id"), tie = Some("signup_id"),
+          tolerance = Some(lit(172800000000L)))
+          .orderBy("event_id")
+      },
+      Some("WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "r AS (SELECT user_id, epoch_us(ts) AS ts, event_id AS signup_id FROM events " +
+        "WHERE event_type = 'signup') " +
+        "SELECT l.event_id, l.user_id, l.ts, m.ts AS asof_ts, " +
+        "m.signup_id AS asof_signup_id " +
+        "FROM l LEFT JOIN LATERAL (" +
+        "SELECT r.ts, r.signup_id FROM r " +
+        "WHERE r.user_id = l.user_id AND r.ts <= l.ts " +
+        "AND l.ts - r.ts <= 172800000000 " +
         "ORDER BY r.ts DESC, r.signup_id DESC LIMIT 1) m ON true " +
         "ORDER BY event_id")),
 
