@@ -98,8 +98,22 @@ object Bench {
         if (!best.contains(name)) best(name) = (System.nanoTime() - t0) / 1e9
       }
     }
-    // failed = never succeeded in any pass; succeeded-then-failed is flaky
-    // (timing valid, flagged separately), consistent with min-of-reps.
+    // Succeeded-then-failed gets ONE tiebreak re-run rather than a silent
+    // pass: a repeat failure is reproducible nondeterminism and moves the
+    // query to `failed` (the gate checks failed:[]); a pass keeps the
+    // earlier clean minimum and the query stays flagged `flaky` for
+    // transparency.
+    for ((name, fn) <- named if bad(name) && everOk(name)) {
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        System.err.println(s"[bench] flaky tiebreak $name: passed")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] flaky tiebreak $name FAILED: ${e.getMessage}")
+        everOk -= name
+      }
+    }
+    // failed = never succeeded (or reproducibly failed the tiebreak);
+    // timing stays min-of-clean-reps.
     val results = named.map { case (name, _) => (name, best(name), everOk(name)) }
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }

@@ -16,11 +16,28 @@ object Par {
     * cannot scan into `target` partitions, so it round-robins; anything
     * bigger keeps its scan partitioning. */
   def ensure(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    if (estBytes < BigInt(maxPartBytes) * target) df.repartition(target) else df
+    val plan = df.queryExecution.optimizedPlan
+    plan match {
+      // already round-robined to >= target (e.g. ensure composed twice):
+      // a second shuffle would be pure waste
+      case r: Repartition if r.shuffle && r.numPartitions >= target => df
+      case r: RepartitionByExpression if r.optNumPartitions.exists(_ >= target) => df
+      case _ =>
+        val estBytes = plan.stats.sizeInBytes
+        val small =
+          if (estBytes == BigInt(spark.sessionState.conf.defaultSizeInBytes))
+            // unknown stats (LogicalRDD from createDataFrame / checkpoint):
+            // the conservative default would read as "big" and silently skip
+            // the repartition exactly where few-partition heavy compute is
+            // the hazard — pay the one-off physical partition check instead
+            df.rdd.getNumPartitions < target
+          else
+            estBytes < BigInt(spark.sessionState.conf.filesMaxPartitionBytes) * target
+        if (small) df.repartition(target) else df
+    }
   }
 }
 

@@ -45,18 +45,23 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   }
 
   /** Read a state/analytic table, empty-but-typed when not yet written.
-    * Existence is double-probed and the read retried (Store.withReadRetry):
-    * a concurrent Store.compact publish has a millisecond window where the
-    * directory is mid-swap, and a single miss must NOT read as "empty
-    * table" — that would silently reset resume heights and re-seed the
-    * whole queue. */
-  def readTable(table: String): DataFrame = {
-    val exists = tableExists(table) || { Thread.sleep(10); tableExists(table) }
-    if (exists) Store.withReadRetry() { spark.read.parquet(path(table)) }
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      schemaOf(table))
-  }
+    * The existence probe lives INSIDE Store.withReadRetry (a miss throws and
+    * is retried): a concurrent Store.compact publish has a millisecond
+    * window where the directory is mid-swap, and a single miss must NOT
+    * read as "empty table" — that would silently reset resume heights and
+    * re-seed the whole queue. A genuinely-absent table exhausts the (short)
+    * retry and yields the typed empty frame; the ~100 ms worst case only
+    * happens on the cold-start path. */
+  def readTable(table: String): DataFrame =
+    try Store.withReadRetry(attempts = 4, backoffMs = 30) {
+      if (!tableExists(table))
+        throw new java.io.FileNotFoundException(path(table))
+      spark.read.parquet(path(table))
+    } catch {
+      case _: java.io.FileNotFoundException => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaOf(table))
+    }
 
   private def schemaOf(table: String) = table match {
     case "blocks" => Schemas.blocks

@@ -133,11 +133,20 @@ object Store {
     * hit this; sustained multi-reader concurrency should upgrade to
     * versioned dirs + a pointer file (or Delta) instead. */
   def withReadRetry[T](attempts: Int = 6, backoffMs: Long = 50)(body: => T): T = {
+    // Narrow on purpose: FileNotFoundException (executor-side vanished
+    // files, possibly wrapped — hence the message probe) and the analyzer's
+    // PATH_NOT_FOUND error class. A generic "does not exist" substring
+    // would also retry non-transient AnalysisExceptions (missing column/
+    // table), adding ~300 ms of pointless backoff before propagating.
     def vanished(t: Throwable): Boolean =
       t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+        (t match {
+          case e: org.apache.spark.sql.AnalysisException =>
+            e.getErrorClass == "PATH_NOT_FOUND"
+          case _ => false
+        }) ||
         (t.getMessage != null &&
           (t.getMessage.contains("PATH_NOT_FOUND") ||
-            t.getMessage.contains("does not exist") ||
             t.getMessage.contains("FileNotFoundException"))) ||
         vanished(t.getCause))
     var i = 1
