@@ -222,19 +222,37 @@ object Similarity {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** `warehouse` = Some(base): the index lives under that base on whatever
+    * Hadoop FS scheme it names (s3a://, hdfs://, …) and is reused across
+    * JVMs via its _SUCCESS marker — the production shape. None (bench/test
+    * default) uses a JVM-local temp dir. The source-data fingerprint in the
+    * cache key rebuilds the index if embeddings.parquet changes in-process. */
   def indexPathFor(spark: org.apache.spark.sql.SparkSession, dir: String,
                    centroids: Array[Array[Double]],
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   excludeId: Option[Long] = Some(0L)): String =
-    indexCache.getOrElseUpdate(
-      s"$dir#$idCol#$vecCol#$excludeId#${centroidFingerprint(centroids)}", {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivf_idx").toString
-      val base = spark.read.parquet(s"$dir/embeddings.parquet")
-      val em = excludeId.fold(base)(x => base.filter(col(idCol) =!= x))
-      ivfWriteIndex(em, idCol, vecCol, centroids, path)
+                   excludeId: Option[Long] = Some(0L),
+                   warehouse: Option[String] = None): String = {
+    val key = s"$dir#$idCol#$vecCol#$excludeId#${centroidFingerprint(centroids)}" +
+      s"#${Dedup.dataFingerprint(spark, s"$dir/embeddings.parquet")}#$warehouse"
+    indexCache.getOrElseUpdate(key, {
+      val path = warehouse match {
+        case Some(w) =>
+          val tag = java.security.MessageDigest.getInstance("MD5")
+            .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+          s"$w/ivf_idx_$tag"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        val em = excludeId.fold(base)(x => base.filter(col(idCol) =!= x))
+        ivfWriteIndex(em, idCol, vecCol, centroids, path)
+      }
       path
     })
+  }
 
   /** Query over the materialized index. The probe lists come from a
     * driver-side argmin over the (tiny) centroid artifact, so the `list IN`

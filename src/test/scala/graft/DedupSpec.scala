@@ -239,6 +239,62 @@ class DedupSpec extends SparkTestBase {
     assert(probe.select("doc_id").count() > 0)
   }
 
+  test("band store lifecycle: two appended generations probe as one store") {
+    // "appended as the corpus grows": generation 1 = docs < 150, generation
+    // 2 = docs in [150, 250) — probing across both generations must equal
+    // the inline recompute over the union, and band pruning must survive
+    // the multi-generation layout.
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_bands_gen").toString
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSig(df, "text", "doc_id"), "doc_id")
+    Dedup.writeBands(bandsOf(docs.filter(col("doc_id") < 150)), path)
+    Dedup.writeBands(bandsOf(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 250)), path)
+    val store = spark.read.parquet(path)
+    assert(store.count() === bandsOf(docs.filter(col("doc_id") < 250)).count())
+
+    val fromStore = Dedup.incrementalNearDupsFromBands(
+      docs.filter(col("doc_id") >= 250), store, docs.filter(col("doc_id") < 250),
+      "text", "doc_id", threshold = 0.2)
+    val inline = Dedup.incrementalNearDups(
+      docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+      "text", "doc_id", threshold = 0.2)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(fromStore) === key(inline))
+    assert(key(fromStore).nonEmpty)
+
+    // pruning still holds across generations
+    val probe = store.filter(col("band") === 1)
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*band".r.findFirstIn(planStr).isDefined,
+      planStr.take(1200))
+  }
+
+  test("bandStorePathFor: warehouse URI on the Hadoop FS API, rebuilt on data change") {
+    // scheme-qualified URI (file:/…) exercises the FS-resolution path a
+    // bare java.io path never does; same code path serves s3a://, hdfs://
+    val wh = "file:" + java.nio.file.Files
+      .createTempDirectory("graft_band_wh").toString
+    val p1 = Dedup.bandStorePathFor(spark, sf0001, "doc_id", "text",
+      idUpperExclusive = 250L, warehouse = Some(wh))
+    assert(p1.startsWith(wh))
+    val fs = new org.apache.hadoop.fs.Path(p1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p1/_SUCCESS")))
+    assert(spark.read.parquet(p1).count() > 0)
+    // same inputs -> same cached path; the fingerprint keys on the SOURCE
+    // dataset, so an unchanged source reuses the artifact
+    assert(Dedup.bandStorePathFor(spark, sf0001, "doc_id", "text",
+      idUpperExclusive = 250L, warehouse = Some(wh)) === p1)
+    // a different split is a different artifact under the same warehouse
+    val p2 = Dedup.bandStorePathFor(spark, sf0001, "doc_id", "text",
+      idUpperExclusive = 150L, warehouse = Some(wh))
+    assert(p2 !== p1)
+    assert(p2.startsWith(wh))
+  }
+
   test("wordShingles: k-grams with short-text fallback") {
     val got = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.wordShingles(col("t"), 3)).collect()

@@ -181,4 +181,24 @@ class SimilaritySpec extends SparkTestBase {
     val p2 = Similarity.indexPathFor(spark, sf0001, c2)
     assert(p2 !== p1)
   }
+
+  test("indexPathFor: warehouse URI on the Hadoop FS API, probed through the index") {
+    val c1 = Similarity.centroidsFor(spark, sf0001)
+    val wh = "file:" + java.nio.file.Files
+      .createTempDirectory("graft_ivf_wh").toString
+    val p1 = Similarity.indexPathFor(spark, sf0001, c1, warehouse = Some(wh))
+    assert(p1.startsWith(wh))
+    val fs = new org.apache.hadoop.fs.Path(p1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p1/_SUCCESS")))
+    assert(Similarity.indexPathFor(spark, sf0001, c1, warehouse = Some(wh)) === p1)
+    // the warehouse-built index answers queries like the temp one
+    import org.apache.spark.sql.functions.col
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = em.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val got = Similarity.ivfTopKIndexed(spark, p1, "vec_id", "embedding",
+      q, k = 5, c1)
+    assert(got.count() === 5)
+  }
 }
