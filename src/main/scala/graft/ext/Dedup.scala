@@ -86,7 +86,8 @@ object Dedup {
     * (Spark ANSI and DuckDB both throw on overflow), and the DuckDB oracle
     * reproduces the values bit-for-bit via hex parsing. */
   def minhashSig(df: DataFrame, textCol: String, idCol: String,
-                 numHashes: Int = 8, shingleK: Int = 3): DataFrame = {
+                 numHashes: Int = 8, shingleK: Int = 3,
+                 withSetSize: Boolean = false): DataFrame = {
     require(numHashes <= 16, "56-bit halves guarantee no overflow only for i < 16")
     val withShingles = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
@@ -96,8 +97,15 @@ object Dedup {
       .select(col(idCol),
         conv(substring(col("__m"), 1, 14), 16, 10).cast("long").as("__a"),
         conv(substring(col("__m"), 15, 14), 16, 10).cast("long").as("__b"))
+    // __nset (opt-in) = distinct shingle count, free-riding the signature
+    // shuffle (distinct (__a,__b) = distinct shingles up to md5 collision —
+    // the same assumption minhash itself rests on). Feeds the size-ratio
+    // prefilter without a separate corpus pass.
     val aggs = (0 until numHashes).map(i =>
-      min(col("__a") + lit(i.toLong) * col("__b")).as(s"h$i"))
+      min(col("__a") + lit(i.toLong) * col("__b")).as(s"h$i")) ++
+      (if (withSetSize)
+        Seq(countDistinct(col("__a"), col("__b")).cast("int").as("__nset"))
+      else Nil)
     halves.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -106,13 +114,14 @@ object Dedup {
     * for variable-length decimal renderings). Output one row per
     * (id, band, bucket) — the join key for candidate generation. */
   def lshBands(sig: DataFrame, idCol: String, numHashes: Int = 8,
-               bandSize: Int = 2): DataFrame = {
+               bandSize: Int = 2, carry: Seq[String] = Nil): DataFrame = {
     val bandCols = (0 until numHashes by bandSize).map { b =>
       md5(concat_ws("|",
         (b until math.min(b + bandSize, numHashes)).map(i => col(s"h$i").cast("string")): _*))
     }
-    sig.select(col(idCol), posexplode(array(bandCols: _*)))
-      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+    sig.select((col(idCol) +: carry.map(col)) :+ posexplode(array(bandCols: _*)): _*)
+      .select((col(idCol) +: carry.map(col)) ++
+        Seq(col("pos").as("band"), col("col").as("bucket")): _*)
   }
 
   /** Degenerate-bucket cap: buckets larger than this are dropped from
@@ -135,16 +144,28 @@ object Dedup {
     * sides shuffling the IDENTICAL upstream subplan (scan → shingles →
     * signature → bands) the exchange is computed once and reused instead of
     * once per join side. */
+  /** `sizeCol`/`sizeRatioMin`: when the band rows carry a set-size column
+    * (minhashSig withSetSize + lshBands carry), pairs failing the lossless
+    * size-ratio bound (J >= t forces t*max <= min) are killed AT BIRTH —
+    * inside the band join, before the distinct() shuffle ever sees them. */
   def candidatePairs(bands: DataFrame, idCol: String,
-                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                     maxBucket: Int = DefaultMaxBucket,
+                     sizeCol: Option[String] = None,
+                     sizeRatioMin: Double = 0.0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
     val capped = bands.withColumn("__bsz", count(lit(1)).over(w))
       .filter(col("__bsz") <= maxBucket).drop("__bsz")
-    val a = capped.select(col(idCol).as("a_id"), col("band"), col("bucket")).hint("shuffle_hash")
-    val b = capped.select(col(idCol).as("b_id"), col("band"), col("bucket")).hint("shuffle_hash")
-    a.join(b, Seq("band", "bucket"))
+    def side(tag: String) = capped.select(
+      (col(idCol).as(s"${tag}_id") +:
+        sizeCol.map(c => col(c).as(s"__n$tag")).toSeq) ++
+        Seq(col("band"), col("bucket")): _*).hint("shuffle_hash")
+    val joined = side("a").join(side("b"), Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val ratioed = if (sizeCol.isDefined && sizeRatioMin > 0.0)
+      joined.filter(least(col("__na"), col("__nb")).cast("double") >=
+        lit(sizeRatioMin) * greatest(col("__na"), col("__nb")))
+    else joined
+    ratioed.select("a_id", "b_id").distinct()
   }
 
   /** n-gram Jaccard similarity between two (already distinct) shingle sets. */
@@ -160,26 +181,17 @@ object Dedup {
                    numHashes: Int = 8, bandSize: Int = 2, shingleK: Int = 3,
                    threshold: Double = 0.7,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sig = minhashSig(df, textCol, idCol, numHashes, shingleK)
-    val cands = candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol, maxBucket)
     // Lossless size-ratio prefilter (the length filter of set-similarity-join
     // literature, e.g. Arasu et al. 2006): J(A,B) >= t forces
-    // t*max(|A|,|B|) <= min(|A|,|B|), so pairs failing the ratio can be
-    // dropped BEFORE any shingle array moves — the candidate rows shuffle
-    // twice carrying two ints instead of two ~60-element arrays. Provably
-    // no true pair is lost, so results (and the DuckDB oracle) are
-    // unchanged; at the 500 k-doc ScaleProbe regime this is the difference
-    // between verifying 47M wide rows and 47M narrow ones.
-    val sizes = Par.ensure(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol),
-        size(array_distinct(shinglesOfWords(col("__ws"), shingleK))).as("__n"))
-    val narrowed = cands
-      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), Seq("a_id"))
-      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), Seq("b_id"))
-      .filter(least(col("__na"), col("__nb")).cast("double") >=
-        lit(threshold) * greatest(col("__na"), col("__nb")))
-      .select("a_id", "b_id")
+    // t*max(|A|,|B|) <= min(|A|,|B|). The set size free-rides the signature
+    // aggregation and the band rows (4 ints), so failing pairs die inside
+    // the band join — before the distinct() shuffle and long before any
+    // shingle array moves. Provably no true pair is lost, so results (and
+    // the DuckDB oracle) are unchanged.
+    val sig = minhashSig(df, textCol, idCol, numHashes, shingleK, withSetSize = true)
+    val cands = candidatePairs(
+      lshBands(sig, idCol, numHashes, bandSize, carry = Seq("__nset")),
+      idCol, maxBucket, sizeCol = Some("__nset"), sizeRatioMin = threshold)
     // Probed twice (a-side and b-side) by the verify joins, but NOT cached:
     // both probes shuffle the identical subplan hashed by the id, so Spark's
     // ReuseExchange computes the shingle sets once and reuses the shuffle
@@ -189,7 +201,7 @@ object Dedup {
     val sets = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
-    narrowed
+    cands
       .join(sets.select(col(idCol).as("a_id"), col("sset").as("sa")), Seq("a_id"))
       .join(sets.select(col(idCol).as("b_id"), col("sset").as("sb")), Seq("b_id"))
       .withColumn("jaccard", jaccard(col("sa"), col("sb")))
