@@ -111,9 +111,11 @@ object ScaleProbe {
       // recompute of the LSH pipeline
       val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
         .select("a_id", "b_id").localCheckpoint()
-      Dedup.dedupClusters(pairs).count()
+      val (labels, rounds) = Dedup.dedupClustersWithRounds(pairs)
+      (labels.count(), rounds)
     }
-    results += "pairs_plus_clusters" -> ((tClust, rClust))
+    results += "pairs_plus_clusters" -> ((tClust, rClust._1))
+    results += "cluster_rounds" -> ((0.0, rClust._2.toLong))
 
     val (tTok, rTok) = time {
       graft.ext.Par.ensure(docs.select("text"))

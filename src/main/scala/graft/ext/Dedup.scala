@@ -380,7 +380,14 @@ object Dedup {
     * `localCheckpoint` per round truncates the growing lineage so round N
     * doesn't replan rounds 1..N-1. Returns (id, cluster_id = min reachable
     * id): keep-one-per-cluster is then a filter on id == cluster_id. */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    dedupClustersWithRounds(pairs, maxIters)._1
+
+  /** As [[dedupClusters]], also reporting how many rounds convergence took —
+    * the health metric for the O(log diameter) claim (ScaleProbe records it
+    * per corpus size). */
+  def dedupClustersWithRounds(pairs: DataFrame,
+                              maxIters: Int = 20): (DataFrame, Int) = {
     // Materialize the pair set BEFORE the symmetric union: both union
     // branches read the checkpointed rows instead of each re-running the
     // (potentially expensive — e.g. full near-dup) upstream pipeline.
@@ -421,7 +428,7 @@ object Dedup {
       s"dedupClusters did not converge within $maxIters rounds — component " +
         "diameter exceeds 2^maxIters; raise maxIters (partial labels would " +
         "let keep-one-per-cluster keep duplicates silently)")
-    labels
+    (labels, iter)
   }
 
   /** 16-bit SimHash from a PRE-MATERIALIZED array of md5(word) hex strings,
