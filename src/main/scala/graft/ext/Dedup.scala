@@ -380,14 +380,17 @@ object Dedup {
     * `localCheckpoint` per round truncates the growing lineage so round N
     * doesn't replan rounds 1..N-1. Returns (id, cluster_id = min reachable
     * id): keep-one-per-cluster is then a filter on id == cluster_id. */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 32): DataFrame =
     dedupClustersWithRounds(pairs, maxIters)._1
 
   /** As [[dedupClusters]], also reporting how many rounds convergence took —
     * the health metric for the O(log diameter) claim (ScaleProbe records it
     * per corpus size). */
   def dedupClustersWithRounds(pairs: DataFrame,
-                              maxIters: Int = 20): (DataFrame, Int) = {
+                              maxIters: Int = 32): (DataFrame, Int) = {
+    // Default 32: rounds grow as ~log2(component diameter) + 1 (the 200 k-doc
+    // ScaleProbe chain graph measured 14), so 32 covers any diameter that
+    // can physically exist; the non-convergence THROW stays the backstop.
     // Materialize the pair set BEFORE the symmetric union: both union
     // branches read the checkpointed rows instead of each re-running the
     // (potentially expensive — e.g. full near-dup) upstream pipeline.
