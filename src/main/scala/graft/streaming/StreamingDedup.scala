@@ -138,7 +138,6 @@ object StreamingDedup {
                            docsParquetDir: String, chunks: Int = 4,
                            lateness: String = "10 minutes",
                            stateTtlMs: Long = 7L * 86400000L): DataFrame = {
-    import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage").toString
     val inDir = s"$stage/in"; val outDir = s"$stage/out"; val ckpt = s"$stage/ckpt"
 
@@ -160,7 +159,16 @@ object StreamingDedup {
       f.setLastModified(now - (parts.length - i).toLong * 60000L)
     }
 
-    val inStream = spark.readStream
+    // The stream runs on a cloned session with few shuffle partitions: the
+    // state store writes one checkpoint delta PER state partition PER
+    // micro-batch, and 32 partitions × chunks batches of tiny files is pure
+    // fixed overhead at this state size (thousands of keys). Purely a
+    // partitioning knob — results are identical; the caller's session is
+    // untouched.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    import ss.implicits._
+    val inStream = ss.readStream
       .schema("doc_id LONG, text STRING, event_time TIMESTAMP")
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
