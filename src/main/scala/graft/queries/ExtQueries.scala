@@ -585,6 +585,21 @@ object ExtQueries {
         "SELECT shard, CAST((cum - n) // 1000 AS BIGINT) AS bin, count(*) AS n_docs, " +
         "CAST(sum(n) AS BIGINT) AS tokens FROM c GROUP BY 1, 2 ORDER BY shard, bin")),
 
+    ("x_value_quantiles", // exact interpolated quantiles of a CONTINUOUS
+      // column (events.value — every value effectively distinct, the case
+      // x_token_quantiles' histogram shrink can't serve). Spark `percentile`
+      // and DuckDB quantile_cont interpolate identically (verified
+      // bit-for-bit incl. the .99 point); rounded to 6 for belt and braces.
+      // Scale path: Sampling.valueQuantilesApprox (mergeable sketch),
+      // rank-error-bounded against this exact form in SamplingSpec.
+      (s: SparkSession, d: String) =>
+        Sampling.valueQuantiles(t(s, d, "events"), "value",
+          Seq(0.25, 0.5, 0.9, 0.99)).orderBy("q"),
+      Some(Seq(0.25, 0.5, 0.9, 0.99).map(q =>
+        s"SELECT CAST($q AS DOUBLE) AS q, " +
+          s"round(quantile_cont(value, $q), 6) AS v FROM events")
+        .mkString("", " UNION ALL ", " ORDER BY q"))),
+
     ("x_token_quantiles", // exact p50/p90/p99 of per-doc token counts via a
       // value-histogram: one shuffle shrinks the corpus to |distinct counts|
       // rows, the quantile walk runs over that. Rank k = (n*p + 99) div 100

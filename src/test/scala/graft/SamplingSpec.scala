@@ -180,4 +180,32 @@ class SamplingSpec extends SparkTestBase {
     assert(q.getAs[Long]("p90") === rank(90))
     assert(q.getAs[Long]("p99") === rank(99))
   }
+
+  test("continuous quantiles: approx sketch within rank-error bound of exact") {
+    val ev = graft.queries.Td.t(spark, sf0001, "events").select("value")
+    val qs = Seq(0.25, 0.5, 0.9, 0.99)
+    val approx = Sampling.valueQuantilesApprox(ev, "value", qs, accuracy = 1000)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = ev.collect().map(_.getDouble(0)).sorted
+    val n = sorted.length
+    // approx_percentile contract: result's rank within n/accuracy of q*n
+    val tol = math.max(1, n / 1000) + 1
+    qs.foreach { q =>
+      val v = approx(q)
+      val below = sorted.count(_ <= v)
+      val target = q * n
+      assert(math.abs(below - target) <= tol,
+        s"q=$q v=$v rank=$below target=$target tol=$tol")
+    }
+    // and the exact form matches the sorted-array interpolation
+    val exact = Sampling.valueQuantiles(ev, "value", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    qs.foreach { q =>
+      val pos = q * (n - 1)
+      val lo = sorted(pos.toInt)
+      val hi = sorted(math.min(n - 1, pos.toInt + 1))
+      val interp = lo + (pos - pos.toInt) * (hi - lo)
+      assert(math.abs(exact(q) - interp) < 1e-6, s"q=$q got=${exact(q)} want=$interp")
+    }
+  }
 }
