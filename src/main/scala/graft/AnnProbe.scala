@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Similarity
+
+/** Empirical scale probe for the similarity/ANN stack: synthesize an
+  * N-vector corpus (50–500× the shipped embeddings) and measure the three
+  * costs that define the 100 TB story — brute-force exact top-k (the
+  * baseline every ANN must beat), the one-off IVF index build, and the
+  * partition-pruned indexed probe — plus recall@k of the probe against the
+  * exact answer (speed that loses the neighbors is worthless).
+  *
+  * Synthesis: each base vector is copied `N/|base|` times; copy 0 keeps the
+  * original values, copies >= 1 add deterministic per-(vector, copy,
+  * dimension) jitter of ±1% of the component scale — local neighborhoods
+  * stay intact (copies of v are v's near-neighbors), which is exactly the
+  * clustered topology IVF exploits and the worst case for its list-boundary
+  * recall.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... java -cp ... graft.AnnProbe [nVecs] [nLists]
+  */
+object AnnProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val nLists = args.lift(1).map(_.toInt).getOrElse(32)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val k = 10
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nBase = base.count()
+    val copies = math.max(1L, n / nBase)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_vecs").toString
+    base.join(spark.range(copies).toDF("k"))
+      .select(
+        (col("vec_id") * copies + col("k")).as("vec_id"),
+        expr("CASE WHEN k = 0 THEN embedding ELSE " +
+          "transform(embedding, (x, i) -> CAST(x + " +
+          "(pmod(hash(vec_id, k, i), 1000) - 500) / 50000.0 AS FLOAT)) END")
+          .as("embedding"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nVecs = vecs.count()
+
+    def time[T](body: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = body
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+
+    // exact baseline: one scan, per-partition top-k via the orderBy+limit
+    // plan (TakeOrderedAndProject — partial top-k per partition, k rows to
+    // the driver per partition)
+    val (tBrute, bruteIds) = time {
+      vecs.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(k)
+        .collect().map(_.getLong(0)).toSeq
+    }
+
+    // one-off artifact costs: centroid training (bounded sample) + the
+    // write-time partitioned index
+    val (tTrain, cents) = time { Similarity.centroidsFor(spark, dir, nLists = nLists) }
+    val (tBuild, idxPath) = time { Similarity.indexPathFor(spark, dir, cents) }
+
+    // per-query cost: driver-side centroid argmin -> literal IN over the
+    // partition column -> pruned scan
+    val (tProbe, probeIds) = time {
+      Similarity.ivfTopKIndexed(spark, idxPath, "vec_id", "embedding", q, k,
+        cents, nProbe = 2)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val recall = probeIds.count(bruteIds.contains).toDouble / k
+
+    // the recall/cost dial: doubling the probed lists
+    val (tProbe4, probe4Ids) = time {
+      Similarity.ivfTopKIndexed(spark, idxPath, "vec_id", "embedding", q, k,
+        cents, nProbe = 4)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val recall4 = probe4Ids.count(bruteIds.contains).toDouble / k
+
+    // how much of the corpus the pruned probe actually reads
+    val listSizes = spark.read.parquet(idxPath).groupBy("list").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val qv = q.head.getSeq[Float](0).toArray.map(_.toDouble)
+    val probeLists = cents.zipWithIndex.map { case (c, i) =>
+      (c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(identity).take(2).map(_._2)
+    val scanFrac = probeLists.map(l => listSizes.getOrElse(l, 0L)).sum.toDouble / nVecs
+
+    println(s"""{"metric":"ann_probe","n_vecs":$nVecs,"n_lists":$nLists,"k":$k,""" +
+      s""""brute_sec":${f"$tBrute%.2f"},"train_sec":${f"$tTrain%.2f"},""" +
+      s""""build_sec":${f"$tBuild%.2f"},"probe_sec":${f"$tProbe%.2f"},""" +
+      s""""recall_at_k":$recall,"probe4_sec":${f"$tProbe4%.2f"},""" +
+      s""""recall4_at_k":$recall4,"scan_fraction":${f"$scanFrac%.4f"},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
