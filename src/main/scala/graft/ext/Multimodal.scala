@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing here — schema, batch shape, partition-parallel
   * mapPartitions decode, expression-based sampling — is real and tested.
-  * Decode is two-tier: bytes that carry a known image magic (PNG/JPEG/GIF/BMP)
-  * go through a REAL `javax.imageio` decode into pixel statistics; anything
-  * else (audio/video containers this JVM has no codec for, or plain bytes)
-  * falls back to a deterministic normalized 16-bin byte histogram so the
-  * pipeline shape stays total. Both paths emit the same 16-float vector.
+  * Decode is tiered by container sniff: image magic (PNG/JPEG/GIF/BMP) goes
+  * through a REAL `javax.imageio` decode into pixel statistics; RIFF/WAVE
+  * goes through a REAL `javax.sound.sampled` PCM decode into amplitude
+  * statistics (both JDK-only — no external codec dependency); anything else
+  * (containers this JVM has no codec for, or plain bytes) falls back to a
+  * deterministic normalized 16-bin byte histogram so the pipeline shape
+  * stays total. Every path emits the same 16-float vector.
   */
 object Multimodal {
 
@@ -92,12 +94,72 @@ object Multimodal {
     out
   }
 
+  /** RIFF/WAVE container sniff. */
+  private[ext] def looksLikeWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real audio decode: `javax.sound.sampled` (JDK-only) PCM read into a
+    * 16-float vector: dims 0..11 = normalized 12-bin |amplitude| histogram,
+    * dim 12 = RMS, dim 13 = zero-crossing rate (per frame), dim 14 = peak
+    * |amplitude|, dim 15 = mean amplitude (DC offset), all in [-1, 1].
+    * Returns null if the bytes aren't decodable PCM (caller falls back). */
+  private[ext] def decodeWavToFeatures(content: Array[Byte]): Array[Float] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => return null
+        case _: java.io.IOException => return null
+      }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16) return null
+      val bytes = in.readAllBytes()
+      val frameBytes = fmt.getFrameSize // stats read channel 0, stride skips the rest
+      val n = bytes.length / frameBytes
+      if (n == 0) return null
+      val out = new Array[Float](NumBins)
+      val big = fmt.isBigEndian
+      var sum = 0.0; var sum2 = 0.0; var peak = 0.0
+      var crossings = 0L; var prev = 0.0; var first = true
+      var f = 0
+      while (f < n) {
+        // first channel of the frame
+        val o = f * frameBytes
+        val s = if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+        val v = s / 32768.0
+        val a = math.abs(v)
+        out(math.min(LumaBins - 1, (a * LumaBins).toInt)) += 1f
+        sum += v; sum2 += v * v; peak = math.max(peak, a)
+        if (!first && (v > 0) != (prev > 0)) crossings += 1
+        prev = v; first = false
+        f += 1
+      }
+      var j = 0
+      while (j < LumaBins) { out(j) /= n; j += 1 }
+      out(12) = math.sqrt(sum2 / n).toFloat
+      out(13) = (crossings.toDouble / n).toFloat
+      out(14) = peak.toFloat
+      out(15) = (sum / n).toFloat
+      out
+    } finally in.close()
+  }
+
   /** Decode `content` to a 16-float feature vector. Image bytes (by magic)
-    * take the real `ImageIO` pixel-stat path; everything else gets the
+    * take the real `ImageIO` pixel-stat path, RIFF/WAVE bytes the real
+    * `javax.sound.sampled` PCM-stat path; everything else gets the
     * deterministic normalized byte histogram — same shape, always total. */
   def decodeBytesToFeatures(content: Array[Byte]): Array[Float] = {
     if (looksLikeImage(content)) {
       val feats = decodeImageToFeatures(content)
+      if (feats != null) return feats
+    }
+    if (looksLikeWav(content)) {
+      val feats = decodeWavToFeatures(content)
       if (feats != null) return feats
     }
     val hist = new Array[Float](NumBins)

@@ -66,6 +66,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(white(11) === 1f) // luma 255 -> top bin
   }
 
+  /** Fixture WAV bytes: 16-bit PCM mono sine wave, encoded with the same
+    * JDK codec the decode path reads with. */
+  private def wavBytes(freq: Double, sr: Float = 8000f, nSamples: Int = 8000,
+                       amp: Double = 0.5): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 1, true, false)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (math.sin(2 * math.Pi * freq * i / sr) * amp * 32767).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeBytesToFeatures: real WAV bytes take the PCM-stat path") {
+    val wav = wavBytes(freq = 440.0, amp = 0.5)
+    val f = Multimodal.decodeBytesToFeatures(wav)
+    assert(f.length === 16)
+    // sine RMS = amp/sqrt(2), zero-crossing rate = 2*freq/sr, peak = amp
+    assert(math.abs(f(12) - 0.5 / math.sqrt(2)) < 0.01, s"rms=${f(12)}")
+    assert(math.abs(f(13) - 2 * 440.0 / 8000.0) < 0.01, s"zcr=${f(13)}")
+    assert(math.abs(f(14) - 0.5) < 0.01, s"peak=${f(14)}")
+    assert(math.abs(f(15)) < 0.01, s"dc=${f(15)}") // zero mean
+    assert(math.abs(f.take(12).sum - 1f) < 1e-5)   // histogram normalized
+    // silence: all mass in bin 0, zero rms/zcr/peak
+    val silent = Multimodal.decodeBytesToFeatures(wavBytes(440.0, amp = 0.0))
+    assert(silent(0) === 1f && silent(12) === 0f && silent(14) === 0f)
+    // truncated RIFF header falls back to the byte histogram, no crash
+    val trunc = Multimodal.decodeBytesToFeatures(
+      "RIFFxxxxWAVEbroken".getBytes("UTF-8"))
+    assert(math.abs(trunc.sum - 1f) < 1e-5)
+  }
+
   test("decodeFeatures distributed path decodes real PNGs and falls back on text") {
     val rows = Seq(
       (10L, pngBytes(5, 5, 0x00ff00)),                // real image
