@@ -117,6 +117,29 @@ object ScaleProbe {
     results += "pairs_plus_clusters" -> ((tClust, rClust._1))
     results += "cluster_rounds" -> ((0.0, rClust._2.toLong))
 
+    // The production refresh path: half the corpus is the "existing" side,
+    // persisted once as the partitioned band store (the ingest-time
+    // artifact); the other half probes it as the refresh batch. Store build
+    // and probe are timed separately — the build amortizes across refreshes.
+    val half = nDocs / 2
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_scale_store").toString
+    val (tStore, _) = time {
+      Dedup.writeBands(
+        Dedup.lshBands(
+          Dedup.minhashSig(docs.filter(col("doc_id") < half), "text", "doc_id"),
+          "doc_id"),
+        storeDir)
+    }
+    results += "band_store_build" -> ((tStore, half))
+    val (tIncr, rIncr) = time {
+      Dedup.incrementalNearDupsFromBands(
+        docs.filter(col("doc_id") >= half),
+        spark.read.parquet(storeDir),
+        docs.filter(col("doc_id") < half),
+        "text", "doc_id", threshold = 0.2).count()
+    }
+    results += "incr_probe" -> ((tIncr, rIncr))
+
     val (tTok, rTok) = time {
       graft.ext.Par.ensure(docs.select("text"))
         .select(explode(split(col("text"), " ")).as("token"))
