@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, computed in double. */
+  /** Dot product of two array columns, computed in double (also serves the
+    * mixed float×double case, e.g. hyperplane literals in lshBucket). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -24,7 +25,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine over two FLOAT-array columns: one native codegen'd loop per row
+    * (functions/Expressions.scala CosineSim) — bit-identical to the
+    * higher-order-function fold [[cosineHof]] (spec-asserted), but inside
+    * whole-stage codegen where the three HOF folds are not. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftExpressions.cosine_sim(a, b)
+
+  /** The HOF formulation — the cross-checkable reference for [[cosine]]. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force cosine top-k neighbors of `queryVec` (a one-row DataFrame
     * with column `qv`). The broadcast + TakeOrdered plan is the right shape

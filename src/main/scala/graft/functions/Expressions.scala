@@ -84,6 +84,79 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Cosine similarity of two float-array columns as ONE codegen'd loop per
+  * row — the similarity hot path (brute-force scans, bucketed self-joins)
+  * otherwise pays three higher-order-function folds (zip_with + aggregate
+  * for dot, ‖a‖, ‖b‖), and HOFs don't participate in whole-stage codegen.
+  * Arithmetic is the HOFs' exact fold: products/squares accumulated in
+  * index order from 0.0, result dot/(√‖a‖·√‖b‖) — bit-identical doubles
+  * (SimilaritySpec asserts), so the DuckDB-oracle contract is unchanged.
+  * Null semantics mirror the HOF form: null array, length mismatch
+  * (zip_with's null padding) or a null element → null. One deliberate
+  * divergence: zero-norm/empty inputs yield IEEE NaN (0.0/0.0 in plain
+  * Java), where the HOF form under ANSI mode (Spark 4 default) THROWS
+  * DIVIDE_BY_ZERO — the native loop is total where the fold was partial. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val bad = ctx.freshName("bad")
+      s"""
+         |final int $n = $av.numElements();
+         |if ($n != $bv.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($av.isNullAt($i) || $bv.isNullAt($i)) { $bad = true; break; }
+         |    final double x = (double) $av.getFloat($i);
+         |    final double y = (double) $bv.getFloat($i);
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   import GraftBridge.{column, expression}
 
@@ -96,6 +169,9 @@ object GraftExpressions {
   def rolling_hash(c: Column): Column =
     column(RollingHash(expression(c)))
 
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+
   /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -104,5 +180,7 @@ object GraftExpressions {
       "maybe_b64_decode", exprs => MaybeB64Decode(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
   }
 }

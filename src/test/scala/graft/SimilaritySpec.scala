@@ -182,6 +182,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(p2 !== p1)
   }
 
+  test("native CosineSim is bit-identical to the HOF fold, incl. edge cases") {
+    import org.apache.spark.sql.functions.col
+    // real corpus: every pair (v_i, query) must match the fold EXACTLY
+    val em = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = em.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .select(
+        Similarity.cosine(col("embedding"), col("qv")).as("native"),
+        Similarity.cosineHof(col("embedding"), col("qv")).as("hof"))
+    assert(both.filter(
+      !(col("native") === col("hof")) &&
+        !(org.apache.spark.sql.functions.isnan(col("native")) &&
+          org.apache.spark.sql.functions.isnan(col("hof")))).count() === 0L)
+    // the native path really is codegen'd: execute a native-only projection
+    // and read the FINAL adaptive plan (the initial one hides WSCG)
+    val nat = em.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .select(Similarity.cosine(col("embedding"), col("qv")).as("native"))
+    nat.collect()
+    val plan = nat.queryExecution.executedPlan.toString
+    // the '*(n)' prefix is how the tree renders a WholeStageCodegen span
+    assert("\\*\\(\\d+\\) Project \\[cosine_sim".r.findFirstIn(plan).isDefined,
+      plan.take(600))
+
+    // edges: length mismatch -> null on both forms (zip_with pad
+    // semantics); zero-norm/empty -> native yields NaN where the HOF form
+    // under ANSI mode THROWS DIVIDE_BY_ZERO (the native loop is total)
+    val mm = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("n"),
+        Similarity.cosineHof(col("a"), col("b")).as("h")).collect()(0)
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+    val edge = Seq(
+      (Array(0f), Array(0f)),                         // zero norm
+      (Array.empty[Float], Array.empty[Float]))       // empty
+      .toDF("a", "b")
+    val nEdge = edge.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(nEdge.forall(r => !r.isNullAt(0) && r.getDouble(0).isNaN))
+    intercept[Exception] { // ANSI divide-by-zero: the fold was partial here
+      edge.select(Similarity.cosineHof(col("a"), col("b"))).collect()
+    }
+    // SQL surface registration
+    graft.functions.GraftExpressions.register(spark)
+    edge.createOrReplaceTempView("cs_edges")
+    assert(spark.sql("SELECT cosine_sim(a, b) FROM cs_edges").count() === 2)
+  }
+
   test("indexPathFor: warehouse URI on the Hadoop FS API, probed through the index") {
     val c1 = Similarity.centroidsFor(spark, sf0001)
     val wh = "file:" + java.nio.file.Files
