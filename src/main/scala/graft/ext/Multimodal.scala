@@ -45,10 +45,11 @@ object Multimodal {
 
   private val NumBins = 16
   private val LumaBins = 12
+  private val MaxDecodePixels = 64L * 1024 * 1024
 
   /** Cheap container sniff on magic bytes — avoids paying an ImageIO reader
     * probe per row for the (dominant) non-image case. */
-  private[ext] def looksLikeImage(b: Array[Byte]): Boolean =
+  private[graft] def looksLikeImage(b: Array[Byte]): Boolean =
     b != null && b.length >= 4 && (
       (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||   // PNG
       (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) ||  // JPEG
@@ -59,15 +60,20 @@ object Multimodal {
     * dependency) into a 16-float pixel-stat vector:
     * dims 0..11 = normalized 12-bin luma histogram (Rec.601 weights),
     * dim 12/13/14 = mean R/G/B in [0,1], dim 15 = luma std-dev in [0,1].
-    * Returns null if ImageIO has no reader for the bytes (caller falls back). */
+    * Returns null if ImageIO has no reader for the bytes (caller falls back).
+    * Catches NonFatal, not just IOException: JDK image readers throw
+    * RuntimeExceptions (IndexOutOfBounds/IllegalArgument) on corrupt
+    * GIF/JPEG that magic-matched — decode must stay total either way. */
   private[ext] def decodeImageToFeatures(content: Array[Byte]): Array[Float] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     val n = w.toLong * h
-    if (n == 0L) return null
+    // Adversarial-image guard: a tiny file can declare huge dims; bound the
+    // pixel loop (64 Mpx ≈ one 8k×8k frame) before committing memory/time.
+    if (n == 0L || n > MaxDecodePixels) return null
     val out = new Array[Float](NumBins)
     var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
     var sumY = 0.0; var sumY2 = 0.0
@@ -109,10 +115,7 @@ object Multimodal {
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(content))
-      catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => return null
-        case _: java.io.IOException => return null
-      }
+      catch { case scala.util.control.NonFatal(_) => return null }
     try {
       val fmt = in.getFormat
       if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
@@ -146,7 +149,8 @@ object Multimodal {
       out(14) = peak.toFloat
       out(15) = (sum / n).toFloat
       out
-    } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally in.close()
   }
 
   /** Decode `content` to a 16-float feature vector. Image bytes (by magic)
@@ -206,12 +210,153 @@ object Multimodal {
           (i * greatest(length(col("content")), lit(1)) / n + 1).cast("int"), lit(1)))
         .as("frames"))
 
-  /** Resize stub: clamp metadata dimensions (the real op would transform
-    * pixels; the metadata contract is what downstream operators consume). */
+  /** Metadata-only resize: clamp the declared dimensions. This is the
+    * non-image branch of [[resizeMedia]] (audio/opaque bytes have no pixels
+    * to scale) and the cheap path when only the metadata contract matters. */
   def resizeMeta(media: DataFrame, maxW: Int, maxH: Int): DataFrame =
     media.withColumn("meta", struct(
       col("meta.format"),
       least(col("meta.width"), lit(maxW)).as("width"),
       least(col("meta.height"), lit(maxH)).as("height"),
       col("meta.duration_ms")))
+
+  /** Synthesize a REAL w×h PNG with deterministic seed-derived pixels —
+    * the harness for exercising the real decode/resize paths at the gate,
+    * where the corpus carries no native image bytes. JDK-only. */
+  private[graft] def synthPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((seed * 31 + x * 7 + y * 13) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Like [[attachFakeMedia]], but even ids carry REAL synthesized PNG bytes
+    * at exactly the declared meta dimensions (odd ids keep opaque text
+    * bytes) — so the image branch of decode/resize runs on genuine codec
+    * output at the correctness gate, not just in specs. */
+  def attachRealMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 64 + 16).toInt; val h = (id % 48 + 16).toInt
+          val isPng = id % 2 == 0
+          val content =
+            if (isPng) synthPng(w, h, id)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Row(id, content, Row(if (isPng) "png" else "wav",
+            Int.box(w), Int.box(h), Long.box(id * 40L)))
+        }
+      }(encoder)
+  }
+
+  /** Ground-truth dimensions: image bytes (by magic) are REALLY decoded and
+    * report the codec's dims; non-image rows report the metadata contract.
+    * This is how the resize gate proves pixels (not just metadata) were
+    * scaled: decode(resize(png)).dims must equal the clamp. */
+  def actualDims(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content", "meta").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        // positional access: chained mapPartitions stages can hand over the
+        // upstream closure's schemaless Row objects directly
+        val bytes = r.getAs[Array[Byte]](1)
+        val meta = r.getStruct(2)
+        val img =
+          if (looksLikeImage(bytes))
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          else null
+        if (img != null)
+          Row(r.getLong(0), meta.getString(0), Int.box(img.getWidth), Int.box(img.getHeight))
+        else
+          Row(r.getLong(0), meta.getString(0), meta.get(1), meta.get(2))
+      }
+    }(encoder)
+  }
+
+  /** Real pixel resize for decodable image bytes: `Graphics2D.drawImage`
+    * scaled to (min(w,maxW), min(h,maxH)) — the same independent-axis clamp
+    * the metadata contract uses — re-encoded as PNG via `ImageIO.write`
+    * (both JDK-only, same no-external-codec stance as the decode path).
+    * Returns null when the bytes aren't a decodable image or decode is
+    * rejected by the pixel guard (caller keeps original bytes and clamps
+    * metadata only). Bytes already within bounds pass through untouched. */
+  private[graft] def resizeImageBytes(
+      content: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return null
+    val nw = math.min(w, maxW); val nh = math.min(h, maxH)
+    if (nw <= 0 || nh <= 0) return null
+    if (nw == w && nh == h) return content
+    val dst = new java.awt.image.BufferedImage(
+      nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, nw, nh, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    try {
+      if (!javax.imageio.ImageIO.write(dst, "png", bos)) return null
+    } catch { case scala.util.control.NonFatal(_) => return null }
+    bos.toByteArray
+  }
+
+  /** Real media resize: image bytes (by magic) are pixel-scaled through
+    * [[resizeImageBytes]] and their metadata set to the ACTUAL output
+    * dimensions; everything else keeps its content and gets the metadata
+    * clamp. Same mediaSchema in and out; mapPartitions for per-partition
+    * codec init, like [[decodeFeatures]]. */
+  def resizeMedia(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select("doc_id", "content", "meta").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        // positional access: see actualDims — upstream Rows may be schemaless
+        val bytes = r.getAs[Array[Byte]](1)
+        val meta = r.getStruct(2)
+        val resized =
+          if (looksLikeImage(bytes)) resizeImageBytes(bytes, maxW, maxH) else null
+        def clamp(v: Any, m: Int): Any = v match {
+          case i: java.lang.Integer => Int.box(math.min(i.intValue(), m))
+          case _ => v
+        }
+        if (resized == null) {
+          Row(r.getLong(0), bytes, Row(
+            meta.get(0), clamp(meta.get(1), maxW), clamp(meta.get(2), maxH),
+            meta.get(3)))
+        } else {
+          // actual output dims: re-derive from the clamp the resize applied
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+          Row(r.getLong(0), resized, Row(
+            meta.get(0), Int.box(img.getWidth), Int.box(img.getHeight), meta.get(3)))
+        }
+      }
+    }(encoder)
+  }
 }

@@ -93,9 +93,13 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   * (SimilaritySpec asserts), so the DuckDB-oracle contract is unchanged.
   * Null semantics mirror the HOF form: null array, length mismatch
   * (zip_with's null padding) or a null element → null. One deliberate
-  * divergence: zero-norm/empty inputs yield IEEE NaN (0.0/0.0 in plain
-  * Java), where the HOF form under ANSI mode (Spark 4 default) THROWS
-  * DIVIDE_BY_ZERO — the native loop is total where the fold was partial. */
+  * divergence: zero-norm/empty inputs yield NULL, where the HOF form under
+  * ANSI mode (Spark 4 default) THROWS DIVIDE_BY_ZERO — the native loop is
+  * total where the fold was partial. NULL (not NaN): Spark orders NaN
+  * GREATER than any double, so a NaN would silently rank first in every
+  * `orderBy(desc)` top-k and pass `>= threshold` filters; nulls sort last
+  * under desc and fail filters, which is the semantics a degenerate
+  * embedding deserves. */
 case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
@@ -126,7 +130,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -134,6 +139,7 @@ case class CosineSim(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val bad = ctx.freshName("bad")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |final int $n = $av.numElements();
          |if ($n != $bv.numElements()) { ${ev.isNull} = true; }
@@ -142,11 +148,11 @@ case class CosineSim(left: Expression, right: Expression)
          |  boolean $bad = false;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($av.isNullAt($i) || $bv.isNullAt($i)) { $bad = true; break; }
-         |    final double x = (double) $av.getFloat($i);
-         |    final double y = (double) $bv.getFloat($i);
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |    final double $x = (double) $av.getFloat($i);
+         |    final double $y = (double) $bv.getFloat($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if ($bad) { ${ev.isNull} = true; }
+         |  if ($bad || $na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
          |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
          |}
        """.stripMargin

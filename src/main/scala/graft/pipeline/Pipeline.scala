@@ -51,17 +51,28 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     * read as "empty table" — that would silently reset resume heights and
     * re-seed the whole queue. A genuinely-absent table exhausts the (short)
     * retry and yields the typed empty frame; the ~100 ms worst case only
-    * happens on the cold-start path. */
-  def readTable(table: String): DataFrame =
+    * happens on the cold-start path. If the table was EVER seen to exist
+    * during the retries, exhaustion rethrows instead of returning the empty
+    * frame — a compact mid-swap outlasting the backoff is a loud failure,
+    * never a silent resume-height reset. */
+  def readTable(table: String): DataFrame = {
+    @volatile var everExisted = false
     try Store.withReadRetry(attempts = 4, backoffMs = 30) {
       if (!tableExists(table))
         throw new java.io.FileNotFoundException(path(table))
+      everExisted = true
       spark.read.parquet(path(table))
     } catch {
-      case _: java.io.FileNotFoundException => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schemaOf(table))
+      case e: java.io.FileNotFoundException =>
+        if (everExisted) throw new java.io.IOException(
+          s"table $table existed during read retries but reads kept failing " +
+            "(concurrent compact outlasted the backoff?) — refusing to " +
+            "return an empty frame", e)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schemaOf(table))
     }
+  }
 
   private def schemaOf(table: String) = table match {
     case "blocks" => Schemas.blocks

@@ -540,13 +540,17 @@ object ExtQueries {
         "FROM (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx, " +
         s"octet_length(CAST(text AS BLOB)) AS ln FROM $Docs) ORDER BY doc_id")),
 
-    ("x_mm_resize", // resize as a metadata-contract transform (the pixel op
-      // is codec territory; downstream operators consume the clamped dims).
+    ("x_mm_resize", // REAL pixel resize, proven through the real decode path:
+      // even ids carry genuine synthesized PNGs at the declared dims; resize
+      // runs Graphics2D.drawImage + ImageIO.write re-encode; the emitted w/h
+      // for image rows come from ImageIO DECODING the output bytes — a hash
+      // match against the arithmetic clamp proves the pixels were scaled,
+      // not just the metadata. Non-image rows take the metadata-clamp branch.
       (s: SparkSession, d: String) =>
-        Multimodal.resizeMeta(
-          Multimodal.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"), 48, 32)
-          .select(col("doc_id"), col("meta.format").as("format"),
-            col("meta.width").as("w"), col("meta.height").as("h"))
+        Multimodal.actualDims(
+          Multimodal.resizeMedia(
+            Multimodal.attachRealMedia(t(s, d, "documents"), "doc_id", "text"),
+            48, 32))
           .orderBy("doc_id"),
       Some("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format, " +
         "CAST(least(doc_id % 64 + 16, 48) AS INT) AS w, " +
@@ -659,8 +663,10 @@ object ExtQueries {
       // HIGHEST-quality doc per near-dup cluster (not min-id), doc_id as the
       // deterministic tiebreak — argmax-per-cluster, the Store.latest shape.
       // One row per cluster: (cluster_id, keep_id, best_q). Quality ranks on
-      // the unrounded double (bit-identical across engines — x_text_quality
-      // hash-proves the formula) and is emitted rounded.
+      // the 6-dp-ROUNDED value — exactly the value x_text_quality hash-proves
+      // bit-equal across engines — with doc_id tiebreak, so a sub-1e-6
+      // cross-engine divergence between near-tied members can never swap the
+      // survivor.
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
         val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
@@ -668,7 +674,7 @@ object ExtQueries {
         val clusters = Dedup.dedupClusters(pairs)
           .select(col("id").as("doc_id"), col("cid"))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("cid").orderBy(col("__q").desc, col("doc_id"))
+          .partitionBy("cid").orderBy(round(col("__q"), 6).desc, col("doc_id"))
         docs.join(clusters, Seq("doc_id"))
           .select(col("doc_id"), col("cid"), TextFns.qualityScore(col("text")).as("__q"))
           .withColumn("__rn", row_number().over(w))
@@ -681,7 +687,7 @@ object ExtQueries {
         "(SELECT c.cluster_id, d.doc_id AS keep_id, " +
         s"round($QualitySql, 6) AS best_q, " +
         "row_number() OVER (PARTITION BY c.cluster_id " +
-        s"ORDER BY $QualitySql DESC, d.doc_id) AS rn " +
+        s"ORDER BY round($QualitySql, 6) DESC, d.doc_id) AS rn " +
         s"FROM clusters c JOIN $Docs d ON d.doc_id = c.doc_id) " +
         "WHERE rn = 1 ORDER BY cluster_id")),
 

@@ -132,4 +132,72 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.forall(r => r.getAs[Int]("width") <= 20 && r.getAs[Int]("height") <= 20))
     assert(got.map(_.getAs[String]("format")).toSet === Set("png", "wav"))
   }
+
+  // ---- real Graphics2D pixel resize ----
+
+  test("resizeImageBytes: real PNG round-trip, pixels actually scaled") {
+    val big = pngBytes(40, 30, 0x0000ff)
+    val out = Multimodal.resizeImageBytes(big, 16, 12)
+    assert(out != null && Multimodal.looksLikeImage(out))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth === 16 && img.getHeight === 12)
+    // solid color survives bilinear scaling exactly
+    assert((img.getRGB(8, 6) & 0xffffff) === 0x0000ff)
+    // the real decode path sees consistent pixel stats on the output
+    val f = Multimodal.decodeBytesToFeatures(out)
+    assert(math.abs(f(14) - 1f) < 1e-3 && f(12) === 0f && f(13) === 0f)
+    // independent-axis clamp: only the oversize axis shrinks
+    val wide = Multimodal.resizeImageBytes(pngBytes(40, 10, 0xffffff), 16, 12)
+    val wImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(wide))
+    assert(wImg.getWidth === 16 && wImg.getHeight === 10)
+    // already within bounds -> identical bytes, no re-encode
+    val small = pngBytes(8, 8, 0x123456)
+    assert(Multimodal.resizeImageBytes(small, 16, 12) eq small)
+    // non-image bytes -> null (caller falls back to metadata clamp)
+    assert(Multimodal.resizeImageBytes("not an image".getBytes("UTF-8"), 16, 12) == null)
+    // truncated magic-matched bytes -> null, no crash (NonFatal catch)
+    assert(Multimodal.resizeImageBytes(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'), 16, 12) == null)
+  }
+
+  test("resizeMedia: image rows pixel-resized, meta = actual dims; non-image clamped") {
+    val rows = Seq(
+      (20L, pngBytes(40, 30, 0x00ff00), ("png", 40, 30, 0L)),
+      (21L, "opaque bytes".getBytes("UTF-8"), ("wav", 40, 30, 100L)))
+      .toDF("doc_id", "content", "m")
+      .select(col("doc_id"), col("content"), struct(
+        col("m._1").as("format"), col("m._2").as("width"),
+        col("m._3").as("height"), col("m._4").as("duration_ms")).as("meta"))
+    val got = Multimodal.resizeMedia(rows, 16, 12).orderBy("doc_id").collect()
+    val imgRow = got(0)
+    val outBytes = imgRow.getAs[Array[Byte]]("content")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(img.getWidth === 16 && img.getHeight === 12)
+    val m0 = imgRow.getStruct(2)
+    assert(m0.getInt(1) === 16 && m0.getInt(2) === 12)
+    val m1 = got(1).getStruct(2)
+    assert(m1.getInt(1) === 16 && m1.getInt(2) === 12) // metadata clamp branch
+    assert(new String(got(1).getAs[Array[Byte]]("content"), "UTF-8") === "opaque bytes")
+  }
+
+  test("attachRealMedia + actualDims: decode(resize(png)).dims == clamp, end-to-end") {
+    val df = Seq((0L, "even png"), (1L, "odd text"), (2L, "even png 2"), (51L, "odd"))
+      .toDF("doc_id", "text")
+    val media2 = Multimodal.attachRealMedia(df, "doc_id", "text")
+    // even ids really are PNGs at the declared dims
+    val c0 = media2.filter(col("doc_id") === 2).collect()(0)
+    assert(Multimodal.looksLikeImage(c0.getAs[Array[Byte]]("content")))
+    val d0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(c0.getAs[Array[Byte]]("content")))
+    assert(d0.getWidth === (2 % 64 + 16) && d0.getHeight === (2 % 48 + 16))
+    // the gate query's exact shape: resize then ground-truth decode
+    val dims = Multimodal.actualDims(Multimodal.resizeMedia(media2, 48, 32))
+      .orderBy("doc_id").collect()
+    dims.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(2) === math.min(id % 64 + 16, 48).toInt, s"w of $id")
+      assert(r.getInt(3) === math.min(id % 48 + 16, 32).toInt, s"h of $id")
+    }
+    assert(dims.map(_.getString(1)).toSeq === Seq("png", "wav", "png", "wav"))
+  }
 }

@@ -206,8 +206,10 @@ class SimilaritySpec extends SparkTestBase {
       plan.take(600))
 
     // edges: length mismatch -> null on both forms (zip_with pad
-    // semantics); zero-norm/empty -> native yields NaN where the HOF form
-    // under ANSI mode THROWS DIVIDE_BY_ZERO (the native loop is total)
+    // semantics); zero-norm/empty -> native yields NULL (NOT NaN: Spark
+    // orders NaN above every double, so NaN would silently rank first in
+    // desc top-ks and pass >= filters) where the HOF form under ANSI mode
+    // THROWS DIVIDE_BY_ZERO (the native loop is total)
     val mm = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
       .select(Similarity.cosine(col("a"), col("b")).as("n"),
         Similarity.cosineHof(col("a"), col("b")).as("h")).collect()(0)
@@ -217,10 +219,19 @@ class SimilaritySpec extends SparkTestBase {
       (Array.empty[Float], Array.empty[Float]))       // empty
       .toDF("a", "b")
     val nEdge = edge.select(Similarity.cosine(col("a"), col("b"))).collect()
-    assert(nEdge.forall(r => !r.isNullAt(0) && r.getDouble(0).isNaN))
+    assert(nEdge.forall(_.isNullAt(0)))
     intercept[Exception] { // ANSI divide-by-zero: the fold was partial here
       edge.select(Similarity.cosineHof(col("a"), col("b"))).collect()
     }
+    // a degenerate embedding must NOT win a desc top-k or pass a threshold
+    val ranked = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 0f)))
+      .toDF("id", "v")
+      .select(col("id"), Similarity.cosine(col("v"),
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit(1f),
+          org.apache.spark.sql.functions.lit(0f))).as("cos"))
+    assert(ranked.orderBy(col("cos").desc).first().getLong(0) === 1L)
+    assert(ranked.filter(col("cos") >= 0.5).count() === 1L)
     // SQL surface registration
     graft.functions.GraftExpressions.register(spark)
     edge.createOrReplaceTempView("cs_edges")
