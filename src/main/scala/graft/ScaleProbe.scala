@@ -106,6 +106,80 @@ object ScaleProbe {
     }
     results += "near_dup_pairs" -> ((tPairs, pairsN))
 
+    // ---- cap recall: what does DefaultMaxBucket actually cost? ----
+    // True near-dup pairs lost to the cap are pairs that (a) co-bucket ONLY
+    // in over-cap buckets (an anti-join vs the capped candidate set credits
+    // pairs still reachable via a healthy band), (b) survive the lossless
+    // size-ratio prefilter, and (c) verify at J >= threshold. The dropped
+    // pair set is quadratic in degenerate-bucket size, so verification runs
+    // on a deterministic md5 hash-sample when it exceeds SampleCap — rate
+    // and raw counts are all reported so the estimate is auditable. Lost
+    // pairs with identical text are counted separately: exact dedup catches
+    // those regardless of LSH, so they are not really lost.
+    val CapThreshold = 0.2
+    val SampleCap = 2000000L
+    val (tRecall, recallStats) = time {
+      val sig = Dedup.minhashSig(docs, "text", "doc_id", withSetSize = true)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+      val sized = Dedup.lshBands(sig, "doc_id", carry = Seq("__nset"))
+        .withColumn("__bsz", count(lit(1)).over(w))
+        .localCheckpoint()
+      def pairsOf(bandRows: DataFrame): DataFrame = {
+        def side(tag: String) = bandRows.select(
+          col("doc_id").as(s"${tag}_id"), col("__nset").as(s"__n$tag"),
+          col("band"), col("bucket")).hint("shuffle_hash")
+        side("a").join(side("b"), Seq("band", "bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(least(col("__na"), col("__nb")).cast("double") >=
+            lit(CapThreshold) * greatest(col("__na"), col("__nb")))
+          .select("a_id", "b_id").distinct()
+      }
+      val kept = pairsOf(sized.filter(col("__bsz") <= Dedup.DefaultMaxBucket))
+      val droppedOnly = pairsOf(sized.filter(col("__bsz") > Dedup.DefaultMaxBucket))
+        .join(kept, Seq("a_id", "b_id"), "left_anti")
+        .localCheckpoint()
+      val nDroppedOnly = droppedOnly.count()
+      val permille =
+        if (nDroppedOnly <= SampleCap) 1000L
+        else math.max(1L, SampleCap * 1000L / nDroppedOnly)
+      val sampled =
+        if (permille >= 1000L) droppedOnly
+        else droppedOnly.filter(
+          pmod(conv(substring(md5(concat_ws("|",
+            col("a_id").cast("string"), col("b_id").cast("string"))), 1, 8),
+            16, 10).cast("long"), lit(1000L)) < lit(permille))
+      val sets = graft.ext.Par.ensure(docs.select("doc_id", "text"))
+        .select(col("doc_id"), split(col("text"), " ").as("__ws"), md5(col("text")).as("__th"))
+        .select(col("doc_id"),
+          array_distinct(Dedup.shinglesOfWords(col("__ws"), 3)).as("sset"), col("__th"))
+      val verified = sampled
+        .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa"),
+          col("__th").as("ha")), Seq("a_id"))
+        .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb"),
+          col("__th").as("hb")), Seq("b_id"))
+        .filter(Dedup.jaccard(col("sa"), col("sb")) >= CapThreshold)
+        .agg(count(lit(1)).as("lost_true"),
+          sum((col("ha") === col("hb")).cast("long")).as("exact_reachable"))
+        .collect()(0)
+      val lostTrue = verified.getLong(0)
+      val exactReachable = Option(verified.get(1)).fold(0L)(_.asInstanceOf[Long])
+      (nDroppedOnly, permille, lostTrue, exactReachable)
+    }
+    results += "cap_dropped_only_pairs" -> ((tRecall, recallStats._1))
+    results += "cap_sample_permille" -> ((0.0, recallStats._2))
+    results += "cap_lost_true_sampled" -> ((0.0, recallStats._3))
+    results += "cap_lost_exact_reachable" -> ((0.0, recallStats._4))
+    // recall at the cap, in permille: verified capped pairs over (capped +
+    // estimated lost-unique). Unique = lost true pairs minus the exact-dedup-
+    // reachable ones; scaled by the sample rate.
+    val estLostUnique =
+      if (recallStats._2 == 0L) 0.0
+      else (recallStats._3 - recallStats._4) * 1000.0 / recallStats._2
+    val recallPermille =
+      if (pairsN + estLostUnique <= 0.0) 1000L
+      else math.round(pairsN * 1000.0 / (pairsN + estLostUnique))
+    results += "cap_recall_permille" -> ((0.0, recallPermille))
+
     val (tClust, rClust) = time {
       // pairs materialized first so this times the cluster rounds, not a
       // recompute of the LSH pipeline

@@ -30,6 +30,7 @@ object SparkEntry {
     * oracle uses exactly the centroids the query used. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     val ivf = ExtQueries.ivfOracleSql(spark, sfDir)
-    Map("x_ann_ivf" -> ivf, "x_ann_ivf_indexed" -> ivf)
+    Map("x_ann_ivf" -> ivf, "x_ann_ivf_indexed" -> ivf,
+      "x_ann_ivf_batch" -> ExtQueries.ivfBatchOracleSql(spark, sfDir))
   }
 }

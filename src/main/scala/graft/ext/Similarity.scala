@@ -284,6 +284,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** BATCHED query over the materialized index: `queries` is a DataFrame of
+    * (qid, qv) — production scores thousands of query vectors per run, and
+    * one-query-per-call pays a driver round-trip and a full plan each time.
+    * Here the per-query probe-list pick is a broadcast centroid argmin
+    * COLUMN expression (no per-query driver work), all queries share ONE
+    * pruned scan + equi-join on the list id, and the per-query top-k is a
+    * window rank. The scan still prunes partitions: the union of probed
+    * lists (≤ nLists values — a bounded, tiny driver collect over the query
+    * frame) becomes a literal `list IN (...)` predicate.
+    * Returns (qid, idCol, cos) with the same rounded-cos + id-tiebreak
+    * contract as the single-query paths. */
+  def ivfTopKIndexedBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                          idCol: String, vecCol: String, queries: DataFrame,
+                          k: Int, centroids: Array[Array[Double]],
+                          nProbe: Int = 2,
+                          scanFilter: Option[Column] = None): DataFrame = {
+    val sortedLists = slice(
+      transform(
+        array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+          val d = aggregate(
+            zip_with(col("qv"), typedLit(c.toSeq), (x, y) => {
+              val diff = x.cast("double") - y
+              diff * diff
+            }),
+            lit(0.0), (acc, v) => acc + v)
+          struct(d.as("d"), lit(i).as("list"))
+        }: _*)),
+        s => s.getField("list")),
+      1, nProbe)
+    val probes = queries.withColumn("list", explode(sortedLists))
+      .select(col("qid"), col("qv"), col("list"))
+    // literal partition predicate: ≤ nLists distinct values, so this drives
+    // planning-time pruning where a plain join key could not
+    val probedLists = probes.select("list").distinct().collect()
+      .map(_.get(0)).toSeq
+    val base = spark.read.parquet(path)
+      .filter(col("list").isin(probedLists: _*))
+    val scan = scanFilter.fold(base)(base.filter)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col(idCol))
+    scan.join(broadcast(probes), Seq("list"))
+      .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("qid"), col(idCol), col("cos"))
+      .orderBy(col("qid"), col("cos").desc, col(idCol))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (equi on
     * bucket) + exact cosine filter — the scale path for vector dedup. */
   def cosineNearDupPairs(em: DataFrame, idCol: String, vecCol: String,

@@ -131,6 +131,34 @@ object ExtQueries {
       "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10"
   }
 
+  /** DuckDB twin of Similarity.ivfTopKIndexedBatch at the gate shape:
+    * 8 query vectors (vec_id < 8) against the vec_id >= 8 corpus, nProbe 2,
+    * per-query top-5 ranked on the rounded cosine with vec_id tiebreak.
+    * Centroid literals are data-derived — generated at Verify dump time
+    * like [[ivfOracleSql]]. */
+  def ivfBatchOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
+    def distSql(vec: String, c: Array[Double]): String = {
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
+        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
+        s"for i in generate_series(1, ${c.length})])"
+    }
+    def sortedLists(vec: String): String =
+      cents.zipWithIndex
+        .map { case (c, i) => s"{'d': ${distSql(vec, c)}, 'l': $i}" }
+        .mkString("list_sort([", ", ", "])")
+    s"WITH q AS (SELECT vec_id AS qid, embedding AS qv, " +
+      s"${sortedLists("embedding")} AS sl FROM $Embs WHERE vec_id < 8), " +
+      "p AS (SELECT qid, qv, UNNEST([sl[1].l, sl[2].l]) AS list FROM q), " +
+      s"b AS (SELECT vec_id, embedding, ${sortedLists("embedding")}[1].l AS list " +
+      s"FROM $Embs WHERE vec_id >= 8), " +
+      s"c AS (SELECT qid, vec_id, round($CosExpr, 6) AS cos, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY round($CosExpr, 6) DESC, vec_id) AS rn " +
+      "FROM b JOIN p USING (list)) " +
+      "SELECT qid, vec_id, cos FROM c WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"
+  }
+
   /** Per-language keep rates (percent) for the stratified sample: the shape a
     * data-mix rebalance uses (downsample dominant languages, keep the rest).
     * Declared before `inventory` — its oracle SQL is built eagerly. */
@@ -368,6 +396,24 @@ object ExtQueries {
         val idx = Similarity.indexPathFor(s, d, centroids)
         Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", q,
           k = 10, centroids, nProbe = 2)
+      },
+      None),
+
+    ("x_ann_ivf_batch", // BATCHED index queries: 8 query vectors share one
+      // pruned scan + one equi-join; probe lists are a centroid-argmin
+      // column expression, per-query top-5 a window rank. The production
+      // shape — thousands of queries amortize the scan instead of paying a
+      // driver round-trip each. Dynamic centroid-literal oracle, like
+      // x_ann_ivf.
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val qs = em.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val centroids = Similarity.centroidsFor(s, d)
+        val idx = Similarity.indexPathFor(s, d, centroids)
+        Similarity.ivfTopKIndexedBatch(s, idx, "vec_id", "embedding", qs,
+          k = 5, centroids, nProbe = 2,
+          scanFilter = Some(col("vec_id") >= 8))
       },
       None),
 
