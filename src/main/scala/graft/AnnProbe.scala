@@ -102,11 +102,48 @@ object AnnProbe {
     }.sortBy(identity).take(2).map(_._2)
     val scanFrac = probeLists.map(l => listSizes.getOrElse(l, 0L)).sum.toDouble / nVecs
 
+    // BATCH mode: 64 query vectors through ONE pruned scan + equi-join
+    // (ivfTopKIndexedBatch) vs 64 sequential single-query probes — the
+    // production amortization claim, measured.
+    val nBatch = 64
+    val qBatch = vecs.filter(col("vec_id") < nBatch)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val (tBatch, batchRows) = time {
+      Similarity.ivfTopKIndexedBatch(spark, idxPath, "vec_id", "embedding",
+        qBatch, k, cents, nProbe = 2).count()
+    }
+
+    // sign-LSH ladder at 8 planes: single-probe, Hamming-1, Hamming-2 —
+    // recall vs the exact brute top-k and the probe-cost trend (expected
+    // scan fractions 1/256, 9/256, 37/256)
+    val dim = qv.length
+    val corpus = vecs.filter(col("vec_id") =!= 0)
+    def lshRun(maxH: Int): (Double, Double) = {
+      val (t, ids) = time {
+        if (maxH == 0)
+          Similarity.annTopK(corpus, "vec_id", "embedding", q, k, 8, dim)
+            .collect().map(_.getLong(0)).toSeq
+        else
+          Similarity.annTopKMultiProbe(corpus, "vec_id", "embedding", q, k, 8,
+            dim, maxHamming = maxH)
+            .collect().map(_.getLong(0)).toSeq
+      }
+      (t, ids.count(bruteIds.contains).toDouble / k)
+    }
+    val (tLsh0, rLsh0) = lshRun(0)
+    val (tLsh1, rLsh1) = lshRun(1)
+    val (tLsh2, rLsh2) = lshRun(2)
+
     println(s"""{"metric":"ann_probe","n_vecs":$nVecs,"n_lists":$nLists,"k":$k,""" +
       s""""brute_sec":${f"$tBrute%.2f"},"train_sec":${f"$tTrain%.2f"},""" +
       s""""build_sec":${f"$tBuild%.2f"},"probe_sec":${f"$tProbe%.2f"},""" +
       s""""recall_at_k":$recall,"probe4_sec":${f"$tProbe4%.2f"},""" +
-      s""""recall4_at_k":$recall4,"scan_fraction":${f"$scanFrac%.4f"},"sf":"$sfDir"}""")
+      s""""recall4_at_k":$recall4,"scan_fraction":${f"$scanFrac%.4f"},""" +
+      s""""batch_n":$nBatch,"batch_rows":$batchRows,"batch_sec":${f"$tBatch%.2f"},""" +
+      s""""batch_per_query_sec":${f"${tBatch / nBatch}%.4f"},""" +
+      s""""lsh_sec":${f"$tLsh0%.2f"},"lsh_recall":$rLsh0,""" +
+      s""""lsh_h1_sec":${f"$tLsh1%.2f"},"lsh_h1_recall":$rLsh1,""" +
+      s""""lsh_h2_sec":${f"$tLsh2%.2f"},"lsh_h2_recall":$rLsh2,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

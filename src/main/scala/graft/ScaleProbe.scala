@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Sampling, TextFns}
 
@@ -106,79 +106,103 @@ object ScaleProbe {
     }
     results += "near_dup_pairs" -> ((tPairs, pairsN))
 
-    // ---- cap recall: what does DefaultMaxBucket actually cost? ----
+    // ---- cap recall: what does DefaultMaxBucket actually cost, per J? ----
     // True near-dup pairs lost to the cap are pairs that (a) co-bucket ONLY
     // in over-cap buckets (an anti-join vs the capped candidate set credits
     // pairs still reachable via a healthy band), (b) survive the lossless
-    // size-ratio prefilter, and (c) verify at J >= threshold. The dropped
-    // pair set is quadratic in degenerate-bucket size, so verification runs
-    // on a deterministic md5 hash-sample when it exceeds SampleCap — rate
-    // and raw counts are all reported so the estimate is auditable. Lost
-    // pairs with identical text are counted separately: exact dedup catches
-    // those regardless of LSH, so they are not really lost.
+    // size-ratio prefilter, and (c) verify at J >= 0.2. The dropped pair set
+    // is quadratic in degenerate-bucket size, so the sample rate is fixed UP
+    // FRONT from the cheap Σ sz·(sz−1)/2 bound over over-cap buckets, and the
+    // deterministic md5(a|b) predicate is pushed BELOW the distinct (pair
+    // membership is a pure pair function, so it commutes) — the full dropped
+    // set is never materialized. Losses are reported per J bin against the
+    // kept pairs' bins: banded LSH at (b=4, r=2) has its S-curve midpoint at
+    // t* = (1/b)^(1/r) ≈ 0.5, so the bins show whether the cap costs recall
+    // in the J range where the banding itself promises any. Lost pairs with
+    // identical text are counted separately: exact dedup catches those
+    // regardless of LSH, so they are not really lost.
     val CapThreshold = 0.2
     val SampleCap = 2000000L
-    val (tRecall, recallStats) = time {
+    def jBin(j: Column): Column =
+      when(j >= 0.7, "j70plus").when(j >= 0.5, "j50_70")
+        .when(j >= 0.35, "j35_50").otherwise("j20_35")
+    val pairKey = (a: Column, b: Column) => pmod(conv(substring(
+      md5(concat_ws("|", a.cast("string"), b.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(1000L))
+    val (tRecall, recallOut) = time {
       val sig = Dedup.minhashSig(docs, "text", "doc_id", withSetSize = true)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
       val sized = Dedup.lshBands(sig, "doc_id", carry = Seq("__nset"))
         .withColumn("__bsz", count(lit(1)).over(w))
         .localCheckpoint()
-      def pairsOf(bandRows: DataFrame): DataFrame = {
+      val overBound = sized.filter(col("__bsz") > Dedup.DefaultMaxBucket)
+        .select("band", "bucket", "__bsz").distinct()
+        .agg(coalesce(sum(col("__bsz") * (col("__bsz") - 1) / 2), lit(0L))
+          .cast("long"))
+        .collect()(0).getLong(0)
+      val permille =
+        if (overBound <= SampleCap) 1000L
+        else math.max(1L, SampleCap * 1000L / overBound)
+      def pairsOf(bandRows: DataFrame, samplePermille: Long): DataFrame = {
         def side(tag: String) = bandRows.select(
           col("doc_id").as(s"${tag}_id"), col("__nset").as(s"__n$tag"),
           col("band"), col("bucket")).hint("shuffle_hash")
-        side("a").join(side("b"), Seq("band", "bucket"))
+        val joined = side("a").join(side("b"), Seq("band", "bucket"))
           .filter(col("a_id") < col("b_id"))
           .filter(least(col("__na"), col("__nb")).cast("double") >=
             lit(CapThreshold) * greatest(col("__na"), col("__nb")))
-          .select("a_id", "b_id").distinct()
+        val sampled = if (samplePermille >= 1000L) joined
+          else joined.filter(pairKey(col("a_id"), col("b_id")) < lit(samplePermille))
+        sampled.select("a_id", "b_id").distinct()
       }
-      val kept = pairsOf(sized.filter(col("__bsz") <= Dedup.DefaultMaxBucket))
-      val droppedOnly = pairsOf(sized.filter(col("__bsz") > Dedup.DefaultMaxBucket))
+      val kept = pairsOf(sized.filter(col("__bsz") <= Dedup.DefaultMaxBucket), 1000L)
+      val lostSampled = pairsOf(sized.filter(col("__bsz") > Dedup.DefaultMaxBucket), permille)
         .join(kept, Seq("a_id", "b_id"), "left_anti")
-        .localCheckpoint()
-      val nDroppedOnly = droppedOnly.count()
-      val permille =
-        if (nDroppedOnly <= SampleCap) 1000L
-        else math.max(1L, SampleCap * 1000L / nDroppedOnly)
-      val sampled =
-        if (permille >= 1000L) droppedOnly
-        else droppedOnly.filter(
-          pmod(conv(substring(md5(concat_ws("|",
-            col("a_id").cast("string"), col("b_id").cast("string"))), 1, 8),
-            16, 10).cast("long"), lit(1000L)) < lit(permille))
       val sets = graft.ext.Par.ensure(docs.select("doc_id", "text"))
         .select(col("doc_id"), split(col("text"), " ").as("__ws"), md5(col("text")).as("__th"))
         .select(col("doc_id"),
           array_distinct(Dedup.shinglesOfWords(col("__ws"), 3)).as("sset"), col("__th"))
-      val verified = sampled
+      val lostHist = lostSampled
         .join(sets.select(col("doc_id").as("a_id"), col("sset").as("sa"),
           col("__th").as("ha")), Seq("a_id"))
         .join(sets.select(col("doc_id").as("b_id"), col("sset").as("sb"),
           col("__th").as("hb")), Seq("b_id"))
-        .filter(Dedup.jaccard(col("sa"), col("sb")) >= CapThreshold)
-        .agg(count(lit(1)).as("lost_true"),
-          sum((col("ha") === col("hb")).cast("long")).as("exact_reachable"))
-        .collect()(0)
-      val lostTrue = verified.getLong(0)
-      val exactReachable = Option(verified.get(1)).fold(0L)(_.asInstanceOf[Long])
-      (nDroppedOnly, permille, lostTrue, exactReachable)
+        .withColumn("__j", Dedup.jaccard(col("sa"), col("sb")))
+        .filter(col("__j") >= CapThreshold)
+        .groupBy(jBin(col("__j")).as("bin"))
+        .agg(count(lit(1)).as("n"), sum((col("ha") === col("hb")).cast("long")).as("ex"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      (overBound, permille, lostHist)
     }
-    results += "cap_dropped_only_pairs" -> ((tRecall, recallStats._1))
-    results += "cap_sample_permille" -> ((0.0, recallStats._2))
-    results += "cap_lost_true_sampled" -> ((0.0, recallStats._3))
-    results += "cap_lost_exact_reachable" -> ((0.0, recallStats._4))
-    // recall at the cap, in permille: verified capped pairs over (capped +
-    // estimated lost-unique). Unique = lost true pairs minus the exact-dedup-
-    // reachable ones; scaled by the sample rate.
-    val estLostUnique =
-      if (recallStats._2 == 0L) 0.0
-      else (recallStats._3 - recallStats._4) * 1000.0 / recallStats._2
-    val recallPermille =
-      if (pairsN + estLostUnique <= 0.0) 1000L
-      else math.round(pairsN * 1000.0 / (pairsN + estLostUnique))
-    results += "cap_recall_permille" -> ((0.0, recallPermille))
+    val (overBound, permille, lostHist) = recallOut
+    // kept verified pairs per J bin (one more nearDupPairs run, with J kept)
+    val keptHist = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = CapThreshold)
+      .groupBy(jBin(col("jaccard")).as("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    results += "cap_overcap_pair_bound" -> ((tRecall, overBound))
+    results += "cap_sample_permille" -> ((0.0, permille))
+    val bins = Seq("j20_35", "j35_50", "j50_70", "j70plus")
+    // scaled estimates; exact-text losses (always J=1 -> j70plus) excluded
+    // from the lost side of every recall, since exactDedup catches them
+    val exactReachable = lostHist.values.map(_._2).sum * 1000L / permille
+    val lostEst = bins.map { b =>
+      val raw = lostHist.get(b).map(_._1).getOrElse(0L) -
+        (if (b == "j70plus") lostHist.get(b).map(_._2).getOrElse(0L) else 0L)
+      b -> raw * 1000L / permille
+    }.toMap
+    bins.foreach { b =>
+      results += s"cap_lost_$b" -> ((0.0, lostEst(b)))
+      results += s"cap_kept_$b" -> ((0.0, keptHist.getOrElse(b, 0L)))
+    }
+    results += "cap_lost_exact_reachable" -> ((0.0, exactReachable))
+    def recallPermille(fromBin: Int): Long = {
+      val k = bins.drop(fromBin).map(b => keptHist.getOrElse(b, 0L)).sum
+      val l = bins.drop(fromBin).map(lostEst).sum
+      if (k + l <= 0L) 1000L else math.round(k * 1000.0 / (k + l))
+    }
+    results += "cap_recall_permille" -> ((0.0, recallPermille(0)))
+    results += "cap_recall_j50plus_permille" -> ((0.0, recallPermille(2)))
+    results += "cap_recall_j70plus_permille" -> ((0.0, recallPermille(3)))
 
     val (tClust, rClust) = time {
       // pairs materialized first so this times the cluster rounds, not a

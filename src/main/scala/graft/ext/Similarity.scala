@@ -85,10 +85,15 @@ object Similarity {
     * equi-join at any scale. */
   def annTopKMultiProbe(em: DataFrame, idCol: String, vecCol: String,
                         queryVec: DataFrame, k: Int, nPlanes: Int, dim: Int,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L, maxHamming: Int = 1): DataFrame = {
     val ps = planes(nPlanes, dim, seed)
     val bucketed = em.withColumn("bucket", lshBucket(col(vecCol), ps))
-    val flips = lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))
+    // all XOR masks within Hamming distance maxHamming of the home bucket:
+    // 1 + C(n,1) + ... probe buckets — the recall/cost dial (AnnProbe
+    // measures the Hamming-2 rung at 100 k vectors)
+    val flips = (0 to maxHamming).flatMap(h =>
+      (0 until nPlanes).combinations(h)
+        .map(c => lit(c.map(1L << _).sum)).toSeq)
     val probes = queryVec.withColumn("bucket0", lshBucket(col("qv"), ps))
       .select(col("qv"), col("bucket0"), explode(array(flips: _*)).as("flip"))
       .select(col("qv"), col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
@@ -270,13 +275,15 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      idCol: String, vecCol: String, queryVec: DataFrame,
                      k: Int, centroids: Array[Array[Double]],
-                     nProbe: Int = 2): DataFrame = {
+                     nProbe: Int = 2,
+                     scanFilter: Option[Column] = None): DataFrame = {
     val qv = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
     val probeLists = centroids.zipWithIndex
       .map { case (c, i) => (sqdist(qv, c), i) }
       .sortBy(identity).take(nProbe).map(_._2.asInstanceOf[Any])
-    spark.read.parquet(path)
+    val base = spark.read.parquet(path)
       .filter(col("list").isin(probeLists: _*))
+    scanFilter.fold(base)(base.filter)
       .crossJoin(broadcast(queryVec))
       .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
       .select(col(idCol), col("cos"))

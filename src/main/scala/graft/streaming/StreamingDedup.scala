@@ -127,37 +127,46 @@ object StreamingDedup {
 
   /** File-stream harness: replay a documents parquet directory through
     * [[firstSeenWins]] as a REAL multi-batch stream — no driver collect on
-    * either side. The corpus is staged as `chunks` doc_id-range files whose
-    * modification times increase with the range, so the file source (which
-    * replays oldest-first) delivers doc_id-ascending micro-batches; event
-    * time is monotone in doc_id, so first-seen-by-arrival equals
-    * first-by-(event_time, doc_id) and the batch-window oracle stays exact.
-    * Output goes to a parquet sink (streaming files, not driver memory) and
-    * is read back as the returned DataFrame. */
+    * either side. The corpus is staged as `chunks` doc_id-range files which
+    * are then FED to the running query one at a time via Hadoop FS rename
+    * (drained with processAllAvailable between arrivals) — arrival order is
+    * the order of appearance, so the harness needs no mtime mutation and
+    * works on any Hadoop filesystem scheme, like the band store.
+    *
+    * `arrivalOrder` (a permutation of 0 until chunks) injects out-of-order
+    * arrival: with the default in-order feed, event time is monotone in
+    * doc_id, so first-seen-by-arrival equals first-by-(event_time, doc_id)
+    * and the batch-window oracle stays exact. An out-of-order feed exercises
+    * the watermark path: a late-but-within-lateness chunk must still be
+    * emitted, with firsts/ordinals decided by ARRIVAL (the operator's actual
+    * contract). Output goes to a parquet sink (streaming files, not driver
+    * memory) and is read back as the returned DataFrame. */
   def firstSeenWinsFileRun(spark: org.apache.spark.sql.SparkSession,
                            docsParquetDir: String, chunks: Int = 4,
                            lateness: String = "10 minutes",
-                           stateTtlMs: Long = 7L * 86400000L): DataFrame = {
+                           stateTtlMs: Long = 7L * 86400000L,
+                           arrivalOrder: Seq[Int] = Seq.empty): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage").toString
-    val inDir = s"$stage/in"; val outDir = s"$stage/out"; val ckpt = s"$stage/ckpt"
+    val chunkDir = s"$stage/chunks"; val inDir = s"$stage/in"
+    val outDir = s"$stage/out"; val ckpt = s"$stage/ckpt"
 
     spark.read.parquet(docsParquetDir)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"),
         timestamp_seconds(lit(1000000000L) + col("doc_id")).as("event_time"))
       .repartitionByRange(chunks, col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(inDir)
+      .write.mode("overwrite").parquet(chunkDir)
 
-    // part-file name order == range-partition order == doc_id order; stamp
-    // strictly increasing mtimes (60 s apart) so the source's oldest-first
-    // ordering replays them in that order.
-    val parts = new java.io.File(inDir).listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    // part-file name order == range-partition order == doc_id order
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(new Path(chunkDir)).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-    val now = System.currentTimeMillis()
-    parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(now - (parts.length - i).toLong * 60000L)
-    }
+    val order = if (arrivalOrder.nonEmpty) arrivalOrder else parts.indices.toSeq
+    require(order.sorted == parts.indices.toSeq,
+      s"arrivalOrder must be a permutation of 0 until ${parts.length}, got $order")
+    fs.mkdirs(new Path(inDir))
 
     // The stream runs on a cloned session with few shuffle partitions: the
     // state store writes one checkpoint delta PER state partition PER
@@ -177,7 +186,12 @@ object StreamingDedup {
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      order.zipWithIndex.foreach { case (part, i) =>
+        fs.rename(parts(part), new Path(inDir, f"chunk-$i%05d.parquet"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
     spark.read.parquet(outDir)
   }
 }

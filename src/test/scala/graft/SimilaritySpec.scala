@@ -171,6 +171,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(viaIndex === direct)
   }
 
+  test("batched IVF probes: per-query results equal the single-query path") {
+    val em = graft.queries.Td.t(spark, sf0001, "embeddings")
+    val cents = Similarity.centroidsFor(spark, sf0001)
+    val idx = Similarity.indexPathFor(spark, sf0001, cents)
+    val qs = em.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Similarity.ivfTopKIndexedBatch(spark, idx, "vec_id", "embedding",
+      qs, k = 5, cents, nProbe = 2, scanFilter = Some(col("vec_id") >= 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    (0L until 4L).foreach { qid =>
+      val q = em.filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+      val single = Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding",
+        q, k = 5, cents, nProbe = 2, scanFilter = Some(col("vec_id") >= 4))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) === single, s"qid=$qid")
+    }
+    // one scan serves all queries: the probe side is broadcast, so the plan
+    // has exactly one parquet scan of the index
+    val plan = Similarity.ivfTopKIndexedBatch(spark, idx, "vec_id", "embedding",
+      qs, k = 5, cents, nProbe = 2, scanFilter = Some(col("vec_id") >= 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+  }
+
   test("indexPathFor: cache keyed on centroid fingerprint, not just dir") {
     val c1 = Similarity.centroidsFor(spark, sf0001)
     val p1 = Similarity.indexPathFor(spark, sf0001, c1)

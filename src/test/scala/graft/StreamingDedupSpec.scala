@@ -77,6 +77,34 @@ class StreamingDedupSpec extends SparkTestBase {
     }
   }
 
+  test("firstSeenWinsFileRun: late-but-within-lateness chunk lands, firsts by arrival") {
+    // same 20-doc corpus, but chunk 1 (doc_ids 5..9) arrives BEFORE chunk 0:
+    // chunk 0 is then a late batch whose event times trail the watermark's
+    // high-water chunk but sit inside the lateness window, so every row must
+    // still be emitted — and first-seen is decided by ARRIVAL, not doc_id.
+    val dir = java.nio.file.Files.createTempDirectory("graft_filerun_ooo").toString
+    val docs = (0L until 20L).map(i => (i, s"text ${i % 5}", "xx"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.mode("overwrite").parquet(dir)
+
+    val got = StreamingDedup.firstSeenWinsFileRun(spark, dir, chunks = 4,
+      arrivalOrder = Seq(1, 0, 2, 3))
+      .select("doc_id", "is_first", "dup_ordinal")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+
+    assert(got.size === 20) // the late chunk was NOT dropped by the watermark
+    (0L until 20L).foreach { i =>
+      // per text t = i%5, arrival order is: 5+t (chunk 1), t (late chunk 0),
+      // 10+t, 15+t — so chunk 1 holds the firsts and chunk 0's ordinal is 1
+      val expect: (Boolean, Long) = (i / 5) match {
+        case 0 => (false, 1L)
+        case 1 => (true, 0L)
+        case c => (false, c.toLong)
+      }
+      assert(got(i) === expect, s"doc $i: got ${got(i)}, want $expect")
+    }
+  }
+
   test("exactWithinWatermark: built-in drop suppresses dups in horizon") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Doc]
