@@ -126,9 +126,10 @@ object ScaleProbe {
     def jBin(j: Column): Column =
       when(j >= 0.7, "j70plus").when(j >= 0.5, "j50_70")
         .when(j >= 0.35, "j35_50").otherwise("j20_35")
-    val pairKey = (a: Column, b: Column) => pmod(conv(substring(
-      md5(concat_ws("|", a.cast("string"), b.cast("string"))), 1, 8),
-      16, 10).cast("long"), lit(1000L))
+    // xxhash64, not md5: the sample predicate runs on every enumerated pair
+    // slot of the over-cap join (billions at 200 k docs) and is probe-
+    // internal — deterministic is all it needs to be
+    val pairKey = (a: Column, b: Column) => pmod(xxhash64(a, b), lit(1000L))
     val (tRecall, recallOut) = time {
       val sig = Dedup.minhashSig(docs, "text", "doc_id", withSetSize = true)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")

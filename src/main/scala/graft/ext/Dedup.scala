@@ -133,7 +133,17 @@ object Dedup {
     * their other bands, and exact dedup still catches identical texts. The
     * real test-corpus buckets max out at 16 (sf0.1), so the cap is inert at
     * gate scale; the DuckDB oracle twins apply the identical cap, so the
-    * hash-compare stays exact at ANY scale. */
+    * hash-compare stays exact at ANY scale.
+    *
+    * The cap's recall price is MEASURED, per J stratum (ScaleProbe cap_*
+    * columns; PLANS.md round-7 table): on the 50 k worst-case corpus the cap
+    * loses ZERO true pairs at J ≥ 0.35 — every loss sits in J ∈ [0.2, 0.35),
+    * where (b=4, r=2) banding's own collision probability is only
+    * 1−(1−J²)⁴ ≈ 15–40 % even uncapped. A pipeline that needs reliable
+    * recall at such marginal similarity must re-parameterize the banding
+    * (more, narrower bands), not lean on a quadratic-cost degenerate bucket;
+    * at the thresholds this operator is parameterized for (default 0.7,
+    * S-curve midpoint ≈ 0.5) the cap is measured free. */
   val DefaultMaxBucket = 1000
 
   /** Candidate near-dup pairs: equi-join on (band, bucket), a < b, distinct.
