@@ -185,6 +185,21 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** The size-ratio prefilter is lossless but not free: the distinct-shingle
+    * count adds a countDistinct to the signature agg and 4 bytes to every
+    * band row. Round-7 A/B forensics (quiet machine, min-of-5): at sf0.1
+    * (584 KB, 844 candidate-scale) it COSTS 13 % on x_near_dup (2.66 →
+    * 3.00 s); at 500 k docs (≈46 MB) it SAVES 31 % (264 → 182 s). The
+    * crossover is corpus-size-shaped because its payoff is ∝ candidates
+    * killed; gate on the optimized plan's size estimate (same source
+    * Par.ensure reads — no extra work). Unknown stats read as the huge
+    * default estimate ⇒ prefilter ON, the right bias at scale. */
+  val SizeRatioPrefilterMinBytes: Long = 4L << 20
+
+  private[ext] def sizeRatioPrefilterWorthIt(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(SizeRatioPrefilterMinBytes)
+
   /** End-to-end MinHash-LSH near-dup dedup: candidates from banding, verified
     * by true shingle Jaccard ≥ threshold. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
@@ -198,10 +213,16 @@ object Dedup {
     // the band join — before the distinct() shuffle and long before any
     // shingle array moves. Provably no true pair is lost, so results (and
     // the DuckDB oracle) are unchanged.
-    val sig = minhashSig(df, textCol, idCol, numHashes, shingleK, withSetSize = true)
-    val cands = candidatePairs(
-      lshBands(sig, idCol, numHashes, bandSize, carry = Seq("__nset")),
-      idCol, maxBucket, sizeCol = Some("__nset"), sizeRatioMin = threshold)
+    val prefilter = sizeRatioPrefilterWorthIt(df)
+    val sig = minhashSig(df, textCol, idCol, numHashes, shingleK,
+      withSetSize = prefilter)
+    val cands =
+      if (prefilter)
+        candidatePairs(
+          lshBands(sig, idCol, numHashes, bandSize, carry = Seq("__nset")),
+          idCol, maxBucket, sizeCol = Some("__nset"), sizeRatioMin = threshold)
+      else
+        candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol, maxBucket)
     // Probed twice (a-side and b-side) by the verify joins, but NOT cached:
     // both probes shuffle the identical subplan hashed by the id, so Spark's
     // ReuseExchange computes the shingle sets once and reuses the shuffle
@@ -276,13 +297,17 @@ object Dedup {
     val oldCandDocs = oldDf.join(
       cands.select(col("old_id").as(idCol)), Seq(idCol), "left_semi")
     // lossless size-ratio prefilter before the wide shingle joins — see
-    // nearDupPairs; identical math, identical results
-    val narrowed = cands
-      .join(sizesOf(newDf).select(col(idCol).as("new_id"), col("__n").as("__na")), Seq("new_id"))
-      .join(sizesOf(oldCandDocs).select(col(idCol).as("old_id"), col("__n").as("__nb")), Seq("old_id"))
-      .filter(least(col("__na"), col("__nb")).cast("double") >=
-        lit(threshold) * greatest(col("__na"), col("__nb")))
-      .select("new_id", "old_id")
+    // nearDupPairs; identical math, identical results. Size-gated like
+    // there: the refresh corpus (old side) is what grows at scale.
+    val narrowed =
+      if (sizeRatioPrefilterWorthIt(oldDf) || sizeRatioPrefilterWorthIt(newDf))
+        cands
+          .join(sizesOf(newDf).select(col(idCol).as("new_id"), col("__n").as("__na")), Seq("new_id"))
+          .join(sizesOf(oldCandDocs).select(col(idCol).as("old_id"), col("__n").as("__nb")), Seq("old_id"))
+          .filter(least(col("__na"), col("__nb")).cast("double") >=
+            lit(threshold) * greatest(col("__na"), col("__nb")))
+          .select("new_id", "old_id")
+      else cands
     narrowed
       .join(setsOf(newDf).select(col(idCol).as("new_id"), col("sset").as("sa")), Seq("new_id"))
       .join(setsOf(oldCandDocs).select(col(idCol).as("old_id"), col("sset").as("sb")), Seq("old_id"))
