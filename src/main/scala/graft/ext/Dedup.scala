@@ -240,6 +240,68 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** LOSSLESS set-similarity join via prefix filtering (the SSJoin /
+    * AllPairs family — Chaudhuri et al., ICDE 2006; Bayardo et al., WWW
+    * 2007): the linear-cost route to RELIABLE recall at marginal thresholds
+    * (J ≈ 0.2–0.35), exactly where banded MinHash-LSH's S-curve surfaces
+    * only 15–41 % of true pairs (measured — PLANS.md round-7 cap table).
+    *
+    * Principle: order all shingles by a global total order (ascending
+    * frequency, ties lexicographic — frequency is the performance heuristic,
+    * any total order is correct); each doc keeps only its first
+    * |A| − ⌈t·|A|⌉ + 1 shingles (its "prefix"). Any pair with J ≥ t MUST
+    * share a prefix shingle on both sides: the smallest common shingle c has
+    * fewer than (1−t)|A| non-shared shingles before it, so it sits inside
+    * the prefix — candidates come from an EQUI-join on the prefix shingle,
+    * never an all-pairs pass. Rare shingles join first, boilerplate
+    * shingles sit at prefix tails or outside them.
+    *
+    * Scale shape: one groupBy for global frequencies, one window for
+    * per-doc ranks, one equi-join on the prefix shingle (+ the lossless
+    * size-ratio bound inside the join), Jaccard verify on candidates only.
+    * `maxToken` caps a prefix-shingle bucket like the LSH cap — the same
+    * bounded-worst-case knob, inert at gate scale and mirrored in the
+    * DuckDB oracle.
+    *
+    * vs [[nearDupPairs]]: LSH costs less at high thresholds (signatures
+    * compress sets to 8 longs); prefix join carries real shingles but
+    * misses NOTHING down to its threshold (cap aside). Use LSH at ≥ 0.5,
+    * prefix join below. */
+  def prefixJoinPairs(df: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int = 3, threshold: Double = 0.2,
+                      maxToken: Int = DefaultMaxBucket): DataFrame = {
+    val sets = Par.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol),
+        array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
+      .withColumn("__n", size(col("sset")))
+    val tok = sets.select(col(idCol), col("__n"), explode(col("sset")).as("s"))
+    val freq = tok.groupBy("s").agg(count(lit(1)).as("__f"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__f"), col("s"))
+    // prefix length |A| − ⌈t·|A|⌉ + 1; both engines compute the same IEEE
+    // t·n product, so the ceil agrees bit-for-bit
+    val prefix = tok.join(freq, Seq("s"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("s")
+    val capped = prefix.withColumn("__bsz", count(lit(1)).over(wTok))
+      .filter(col("__bsz") <= maxToken)
+    def side(tag: String) = capped.select(col(idCol).as(s"${tag}_id"),
+      col("__n").as(s"__n$tag"), col("s")).hint("shuffle_hash")
+    val cands = side("a").join(side("b"), Seq("s"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(least(col("__na"), col("__nb")).cast("double") >=
+        lit(threshold) * greatest(col("__na"), col("__nb")))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(sets.select(col(idCol).as("a_id"), col("sset").as("sa")), Seq("a_id"))
+      .join(sets.select(col(idCol).as("b_id"), col("sset").as("sb")), Seq("b_id"))
+      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Persist a band table for incremental probing, partitioned by band so a
     * probe of one band prunes the rest at planning time. At 100 TB this is
     * the corpus signature store: written once at ingest, appended as the

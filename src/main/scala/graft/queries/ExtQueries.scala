@@ -306,6 +306,38 @@ object ExtQueries {
         "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.2 " +
         "ORDER BY a_id, b_id")),
 
+    ("x_prefix_pairs", // LOSSLESS set-similarity join via prefix filtering
+      // (SSJoin/AllPairs): global frequency order, per-doc prefix of
+      // |A|-ceil(t|A|)+1 shingles, equi-join on the prefix shingle, size
+      // bound inside the join, Jaccard verify on candidates. The reliable-
+      // recall route at marginal J where LSH banding is structurally weak
+      // (PLANS.md round-7 cap table) — at gate scale this emits EVERY pair
+      // with J >= 0.2, which the capped-LSH x_near_dup cannot promise.
+      (s: SparkSession, d: String) =>
+        Dedup.prefixJoinPairs(t(s, d, "documents"), "text", "doc_id",
+          threshold = 0.2)
+          .orderBy("a_id", "b_id"),
+      Some(s"$ShingleCte, ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh), " +
+        "tok AS (SELECT doc_id, len(sset) AS n, UNNEST(sset) AS s FROM ds), " +
+        "freq AS (SELECT s, count(*) AS f FROM tok GROUP BY s), " +
+        "ranked AS (SELECT tok.doc_id, tok.n, tok.s, " +
+        "row_number() OVER (PARTITION BY tok.doc_id ORDER BY freq.f, tok.s) AS rn " +
+        "FROM tok JOIN freq USING (s)), " +
+        "pre AS (SELECT doc_id, n, s FROM ranked " +
+        "WHERE rn <= n - CAST(ceil(0.2 * n) AS BIGINT) + 1), " +
+        "cap AS (SELECT doc_id, n, s FROM (SELECT doc_id, n, s, " +
+        "count(*) OVER (PARTITION BY s) AS bsz FROM pre) " +
+        s"WHERE bsz <= ${Dedup.DefaultMaxBucket}), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
+        "FROM cap a JOIN cap b USING (s) WHERE a.doc_id < b.doc_id " +
+        "AND CAST(least(a.n, b.n) AS DOUBLE) >= 0.2 * greatest(a.n, b.n)) " +
+        "SELECT a_id, b_id, CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
+        "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) AS jaccard " +
+        "FROM cand JOIN ds x ON x.doc_id = a_id JOIN ds y ON y.doc_id = b_id " +
+        "WHERE CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
+        "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.2 " +
+        "ORDER BY a_id, b_id")),
+
     // -------------------------------------------------------- similarity --
     ("x_cosine_all",
       (s: SparkSession, d: String) => {

@@ -66,6 +66,33 @@ class DedupSpec extends SparkTestBase {
     assert(!ids.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("prefix join: LOSSLESS — equals brute-force all-pairs Jaccard at threshold") {
+    // real corpus slice, small enough for the quadratic ground truth
+    val corpus = graft.queries.Td.t(spark, sf0001, "documents")
+      .select("doc_id", "text").limit(60).cache()
+    try {
+      val t = 0.2
+      val sets = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          array_distinct(Dedup.shinglesOfWords(col("ws"), 3)).as("sset"))
+      val truth = sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .withColumn("j", Dedup.jaccard(col("a.sset"), col("b.sset")))
+        .filter(col("j") >= t)
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Dedup.prefixJoinPairs(corpus, "text", "doc_id", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === truth, // no pair missed, none invented
+        s"missed=${truth -- got} extra=${got -- truth}")
+      // and it strictly dominates the capped-LSH recall at this threshold
+      val lsh = Dedup.nearDupPairs(corpus, "text", "doc_id", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lsh.subsetOf(got))
+    } finally { corpus.unpersist(); () }
+  }
+
   test("near-dup leaves no cached RDDs; shingle-set shuffle is reused, not recomputed") {
     // diff, not isEmpty: other suites may share this session's cache registry
     val before = spark.sparkContext.getPersistentRDDs.keySet
