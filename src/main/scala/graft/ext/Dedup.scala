@@ -259,9 +259,12 @@ object Dedup {
     * Scale shape: one groupBy for global frequencies, one window for
     * per-doc ranks, one equi-join on the prefix shingle (+ the lossless
     * size-ratio bound inside the join), Jaccard verify on candidates only.
-    * `maxToken` caps a prefix-shingle bucket like the LSH cap — the same
-    * bounded-worst-case knob, inert at gate scale and mirrored in the
-    * DuckDB oracle.
+    * `maxToken` excludes shingles whose GLOBAL frequency exceeds it from
+    * candidate generation (an upper bound of any prefix bucket's size) —
+    * the same bounded-worst-case knob as the LSH cap, inert at gate scale
+    * and mirrored in the DuckDB oracle; prefix lengths keep using the FULL
+    * set size, so the prefix bound stays valid for every pair that shares
+    * at least one uncapped shingle.
     *
     * vs [[nearDupPairs]]: LSH costs less at high thresholds (signatures
     * compress sets to 8 longs); prefix join carries real shingles but
@@ -270,34 +273,68 @@ object Dedup {
   def prefixJoinPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 3, threshold: Double = 0.2,
                       maxToken: Int = DefaultMaxBucket): DataFrame = {
-    val sets = Par.ensure(df.select(col(idCol), col(textCol)))
+    val big = sizeRatioPrefilterWorthIt(df)
+    // Small corpora: checkpoint the shingled sets ONCE — the token stream,
+    // the frequency table, and both (broadcast) verify sides then all
+    // derive from that single shingling evaluation — and BROADCAST the
+    // frequency table so the token stream is never shuffled for the
+    // ordering join. At scale, keep lineage and shuffle joins: the freq
+    // groupBy and the ordering join exchange the identical token subplan by
+    // `s`, so ReuseExchange computes it once, and a corpus-sized checkpoint
+    // would trade cheap recompute for block-storage pressure.
+    val setsRaw = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
         array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
       .withColumn("__n", size(col("sset")))
+    val sets = if (big) setsRaw else setsRaw.localCheckpoint()
     val tok = sets.select(col(idCol), col("__n"), explode(col("sset")).as("s"))
     val freq = tok.groupBy("s").agg(count(lit(1)).as("__f"))
+    val freqSide = if (big) freq else broadcast(freq)
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("__f"), col("s"))
     // prefix length |A| − ⌈t·|A|⌉ + 1; both engines compute the same IEEE
-    // t·n product, so the ceil agrees bit-for-bit
-    val prefix = tok.join(freq, Seq("s"))
+    // t·n product, so the ceil agrees bit-for-bit. The bounded-cost cap
+    // rides the global frequency already joined for the ordering (an upper
+    // bound of any prefix bucket's size — no second window needed);
+    // checkpointed so the self-join sides read the window output instead of
+    // re-running it (same policy as incrementalNearDupsFromBands' candidate
+    // materialization).
+    val capped = tok.join(freqSide, Seq("s"))
+      .filter(col("__f") <= maxToken)
       .withColumn("__rn", row_number().over(wDoc))
       .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("s")
-    val capped = prefix.withColumn("__bsz", count(lit(1)).over(wTok))
-      .filter(col("__bsz") <= maxToken)
+      .localCheckpoint()
     def side(tag: String) = capped.select(col(idCol).as(s"${tag}_id"),
       col("__n").as(s"__n$tag"), col("s")).hint("shuffle_hash")
+    // sizes ride along through the distinct (they are functions of the ids,
+    // so the pair cardinality is unchanged): the verify can then compute
+    // |A∪B| = |A|+|B|−|A∩B| arithmetically instead of allocating an
+    // array_union per pair — the sets are distinct, so this is exact
     val cands = side("a").join(side("b"), Seq("s"))
       .filter(col("a_id") < col("b_id"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(threshold) * greatest(col("__na"), col("__nb")))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id", "__na", "__nb").distinct()
+    // when the corpus is small, broadcast the shingle sets: the candidate
+    // pairs then never shuffle array payloads — each pair row carries only
+    // ids + sizes and probes the hashed sets in place. At scale the stats
+    // read big and this degrades gracefully to the shuffled join. Sets are
+    // sorted ONCE per doc so the per-pair intersection is the native
+    // allocation-free merge loop (SortedIntersectCount), not a per-row
+    // hash-set build.
+    val sorted = sets.select(col(idCol), array_sort(col("sset")).as("sset"))
+    def setsSide(tag: String) = {
+      val s = sorted.select(col(idCol).as(s"${tag}_id"), col("sset").as(s"s$tag"))
+      if (sizeRatioPrefilterWorthIt(df)) s else broadcast(s)
+    }
+    val inter = graft.functions.GraftExpressions
+      .sorted_intersect_count(col("sa"), col("sb")).cast("double")
     cands
-      .join(sets.select(col(idCol).as("a_id"), col("sset").as("sa")), Seq("a_id"))
-      .join(sets.select(col(idCol).as("b_id"), col("sset").as("sb")), Seq("b_id"))
-      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .join(setsSide("a"), Seq("a_id"))
+      .join(setsSide("b"), Seq("b_id"))
+      .withColumn("jaccard",
+        inter / (col("__na") + col("__nb") - inter))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

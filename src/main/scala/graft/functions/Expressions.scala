@@ -163,6 +163,75 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection CARDINALITY of two string arrays that are SORTED ascending
+  * (binary UTF8 order — `array_sort`'s order) and element-distinct, as one
+  * codegen'd merge loop per row. The set-similarity verify joins
+  * (prefixJoinPairs) otherwise pay `array_intersect`, which builds a fresh
+  * hash set PER ROW and allocates the intersection array only to take its
+  * size; the merge is allocation-free, O(|a|+|b|), and stays inside
+  * whole-stage codegen. Count-identical to
+  * `size(array_intersect(a, b))` on sorted-distinct inputs (spec-asserted).
+  * Null array or null element → null (mirrors the built-ins' null
+  * propagation). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def isStringArray(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isStringArray(left.dataType) && isStringArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<STRING> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val cmp = ctx.freshName("cmp")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $na = $av.numElements();
+         |final int $nb = $bv.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |boolean $bad = false;
+         |while ($i < $na && $j < $nb) {
+         |  if ($av.isNullAt($i) || $bv.isNullAt($j)) { $bad = true; break; }
+         |  final int $cmp = $av.getUTF8String($i).compareTo($bv.getUTF8String($j));
+         |  if ($cmp == 0) { $c++; $i++; $j++; }
+         |  else if ($cmp < 0) { $i++; }
+         |  else { $j++; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $c; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   import GraftBridge.{column, expression}
 
@@ -178,6 +247,9 @@ object GraftExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
 
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
+
   /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -188,5 +260,8 @@ object GraftExpressions {
       "rolling_hash", exprs => RollingHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }

