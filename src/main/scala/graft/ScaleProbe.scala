@@ -205,6 +205,18 @@ object ScaleProbe {
     results += "cap_recall_j50plus_permille" -> ((0.0, recallPermille(2)))
     results += "cap_recall_j70plus_permille" -> ((0.0, recallPermille(3)))
 
+    // The lossless marginal-threshold path: prefix-filter set-similarity
+    // join at the same J >= 0.2. Contrast rows: capped LSH keeps ~21 % of
+    // true pairs here (cap_recall_permille); the prefix join is lossless
+    // modulo its OWN cap — shingles whose global frequency exceeds
+    // DefaultMaxBucket leave candidate generation, and on this dense
+    // synthetic corpus that bites (reported, not hidden: pairs found vs the
+    // kept+lost estimate above tells the recall story).
+    val (tPrefix, prefixN) = time {
+      Dedup.prefixJoinPairs(docs, "text", "doc_id", threshold = 0.2).count()
+    }
+    results += "prefix_join_pairs" -> ((tPrefix, prefixN))
+
     val (tClust, rClust) = time {
       // pairs materialized first so this times the cluster rounds, not a
       // recompute of the LSH pipeline
