@@ -300,8 +300,11 @@ object Multimodal {
     * Returns null when the bytes aren't a decodable image or decode is
     * rejected by the pixel guard (caller keeps original bytes and clamps
     * metadata only). Bytes already within bounds pass through untouched. */
+  /** Returns (png bytes, out width, out height), or null when the bytes
+    * don't decode / exceed the adversarial-size guard. Dims ride along so
+    * the caller never re-decodes its own output just to read them. */
   private[graft] def resizeImageBytes(
-      content: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+      content: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case scala.util.control.NonFatal(_) => null }
@@ -310,7 +313,7 @@ object Multimodal {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return null
     val nw = math.min(w, maxW); val nh = math.min(h, maxH)
     if (nw <= 0 || nh <= 0) return null
-    if (nw == w && nh == h) return content
+    if (nw == w && nh == h) return (content, w, h)
     val dst = new java.awt.image.BufferedImage(
       nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g = dst.createGraphics()
@@ -324,7 +327,7 @@ object Multimodal {
     try {
       if (!javax.imageio.ImageIO.write(dst, "png", bos)) return null
     } catch { case scala.util.control.NonFatal(_) => return null }
-    bos.toByteArray
+    (bos.toByteArray, nw, nh)
   }
 
   /** Real media resize: image bytes (by magic) are pixel-scaled through
@@ -351,10 +354,11 @@ object Multimodal {
             meta.get(0), clamp(meta.get(1), maxW), clamp(meta.get(2), maxH),
             meta.get(3)))
         } else {
-          // actual output dims: re-derive from the clamp the resize applied
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
-          Row(r.getLong(0), resized, Row(
-            meta.get(0), Int.box(img.getWidth), Int.box(img.getHeight), meta.get(3)))
+          // actual output dims come back with the bytes — no decode of our
+          // own output here; the GATE's proof decode lives in actualDims
+          val (outBytes, ow, oh) = resized
+          Row(r.getLong(0), outBytes, Row(
+            meta.get(0), Int.box(ow), Int.box(oh), meta.get(3)))
         }
       }
     }(encoder)

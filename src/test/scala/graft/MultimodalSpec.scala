@@ -137,8 +137,10 @@ class MultimodalSpec extends SparkTestBase {
 
   test("resizeImageBytes: real PNG round-trip, pixels actually scaled") {
     val big = pngBytes(40, 30, 0x0000ff)
-    val out = Multimodal.resizeImageBytes(big, 16, 12)
-    assert(out != null && Multimodal.looksLikeImage(out))
+    val res = Multimodal.resizeImageBytes(big, 16, 12)
+    assert(res != null)
+    val (out, ow, oh) = res
+    assert(Multimodal.looksLikeImage(out) && ow === 16 && oh === 12)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
     assert(img.getWidth === 16 && img.getHeight === 12)
     // solid color survives bilinear scaling exactly
@@ -148,11 +150,12 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f(14) - 1f) < 1e-3 && f(12) === 0f && f(13) === 0f)
     // independent-axis clamp: only the oversize axis shrinks
     val wide = Multimodal.resizeImageBytes(pngBytes(40, 10, 0xffffff), 16, 12)
-    val wImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(wide))
+    val wImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(wide._1))
     assert(wImg.getWidth === 16 && wImg.getHeight === 10)
+    assert(wide._2 === 16 && wide._3 === 10)
     // already within bounds -> identical bytes, no re-encode
     val small = pngBytes(8, 8, 0x123456)
-    assert(Multimodal.resizeImageBytes(small, 16, 12) eq small)
+    assert(Multimodal.resizeImageBytes(small, 16, 12)._1 eq small)
     // non-image bytes -> null (caller falls back to metadata clamp)
     assert(Multimodal.resizeImageBytes("not an image".getBytes("UTF-8"), 16, 12) == null)
     // truncated magic-matched bytes -> null, no crash (NonFatal catch)
