@@ -228,14 +228,19 @@ object Dedup {
     // ReuseExchange computes the shingle sets once and reuses the shuffle
     // files for the second join (DedupSpec asserts the ReusedExchange node).
     // A .cache() here would leak executor storage across invocations — the
-    // caller never gets a handle to unpersist.
+    // caller never gets a handle to unpersist. Sets are sorted once so the
+    // per-pair verify is the native merge (SortedIntersectCount), and
+    // |A∪B| = |A|+|B|−|A∩B| — exact on distinct sets, no union allocation.
     val sets = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol), array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
+      .select(col(idCol),
+        array_sort(array_distinct(shinglesOfWords(col("__ws"), shingleK))).as("sset"))
+    val inter = graft.functions.GraftExpressions
+      .sorted_intersect_count(col("sa"), col("sb")).cast("double")
     cands
       .join(sets.select(col(idCol).as("a_id"), col("sset").as("sa")), Seq("a_id"))
       .join(sets.select(col(idCol).as("b_id"), col("sset").as("sb")), Seq("b_id"))
-      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .withColumn("jaccard", inter / (size(col("sa")) + size(col("sb")) - inter))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -388,7 +393,8 @@ object Dedup {
     val cands = if (materializeCands) candsPlan.localCheckpoint() else candsPlan
     def setsOf(df: DataFrame) = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol), array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
+      .select(col(idCol),
+        array_sort(array_distinct(shinglesOfWords(col("__ws"), shingleK))).as("sset"))
     def sizesOf(df: DataFrame) = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
@@ -407,10 +413,13 @@ object Dedup {
             lit(threshold) * greatest(col("__na"), col("__nb")))
           .select("new_id", "old_id")
       else cands
+    val interIncr = graft.functions.GraftExpressions
+      .sorted_intersect_count(col("sa"), col("sb")).cast("double")
     narrowed
       .join(setsOf(newDf).select(col(idCol).as("new_id"), col("sset").as("sa")), Seq("new_id"))
       .join(setsOf(oldCandDocs).select(col(idCol).as("old_id"), col("sset").as("sb")), Seq("old_id"))
-      .withColumn("jaccard", jaccard(col("sa"), col("sb")))
+      .withColumn("jaccard",
+        interIncr / (size(col("sa")) + size(col("sb")) - interIncr))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "old_id", "jaccard")
   }
