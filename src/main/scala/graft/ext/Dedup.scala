@@ -269,7 +269,13 @@ object Dedup {
     * the same bounded-worst-case knob as the LSH cap, inert at gate scale
     * and mirrored in the DuckDB oracle; prefix lengths keep using the FULL
     * set size, so the prefix bound stays valid for every pair that shares
-    * at least one uncapped shingle.
+    * at least one uncapped shingle. The knob is ABSOLUTE, so on a corpus
+    * whose vocabulary does NOT grow with its size (boilerplate-heavy
+    * worst case; the ScaleProbe synthesis) frequencies scale ∝ corpus and
+    * an unchanged cap excludes ever more shingles — scale `maxToken` with
+    * the corpus (or as a per-token cost budget) there. Zipf-shaped real
+    * corpora grow vocabulary with size, keeping prefixes in the rare tail
+    * at any scale — the AllPairs operating regime.
     *
     * vs [[nearDupPairs]]: LSH costs less at high thresholds (signatures
     * compress sets to 8 longs); prefix join carries real shingles but
