@@ -210,6 +210,87 @@ object Multimodal {
           (i * greatest(length(col("content")), lit(1)) / n + 1).cast("int"), lit(1)))
         .as("frames"))
 
+  /** Real multi-frame decode for animated GIF bytes (the one multi-frame
+    * container the JDK ships a codec for): frame count comes from the
+    * container (`reader.getNumImages(true)`), then `min(n, count)` evenly
+    * spaced frames are REALLY decoded and reduced to per-frame mean R/G/B
+    * over their actual pixels. Output per row: (doc_id, n_frames,
+    * frames = "idx:r:g:b,..." CSV — the driver comparator can't hash array
+    * cells). Non-GIF rows report (0, "") — the caller keeps [[frameSample]]
+    * (container-level byte sampling) for codec-less formats, so the stage
+    * stays total. mapPartitions for per-partition codec init, like
+    * [[decodeFeatures]]. */
+  def gifFrameStats(media: DataFrame, n: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("frames", StringType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val stats = if (isGif(bytes)) decodeGifFrameMeans(bytes, n) else null
+        if (stats == null) Row(r.getLong(0), 0L, "")
+        else Row(r.getLong(0), stats._1.toLong, stats._2)
+      }
+    }(encoder)
+  }
+
+  private[graft] def isGif(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8'
+
+  /** (frame count, "idx:meanR:meanG:meanB,..." for min(n, count) evenly
+    * spaced frames — index i samples frame i*count/min(n,count)). Means are
+    * computed over the frame's REAL pixels and rounded to long. Returns null
+    * on any decode failure (caller falls back), NonFatal-total like the
+    * other codec paths. */
+  private[graft] def decodeGifFrameMeans(bytes: Array[Byte], n: Int): (Int, String) = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => return null }
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true) // seekForwardOnly=false: we index frames
+        val count = reader.getNumImages(true)
+        if (count <= 0) return null
+        val k = math.min(n, count)
+        val sb = new StringBuilder
+        var i = 0
+        while (i < k) {
+          val idx = i * count / k
+          val img = reader.read(idx)
+          val w = img.getWidth; val h = img.getHeight
+          val px = w.toLong * h
+          if (px == 0L || px > MaxDecodePixels) return null
+          var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sumR += (rgb >> 16) & 0xff; sumG += (rgb >> 8) & 0xff; sumB += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          if (i > 0) sb.append(',')
+          sb.append(idx).append(':').append(math.round(sumR / px))
+            .append(':').append(math.round(sumG / px))
+            .append(':').append(math.round(sumB / px))
+          i += 1
+        }
+        (count, sb.toString)
+      } catch { case scala.util.control.NonFatal(_) => null }
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** Metadata-only resize: clamp the declared dimensions. This is the
     * non-image branch of [[resizeMedia]] (audio/opaque bytes have no pixels
     * to scale) and the cheap path when only the metadata contract matters. */
@@ -238,6 +319,63 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Synthesize a REAL animated GIF: nFrames solid-color w×h frames, frame
+    * i's color = ((seed*7 + i*11) % 256, (seed*13 + i*17) % 256,
+    * (seed*19 + i*23) % 256). Solid frames through an explicit 2-entry
+    * `IndexColorModel` keep the GIF palette EXACT (no quantizer dither), so
+    * the decoded per-frame mean IS the formula — ground truth a SQL oracle
+    * can recompute arithmetically. Written with the JDK GIF `ImageWriter`
+    * sequence API (`prepareWriteSequence`/`writeToSequence`); JDK-only. */
+  private[graft] def synthGif(
+      w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var i = 0
+      while (i < nFrames) {
+        val r = ((seed * 7 + i * 11) % 256).toInt
+        val g = ((seed * 13 + i * 17) % 256).toInt
+        val b = ((seed * 19 + i * 23) % 256).toInt
+        val cm = new java.awt.image.IndexColorModel(8, 2,
+          Array[Byte](r.toByte, 0), Array[Byte](g.toByte, 0), Array[Byte](b.toByte, 0))
+        // fresh BufferedImage rasters are zero-filled: every pixel = entry 0
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        i += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      try ios.close() finally writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** Like [[attachRealMedia]], but even ids carry REAL animated GIFs:
+    * doc_id % 5 + 2 frames (2..6) of solid seed-derived color at 6×4 (odd
+    * ids keep opaque text bytes) — the multi-frame decode path runs on
+    * genuine codec output at the correctness gate. */
+  def attachGifMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = r.getLong(0)
+          val nf = (id % 5 + 2).toInt
+          val isGifRow = id % 2 == 0
+          val content =
+            if (isGifRow) synthGif(6, 4, nf, id)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Row(id, content, Row(if (isGifRow) "gif" else "txt",
+            Int.box(6), Int.box(4), Long.box(nf * 100L)))
+        }
+      }(encoder)
   }
 
   /** Like [[attachFakeMedia]], but even ids carry REAL synthesized PNG bytes

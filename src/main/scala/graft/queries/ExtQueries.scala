@@ -632,6 +632,30 @@ object ExtQueries {
         "CAST(least(doc_id % 48 + 16, 32) AS INT) AS h " +
         s"FROM $Docs ORDER BY doc_id")),
 
+    ("x_mm_frames_gif", // REAL multi-frame decode: even ids carry genuine
+      // animated GIFs (doc_id%5+2 solid-color frames, exact indexed palette);
+      // gifFrameStats reads the frame count from the CONTAINER, decodes 4
+      // evenly spaced frames, and means their ACTUAL pixels — a hash match
+      // against the synthesis formula proves the codec ran per frame, not
+      // that metadata was echoed. Odd ids (plain bytes) take the total
+      // fallback (0, ''). Frame i samples index i*nf/k, k = min(4, nf).
+      (s: SparkSession, d: String) =>
+        Multimodal.gifFrameStats(
+          Multimodal.attachGifMedia(t(s, d, "documents"), "doc_id", "text"), 4)
+          .orderBy("doc_id"),
+      Some {
+        val idx = "(i * nf // k)"
+        s"SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN nf ELSE 0 END AS BIGINT) AS n_frames, " +
+          "CASE WHEN doc_id % 2 = 0 THEN array_to_string([" +
+          s"CAST($idx AS VARCHAR) || ':' || " +
+          s"CAST((doc_id * 7 + $idx * 11) % 256 AS VARCHAR) || ':' || " +
+          s"CAST((doc_id * 13 + $idx * 17) % 256 AS VARCHAR) || ':' || " +
+          s"CAST((doc_id * 19 + $idx * 23) % 256 AS VARCHAR) " +
+          "for i in range(k)], ',') ELSE '' END AS frames " +
+          "FROM (SELECT doc_id, doc_id % 5 + 2 AS nf, " +
+          s"least(4, doc_id % 5 + 2) AS k FROM $Docs) ORDER BY doc_id"
+      }),
+
     // ------------------------------------------- sampling / batching -------
     ("x_sample_stratified", // hash-threshold stratified sampling: keep iff
       // md5-derived pct < per-lang rate. Map-side filter (zero shuffles

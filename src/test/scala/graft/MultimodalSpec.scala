@@ -127,6 +127,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.length === 4)
   }
 
+  // ---- real multi-frame GIF decode ----
+
+  private def gifColor(seed: Long, idx: Int): (Int, Int, Int) =
+    (((seed * 7 + idx * 11) % 256).toInt,
+      ((seed * 13 + idx * 17) % 256).toInt,
+      ((seed * 19 + idx * 23) % 256).toInt)
+
+  test("synthGif + decodeGifFrameMeans: container frame count and exact per-frame colors") {
+    val bytes = Multimodal.synthGif(6, 4, nFrames = 5, seed = 8L)
+    assert(Multimodal.isGif(bytes))
+    val (count, csv) = Multimodal.decodeGifFrameMeans(bytes, 4)
+    assert(count === 5) // frame count read from the container, not metadata
+    // k = min(4, 5) = 4 samples at indices i*5/4 = 0,1,2,3
+    val frames = csv.split(",").map(_.split(":").map(_.toInt))
+    assert(frames.map(_(0)).toSeq === Seq(0, 1, 2, 3))
+    frames.foreach { f =>
+      val (r, g, b) = gifColor(8L, f(0))
+      assert((f(1), f(2), f(3)) === ((r, g, b)), s"frame ${f(0)}")
+    }
+  }
+
+  test("decodeGifFrameMeans: fewer frames than samples -> all frames, once each") {
+    val bytes = Multimodal.synthGif(6, 4, nFrames = 2, seed = 3L)
+    val (count, csv) = Multimodal.decodeGifFrameMeans(bytes, 4)
+    assert(count === 2)
+    assert(csv.split(",").map(_.split(":")(0).toInt).toSeq === Seq(0, 1))
+  }
+
+  test("gifFrameStats: gate shape — real decode on even ids, total fallback on odd") {
+    val df = Seq((0L, "even"), (1L, "odd"), (4L, "even2")).toDF("doc_id", "text")
+    val got = Multimodal.gifFrameStats(
+      Multimodal.attachGifMedia(df, "doc_id", "text"), 4).orderBy("doc_id").collect()
+    // even ids: nf = id % 5 + 2 frames really decoded
+    assert(got(0).getLong(1) === 2L && got(2).getLong(1) === 6L)
+    val f4 = got(2).getString(2).split(",").map(_.split(":").map(_.toInt))
+    assert(f4.map(_(0)).toSeq === Seq(0, 1, 3, 4)) // i*6/4 = 0,1,3,4
+    f4.foreach { f =>
+      val (r, g, b) = gifColor(4L, f(0))
+      assert((f(1), f(2), f(3)) === ((r, g, b)))
+    }
+    // odd id: plain bytes -> (0, ""), no crash
+    assert(got(1).getLong(1) === 0L && got(1).getString(2) === "")
+    // corrupt magic-matched bytes -> fallback, stage stays total
+    val bad = Seq((9L, Array[Byte]('G', 'I', 'F', '8', 0, 0)))
+      .toDF("doc_id", "content")
+    val badGot = Multimodal.gifFrameStats(bad, 4).collect()(0)
+    assert(badGot.getLong(1) === 0L && badGot.getString(2) === "")
+  }
+
   test("resizeMeta clamps dimensions, keeps format") {
     val got = Multimodal.resizeMeta(media, 20, 20).select("meta.*").collect()
     assert(got.forall(r => r.getAs[Int]("width") <= 20 && r.getAs[Int]("height") <= 20))
