@@ -76,6 +76,46 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
 
+  /** Cross-document SEGMENT dedup (CCNet/Gopher-style boilerplate removal):
+    * split each doc into consecutive k-word segments, find the segments that
+    * occur in more than `maxDocs` distinct documents, and rebuild each doc
+    * from its surviving segments in original order. Output per doc:
+    * (doc_id, n_segments, n_dropped, cleaned).
+    *
+    * Scale shape: ONE shuffle total — the global segment-frequency agg over
+    * the exploded segments. The frequent set is small by definition (it IS
+    * the boilerplate), so it comes back to the doc side as a broadcast
+    * single-row sorted array and the rebuild is a pure per-row map over each
+    * doc's segment array: no second shuffle, no re-aggregation of exploded
+    * rows, no join keyed on segment text. At 100 TB the frequency agg keys
+    * on the segment string; swapping the grouping key for xxhash64(segment)
+    * halves that shuffle's width if profiles demand it (the rebuild side is
+    * unaffected — membership still tests the original strings). */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, maxDocs: Int = 1): DataFrame = {
+    val base = Par.ensure(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"), split(col("__text"), " ").as("__ws"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, cast(ceil(size(__ws) / ${k}.0) as int) - 1), " +
+          s"i -> array_join(slice(__ws, i * $k + 1, $k), ' '))").as("__segs"))
+    val frequent = base
+      .select(col("doc_id"), explode(col("__segs")).as("s"))
+      .groupBy("s").agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .agg(sort_array(collect_list("s")).as("__freq"))
+    // membership probes use the codegen'd binary search over the sorted
+    // broadcast array: the builtin array_contains is a linear scan, which at
+    // sf0.1 is already 5.4k frequent × 70k probes ≈ 4e8 string compares
+    val in = (x: Column) =>
+      graft.functions.GraftExpressions.sorted_contains(col("__freq"), x)
+    base.crossJoin(broadcast(frequent))
+      .select(col("doc_id"),
+        size(col("__segs")).cast("long").as("n_segments"),
+        size(filter(col("__segs"), x => in(x))).cast("long").as("n_dropped"),
+        array_join(filter(col("__segs"), x => !in(x)), " ").as("cleaned"))
+  }
+
   /** MinHash signature from ONE md5 per shingle: the 128-bit digest splits
     * into two 56-bit halves (a, b) and permutation i is the universal hash
     * a + i*b (the double-hashing construction of Kirsch–Mitzenmacher 2006,

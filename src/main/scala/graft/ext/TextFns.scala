@@ -123,6 +123,29 @@ object TextFns {
   def shingleFingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(Dedup.wordShingles(text, k), s => md5(s)))
 
+  /** PII-style scrubbing patterns, written in the regex subset that means
+    * the same thing in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, +, bounded repetition — no backrefs, no lookaround. */
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val UrlRe = "https?://[a-z0-9./]+"
+  val LongNumRe = "[0-9]{8,}"
+
+  /** Redact URLs, then emails, then 8+-digit runs (phone/account-shaped) —
+    * in that order, so the URL pattern can't be broken up by an inner
+    * replacement first. Pure per-row map: zero shuffles at any scale. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+
+  /** Pre-scrub match counts (the audit trail a redaction pass reports). */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)).cast("long"),
+      regexp_count(text, lit(UrlRe)).cast("long"),
+      regexp_count(text, lit(LongNumRe)).cast("long"))
+
   /** Eval-set decontamination — the GPT-3/Dolma-style n-gram overlap check:
     * corpus documents sharing ANY word n-gram with the eval/benchmark set,
     * with the count of distinct shared n-grams per document (the evidence a

@@ -232,6 +232,68 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Binary-search membership in a SORTED ARRAY<STRING> — the broadcast-set
+  * probe for [[graft.ext.Dedup.segmentDedup]]'s frequent-segment test, where
+  * the builtin `array_contains` is a linear scan: at sf0.1 that is 5.4 k
+  * frequent segments × 70 k probes ≈ 4×10⁸ string compares, vs ~12 per probe
+  * here. The caller owns the precondition (build the array with
+  * `sort_array`); unsorted input gives meaningless results, exactly like
+  * [[SortedIntersectCount]]. Argument order (array, elem) matches
+  * `array_contains`. A null slot probed mid-search yields null. */
+case class SortedContains(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _)
+      if right.dataType == StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<STRING>, STRING), got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "sorted_contains"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val e = r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    var lo = 0; var hi = a.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (a.isNullAt(mid)) return null
+      val cmp = a.getUTF8String(mid).compareTo(e)
+      if (cmp == 0) return true
+      else if (cmp < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, ev2) => {
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val cmp = ctx.freshName("cmp")
+      val found = ctx.freshName("found"); val bad = ctx.freshName("bad")
+      s"""
+         |int $lo = 0; int $hi = $av.numElements() - 1;
+         |boolean $found = false; boolean $bad = false;
+         |while ($lo <= $hi) {
+         |  final int $mid = ($lo + $hi) >>> 1;
+         |  if ($av.isNullAt($mid)) { $bad = true; break; }
+         |  final int $cmp = $av.getUTF8String($mid).compareTo($ev2);
+         |  if ($cmp == 0) { $found = true; break; }
+         |  else if ($cmp < 0) { $lo = $mid + 1; }
+         |  else { $hi = $mid - 1; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $found; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedContains =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftExpressions {
   import GraftBridge.{column, expression}
 
@@ -250,6 +312,9 @@ object GraftExpressions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     column(SortedIntersectCount(expression(a), expression(b)))
 
+  def sorted_contains(arr: Column, elem: Column): Column =
+    column(SortedContains(expression(arr), expression(elem)))
+
   /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -263,5 +328,8 @@ object GraftExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_contains",
+      exprs => SortedContains(exprs(0), exprs(1)), "built-in")
   }
 }

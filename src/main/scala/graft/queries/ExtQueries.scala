@@ -204,6 +204,25 @@ object ExtQueries {
       Some("SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique, " +
         s"count(*) AS n_total FROM $Docs")),
 
+    ("x_segment_dedup", // CCNet/Gopher-style boilerplate removal: 4-word
+      // segments occurring in >1 distinct doc are dropped; each doc is
+      // rebuilt from its surviving segments in original order. One shuffle
+      // (global segment-frequency agg); the frequent set returns as a
+      // broadcast 1-row sorted array, so the rebuild is a per-row map with
+      // no second shuffle.
+      (s: SparkSession, d: String) =>
+        Dedup.segmentDedup(t(s, d, "documents"), "doc_id", "text",
+          k = 4, maxDocs = 1).orderBy("doc_id"),
+      Some("WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w " +
+        s"FROM $Docs), " +
+        "seg AS (SELECT doc_id, UNNEST(range(CAST(ceil(len(w) / 4.0) AS BIGINT))) AS pos, w FROM ws), " +
+        "s2 AS (SELECT doc_id, pos, array_to_string(w[(pos * 4 + 1):(pos * 4 + 4)], ' ') AS s FROM seg), " +
+        "f AS (SELECT s, 1 AS dropme FROM s2 GROUP BY s HAVING count(DISTINCT doc_id) > 1) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments, " +
+        "CAST(count(dropme) AS BIGINT) AS n_dropped, " +
+        "coalesce(array_to_string(list(s ORDER BY pos) FILTER (WHERE dropme IS NULL), ' '), '') AS cleaned " +
+        "FROM s2 LEFT JOIN f USING (s) GROUP BY doc_id ORDER BY doc_id")),
+
     ("x_minhash_sig",
       (s: SparkSession, d: String) =>
         Dedup.minhashSig(t(s, d, "documents"), "text", "doc_id").orderBy("doc_id"),
@@ -521,6 +540,37 @@ object ExtQueries {
         "/ greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio, " +
         s"round($QualitySql, 6) AS quality " +
         s"FROM $Docs ORDER BY doc_id")),
+
+    ("x_text_scrub", // PII-style redaction audit: deterministic synthetic
+      // PII (doc_id-derived email, URL, 8+-digit ref) is appended to each
+      // doc, counted pre-scrub, then scrubbed URL -> email -> digit-run.
+      // Patterns live in the Java-regex/RE2 common subset so both engines
+      // mean the same thing. Pure per-row map: zero shuffles at any scale.
+      (s: SparkSession, d: String) => {
+        val injected = t(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com via http://site"),
+            (col("doc_id") % 7).cast("string"), lit(".org ref "),
+            ((col("doc_id") + 10000000L) * 13L).cast("string")).as("t2"))
+        val (ne, nu, nn) = TextFns.piiCounts(col("t2"))
+        injected.select(col("doc_id"), ne.as("n_emails"), nu.as("n_urls"),
+            nn.as("n_nums"), TextFns.scrubPii(col("t2")).as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some("WITH inj AS (SELECT doc_id, text || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@example.com via http://site' || " +
+        "CAST(doc_id % 7 AS VARCHAR) || '.org ref ' || " +
+        "CAST((doc_id + 10000000) * 13 AS VARCHAR) AS t2 " +
+        s"FROM $Docs) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t2, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t2, 'https?://[a-z0-9./]+')) AS BIGINT) AS n_urls, " +
+        "CAST(len(regexp_extract_all(t2, '[0-9]{8,}')) AS BIGINT) AS n_nums, " +
+        "regexp_replace(regexp_replace(regexp_replace(t2, " +
+        "'https?://[a-z0-9./]+', '<URL>', 'g'), " +
+        "'[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'), " +
+        "'[0-9]{8,}', '<NUM>', 'g') AS scrubbed " +
+        "FROM inj ORDER BY doc_id")),
 
     ("x_lang_guess",
       (s: SparkSession, d: String) =>

@@ -21,6 +21,41 @@ class DedupSpec extends SparkTestBase {
     assert(dupGroup(0).getAs[Long]("keep_id") === 0L)
   }
 
+  test("segmentDedup drops cross-doc boilerplate segments, keeps order") {
+    val in = Seq(
+      (1L, "ad ad ad ad a b c d e f g h"), // segs: boilerplate + 2 unique
+      (2L, "ad ad ad ad p q r s"), //          segs: boilerplate + 1 unique
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(in, "doc_id", "text", k = 4, maxDocs = 1)
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) === 3L && got(0).getLong(2) === 1L)
+    assert(got(0).getString(3) === "a b c d e f g h") // original order kept
+    assert(got(1).getLong(1) === 2L && got(1).getLong(2) === 1L)
+    assert(got(1).getString(3) === "p q r s")
+    assert(got(2).getLong(2) === 0L && got(2).getString(3) === "x y z w")
+  }
+
+  test("segmentDedup: short tail segment counts; all-boilerplate doc -> empty cleaned") {
+    val in = Seq(
+      (1L, "b b b b"),
+      (2L, "b b b b"),
+      (3L, "b b b b tail")).toDF("doc_id", "text") // tail = its own 1-word segment
+    val got = Dedup.segmentDedup(in, "doc_id", "text", k = 4, maxDocs = 1)
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) === 1L && got(0).getLong(2) === 1L)
+    assert(got(0).getString(3) === "") // nothing survives, '' not null
+    assert(got(2).getLong(1) === 2L && got(2).getLong(2) === 1L)
+    assert(got(2).getString(3) === "tail")
+  }
+
+  test("segmentDedup: no segment above threshold -> everything survives") {
+    val in = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(in, "doc_id", "text", k = 4, maxDocs = 1)
+      .orderBy("doc_id").collect()
+    assert(got.forall(_.getLong(2) === 0L))
+    assert(got(0).getString(3) === "a b c d")
+  }
+
   test("minhash: identical docs get identical signatures; short doc handled") {
     val sig = Dedup.minhashSig(docs, "text", "doc_id").orderBy("doc_id").collect()
     assert(sig.length === 5)

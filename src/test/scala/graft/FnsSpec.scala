@@ -86,6 +86,28 @@ class FnsSpec extends SparkTestBase {
     assert(got === 60L)
   }
 
+  test("SortedContains == array_contains on sorted arrays") {
+    import graft.functions.GraftExpressions.sorted_contains
+    val rng = new scala.util.Random(11)
+    val vocab = (0 until 60).map(i => s"w$i")
+    val rows = (0 until 300).map { _ =>
+      (rng.shuffle(vocab).take(rng.nextInt(40)).toSeq, // incl. empty arrays
+        vocab(rng.nextInt(vocab.size)))
+    }
+    val df = rows.toDF("a", "e").select(array_sort(col("a")).as("a"), col("e"))
+    val got = df.select(sorted_contains(col("a"), col("e")).as("m"),
+      array_contains(col("a"), col("e")).as("ref")).collect()
+    got.foreach(r => assert(r.getBoolean(0) === r.getBoolean(1)))
+    // interpreted path (filter condition is evaluated un-fused here too)
+    assert(df.filter(sorted_contains(col("a"), col("e")) =!=
+      array_contains(col("a"), col("e"))).count() === 0L)
+    // null array / null elem -> null
+    val nul = Seq((Option.empty[Seq[String]], Some("a")),
+        (Some(Seq("a")), Option.empty[String])).toDF("a", "e")
+      .select(sorted_contains(col("a"), col("e"))).collect()
+    assert(nul.forall(_.isNullAt(0)))
+  }
+
   test("SortedIntersectCount == size(array_intersect) on sorted-distinct arrays") {
     import graft.functions.GraftExpressions.sorted_intersect_count
     // randomized cross-check on generated word sets (fixed seed)

@@ -31,6 +31,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("HashAggregate"))
   }
 
+  test("x_segment_dedup: frequent set is a broadcast 1-row side, no segment-keyed join") {
+    val p = plan("x_segment_dedup")
+    // the doc-side rebuild joins only the broadcast 1-row frequent array
+    // (nested-loop against a singleton is the cheap shape here); a
+    // SortMergeJoin would mean the rebuild shuffled on segment text
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("s4_point_lookup: key filter is pushed to the parquet scan") {
     val p = plan("s4_point_lookup")
     assert(p.contains("PushedFilters") &&

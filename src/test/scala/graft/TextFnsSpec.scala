@@ -105,6 +105,29 @@ class TextFnsSpec extends SparkTestBase {
     assert(got === Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("scrubPii: known vectors — email, url, digit run, overlap order") {
+    val df = Seq(
+      "mail bob99@host.com now",
+      "see https://docs.example.org/a/b.html and http://x.io",
+      "ref 123456789 ok short 1234567 kept",
+      "mixed user1@site3.net at http://site3.net/user1 id 900000001",
+      "clean text no pii").toDF("t")
+    val got = df.select(TextFns.scrubPii(col("t"))).collect().map(_.getString(0))
+    assert(got(0) === "mail <EMAIL> now")
+    assert(got(1) === "see <URL> and <URL>")
+    assert(got(2) === "ref <NUM> ok short 1234567 kept") // 7 digits survive
+    // URL scrubbed FIRST, so the email inside the path never splits it
+    assert(got(3) === "mixed <EMAIL> at <URL> id <NUM>")
+    assert(got(4) === "clean text no pii")
+    val (ne, nu, nn) = TextFns.piiCounts(col("t"))
+    val counts = df.select(ne, nu, nn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(counts(0) === ((1L, 0L, 0L)))
+    assert(counts(1) === ((0L, 2L, 0L)))
+    assert(counts(2) === ((0L, 0L, 1L)))
+    assert(counts(4) === ((0L, 0L, 0L)))
+  }
+
   test("shingleFingerprint equals first minhash component semantics") {
     val df = Seq("a b c d e").toDF("t")
     val fp = df.select(TextFns.shingleFingerprint(col("t"))).collect()(0).getString(0)
