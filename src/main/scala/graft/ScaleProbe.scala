@@ -66,6 +66,13 @@ object ScaleProbe {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
 
+    // SPARK_GRAFT_PROBE_SKIP=cap,prefix skips named expensive blocks so a
+    // targeted question (e.g. segment-dedup growth at 200 k) doesn't pay the
+    // multi-minute cap-recall enumeration / prefix-join worst case.
+    val skip: Set[String] = sys.env.get("SPARK_GRAFT_PROBE_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
     val (tExact, rExact) = time {
       Dedup.exactDedup(docs, "text", "doc_id").count()
     }
@@ -106,6 +113,23 @@ object ScaleProbe {
     }
     results += "near_dup_pairs" -> ((tPairs, pairsN))
 
+    // ---- segment dedup: does the frequent set stay broadcast-sized? ----
+    // The op's 100 TB viability rests on |frequent| (segments in > maxDocs
+    // distinct docs — the boilerplate) growing with the BOILERPLATE, not the
+    // corpus: reordered copies contribute no repeated segments, duplicated
+    // docs repeat existing ones. Record its cardinality next to the
+    // end-to-end time and dropped-occurrence volume.
+    val (tSegFreq, segFreqN) = time {
+      Dedup.frequentSegments(
+        Dedup.segmentsOf(docs, "doc_id", "text", 4), maxDocs = 1).count()
+    }
+    results += "segment_frequent" -> ((tSegFreq, segFreqN))
+    val (tSeg, segDropped) = time {
+      Dedup.segmentDedup(docs, "doc_id", "text")
+        .agg(sum("n_dropped")).collect()(0).getLong(0)
+    }
+    results += "segment_dedup_dropped" -> ((tSeg, segDropped))
+
     // ---- cap recall: what does DefaultMaxBucket actually cost, per J? ----
     // True near-dup pairs lost to the cap are pairs that (a) co-bucket ONLY
     // in over-cap buckets (an anti-join vs the capped candidate set credits
@@ -121,6 +145,7 @@ object ScaleProbe {
     // in the J range where the banding itself promises any. Lost pairs with
     // identical text are counted separately: exact dedup catches those
     // regardless of LSH, so they are not really lost.
+    if (!skip("cap")) {
     val CapThreshold = 0.2
     val SampleCap = 2000000L
     def jBin(j: Column): Column =
@@ -204,6 +229,7 @@ object ScaleProbe {
     results += "cap_recall_permille" -> ((0.0, recallPermille(0)))
     results += "cap_recall_j50plus_permille" -> ((0.0, recallPermille(2)))
     results += "cap_recall_j70plus_permille" -> ((0.0, recallPermille(3)))
+    } // skip("cap")
 
     // The lossless marginal-threshold path: prefix-filter set-similarity
     // join at the same J >= 0.2. Contrast rows: capped LSH keeps ~21 % of
@@ -212,10 +238,12 @@ object ScaleProbe {
     // DefaultMaxBucket leave candidate generation, and on this dense
     // synthetic corpus that bites (reported, not hidden: pairs found vs the
     // kept+lost estimate above tells the recall story).
+    if (!skip("prefix")) {
     val (tPrefix, prefixN) = time {
       Dedup.prefixJoinPairs(docs, "text", "doc_id", threshold = 0.2).count()
     }
     results += "prefix_join_pairs" -> ((tPrefix, prefixN))
+    } // skip("prefix")
 
     val (tClust, rClust) = time {
       // pairs materialized first so this times the cluster rounds, not a

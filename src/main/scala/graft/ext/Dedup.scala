@@ -93,16 +93,8 @@ object Dedup {
     * unaffected — membership still tests the original strings). */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, maxDocs: Int = 1): DataFrame = {
-    val base = Par.ensure(docs.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("__text")))
-      .select(col("doc_id"), split(col("__text"), " ").as("__ws"))
-      .select(col("doc_id"), expr(
-        s"transform(sequence(0, cast(ceil(size(__ws) / ${k}.0) as int) - 1), " +
-          s"i -> array_join(slice(__ws, i * $k + 1, $k), ' '))").as("__segs"))
-    val frequent = base
-      .select(col("doc_id"), explode(col("__segs")).as("s"))
-      .groupBy("s").agg(countDistinct("doc_id").as("__nd"))
-      .filter(col("__nd") > maxDocs)
+    val base = segmentsOf(docs, idCol, textCol, k)
+    val frequent = frequentSegments(base, maxDocs)
       .agg(sort_array(collect_list("s")).as("__freq"))
     // membership probes use the codegen'd binary search over the sorted
     // broadcast array: the builtin array_contains is a linear scan, which at
@@ -115,6 +107,25 @@ object Dedup {
         size(filter(col("__segs"), x => in(x))).cast("long").as("n_dropped"),
         array_join(filter(col("__segs"), x => !in(x)), " ").as("cleaned"))
   }
+
+  /** (doc_id, __segs): each doc's consecutive k-word segments, in order. */
+  private[graft] def segmentsOf(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int): DataFrame =
+    Par.ensure(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"), split(col("__text"), " ").as("__ws"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, cast(ceil(size(__ws) / ${k}.0) as int) - 1), " +
+          s"i -> array_join(slice(__ws, i * $k + 1, $k), ' '))").as("__segs"))
+
+  /** Segments occurring in more than maxDocs distinct documents — the
+    * broadcast side of [[segmentDedup]]; exposed so the scale probe can
+    * measure its cardinality (the op's 100 TB viability question). */
+  private[graft] def frequentSegments(segs: DataFrame, maxDocs: Int): DataFrame =
+    segs.select(col("doc_id"), explode(col("__segs")).as("s"))
+      .groupBy("s").agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select("s")
 
   /** MinHash signature from ONE md5 per shingle: the 128-bit digest splits
     * into two 56-bit halves (a, b) and permutation i is the universal hash
