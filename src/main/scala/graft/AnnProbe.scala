@@ -134,6 +134,23 @@ object AnnProbe {
     val (tLsh1, rLsh1) = lshRun(1)
     val (tLsh2, rLsh2) = lshRun(2)
 
+    // PQ rung: one-off codebook train + write-time encode (the ingest
+    // cost), then the compressed-domain ADC query — scan reads 8 bytes/row
+    // instead of 256 — with exact re-rank of the top-50. Recall vs brute on
+    // jittered-copy topology (near-dups of the query share its codes, the
+    // favorable case; the sf0.001 spec measures the clusterless worst case).
+    val (tPqTrain, cbs) = time { Similarity.pqCodebooksFor(spark, dir) }
+    val codedPath = s"$dir/pq_codes.parquet"
+    val (tPqEncode, _) = time {
+      Similarity.pqWriteCodes(corpus, "vec_id", "embedding", cbs, codedPath)
+    }
+    val coded = spark.read.parquet(codedPath)
+    val (tPq, pqIds) = time {
+      Similarity.pqTopKCoded(coded, corpus, "vec_id", "embedding", q, k, cbs,
+        rerank = 50).collect().map(_.getLong(0)).toSeq
+    }
+    val rPq = pqIds.count(bruteIds.contains).toDouble / k
+
     println(s"""{"metric":"ann_probe","n_vecs":$nVecs,"n_lists":$nLists,"k":$k,""" +
       s""""brute_sec":${f"$tBrute%.2f"},"train_sec":${f"$tTrain%.2f"},""" +
       s""""build_sec":${f"$tBuild%.2f"},"probe_sec":${f"$tProbe%.2f"},""" +
@@ -143,7 +160,9 @@ object AnnProbe {
       s""""batch_per_query_sec":${f"${tBatch / nBatch}%.4f"},""" +
       s""""lsh_sec":${f"$tLsh0%.2f"},"lsh_recall":$rLsh0,""" +
       s""""lsh_h1_sec":${f"$tLsh1%.2f"},"lsh_h1_recall":$rLsh1,""" +
-      s""""lsh_h2_sec":${f"$tLsh2%.2f"},"lsh_h2_recall":$rLsh2,"sf":"$sfDir"}""")
+      s""""lsh_h2_sec":${f"$tLsh2%.2f"},"lsh_h2_recall":$rLsh2,""" +
+      s""""pq_train_sec":${f"$tPqTrain%.2f"},"pq_encode_sec":${f"$tPqEncode%.2f"},""" +
+      s""""pq_query_sec":${f"$tPq%.2f"},"pq_recall":$rPq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

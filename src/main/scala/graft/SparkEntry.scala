@@ -31,6 +31,8 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     val ivf = ExtQueries.ivfOracleSql(spark, sfDir)
     Map("x_ann_ivf" -> ivf, "x_ann_ivf_indexed" -> ivf,
-      "x_ann_ivf_batch" -> ExtQueries.ivfBatchOracleSql(spark, sfDir))
+      "x_ann_ivf_batch" -> ExtQueries.ivfBatchOracleSql(spark, sfDir),
+      "x_pq_codes" -> ExtQueries.pqCodesOracleSql(spark, sfDir),
+      "x_ann_pq" -> ExtQueries.pqAdcOracleSql(spark, sfDir))
   }
 }

@@ -101,6 +101,49 @@ object Sampling {
         sum((col("__rn") <= cap).cast("long")).as("n_kept"))
       .orderBy(sourceCol)
 
+  /** Temperature-based source mixing — the data-mix rebalance multilingual /
+    * multi-source training runs use (alpha-sampling): per-source keep rate
+    * ∝ n_s^α / n_s with α = 0.5, scaled so the expected kept volume is
+    * `targetPct`% of the corpus, capped at 100%. Small sources keep ~all
+    * their documents, dominant sources are downsampled toward sqrt share.
+    *
+    * α is fixed at 0.5 (sqrt) deliberately: IEEE-754 sqrt is correctly
+    * rounded (pow is not), and the per-source weight is floored into a
+    * BIGINT immediately — so the weight sum, the target volume, and the
+    * final rate are all INTEGER arithmetic, bit-identical across engines
+    * AND across partition orders (a float sum over sources would depend on
+    * aggregation order). The keep decision reuses [[hashPct]]: keep iff
+    * hashPct(id) < rate_pct — deterministic and growth-stable like every
+    * sampler here. At extreme scale swap the BIGINT products for DECIMAL:
+    * T·w·100 overflows int64 once the corpus passes ~10^12 docs.
+    *
+    * Scale shape: the rate table is |sources| rows (one shuffle to a tiny
+    * frame), broadcast back; the keep flag is then a map-side join. */
+  def sourceMixRates(docs: DataFrame, sourceCol: String,
+                     targetPct: Int): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("w", floor(sqrt(col("n_total").cast("double")) * 1000.0)
+        .cast("long"))
+    val tot = counts.agg(sum("n_total").as("n_corpus"), sum("w").as("w_sum"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rate_pct", least(lit(100L),
+        expr(s"(n_corpus * $targetPct div 100) * w * 100 div (w_sum * n_total)")))
+      .select(col(sourceCol), col("n_total"), col("rate_pct"))
+  }
+
+  /** Per-source audit of the mix: totals, the integer keep rate, and the
+    * documents actually kept under hashPct — the table a mix rebalance
+    * publishes before a training run. */
+  def sourceMixSummary(docs: DataFrame, idCol: String, sourceCol: String,
+                       targetPct: Int): DataFrame =
+    docs.join(broadcast(sourceMixRates(docs, sourceCol, targetPct)),
+        Seq(sourceCol))
+      .groupBy(col(sourceCol))
+      .agg(min("n_total").as("n_total"), min("rate_pct").as("rate_pct"),
+        sum((hashPct(col(idCol)) < col("rate_pct")).cast("long")).as("n_kept"))
+      .orderBy(sourceCol)
+
   /** Deterministic train/val/test assignment off the same md5 percentile:
     * [0,train) -> train, [train,train+valPct) -> val, rest -> test. A doc's
     * split never changes as the corpus grows — the property that keeps eval

@@ -126,7 +126,7 @@ object Similarity {
       kmeansLocal(vecs, nLists, iters)
     })
 
-  private def sqdist(a: Array[Double], c: Array[Double]): Double = {
+  private[graft] def sqdist(a: Array[Double], c: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - c(i); s += d * d; i += 1 }
     s
@@ -338,6 +338,149 @@ object Similarity {
       .select(col("qid"), col(idCol), col("cos"))
       .orderBy(col("qid"), col("cos").desc, col(idCol))
   }
+
+  // ------------------------------------------------------------------- PQ --
+
+  /** Squared-L2 distance from an array column to a literal centroid, as a
+    * left-to-right fold (the summation order DuckDB's list_sum shares — the
+    * oracle contract the IVF paths already prove at dim 64). */
+  private def l2ToLit(vec: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, typedLit(c.toSeq), (x, y) => {
+        val diff = x.cast("double") - y
+        diff * diff
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Product-quantization codebooks (Jégou et al., PAMI 2011): split the
+    * vector into `m` subspaces and k-means EACH independently over the same
+    * bounded ordered sample the IVF trainer uses — deterministic, never a
+    * full pass. Codes compress a 64-float vector to `m` small ints (8 bytes
+    * at m=8 vs 256 raw): at 100 TB of embeddings the ADC scan reads ~32×
+    * fewer bytes than a raw-vector scan, which is what makes exhaustive
+    * candidate generation affordable at all. m=8 (8-dim subspaces) is the
+    * accuracy/size default — m=4 measured recall 4/10 at a 10% rerank
+    * budget on this (random, clusterless — PQ's worst case) data, m=8
+    * measures 7/10 (SimilaritySpec). Cached per (dataset, config) like the
+    * IVF centroid artifact. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+
+  def pqCodebooksFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     m: Int = 8, ksub: Int = 16, iters: Int = 10,
+                     sampleN: Int = 4096): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(s"$dir#$m#$ksub#$iters#$sampleN", {
+      val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").orderBy("vec_id").limit(sampleN).collect()
+      val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      require(vecs(0).length % m == 0,
+        s"dim ${vecs(0).length} not divisible into $m subspaces")
+      val subdim = vecs(0).length / m
+      Array.tabulate(m)(s =>
+        kmeansLocal(vecs.map(_.slice(s * subdim, (s + 1) * subdim)), ksub, iters))
+    })
+
+  /** Per-subspace nearest-sub-centroid codes as ONE column expression
+    * (array of m small ints) — the write-time encode at scale; ties break
+    * to the lowest code (struct min over (dist, code), the ivfAssign
+    * contract). */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val subdim = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (cb, s) =>
+      val sub = slice(vec, s * subdim + 1, subdim)
+      val dists = cb.zipWithIndex.map { case (c, i) =>
+        struct(l2ToLit(sub, c).as("d"), lit(i).as("c"))
+      }
+      array_min(array(dists: _*)).getField("c")
+    }: _*)
+  }
+
+  /** The query's ADC lookup tables: distance from each query subvector to
+    * each sub-centroid — m·ksub doubles, driver-computed. */
+  private def adcLuts(codebooks: Array[Array[Array[Double]]],
+                      q: Array[Double]): Array[Array[Double]] = {
+    val subdim = codebooks(0)(0).length
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => sqdist(q.slice(s * subdim, (s + 1) * subdim), c))
+    }
+  }
+
+  /** Approximate distance of a CODES column under the query's LUTs: m array
+    * lookups summed in subspace order (left-to-right, the order the DuckDB
+    * oracle adds them in). */
+  private def adcCol(luts: Array[Array[Double]], codes: Column): Column =
+    luts.zipWithIndex.map { case (lut, s) =>
+      element_at(typedLit(lut.toSeq), codes.getItem(s) + 1)
+    }.reduce(_ + _)
+
+  /** ADC (asymmetric-distance) top-k: the query's per-subspace lookup
+    * tables are driver-computed literals, and a row's approximate distance
+    * is m array lookups summed over its CODES: the scan touches no full
+    * vectors. The top `rerank` candidates by (rounded ADC asc, id) are then
+    * exactly re-ranked by cosine on the full vectors — the standard
+    * PQ-then-refine shape; `rerank` is the recall/cost dial. Plan: map +
+    * TakeOrdered for the candidate cut (no shuffle), then a `rerank`-row
+    * re-rank. This form encodes inline (self-contained, the gate query);
+    * the write-time shape is [[pqWriteCodes]] + [[pqTopKCoded]]. */
+  def pqTopKAdc(em: DataFrame, idCol: String, vecCol: String,
+                queryVec: DataFrame, k: Int,
+                codebooks: Array[Array[Array[Double]]],
+                rerank: Int = 50): DataFrame = {
+    val q = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
+    val luts = adcLuts(codebooks, q)
+    val cands = em.withColumn("__codes", pqEncode(col(vecCol), codebooks))
+      .withColumn("adc", round(adcCol(luts, col("__codes")), 6))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(rerank)
+    cands.crossJoin(broadcast(queryVec))
+      .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
+      .select(col(idCol), col("adc"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Write-time PQ encode: materialize (id, codes) once at ingest — m small
+    * ints per row vs the raw vector's dim floats (~32× less scan IO at
+    * m=8/dim=64). The ADC scan then never opens the vector column at all. */
+  def pqWriteCodes(em: DataFrame, idCol: String, vecCol: String,
+                   codebooks: Array[Array[Array[Double]]], path: String): Unit =
+    em.select(col(idCol), pqEncode(col(vecCol), codebooks).as("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** ADC top-k over the PRE-ENCODED codes table — the production shape:
+    * the candidate cut scans only (id, codes); the `rerank` winners (a tiny
+    * broadcast) then fetch their full vectors via an equi-join against the
+    * raw table for the exact cosine re-rank. Same result contract as
+    * [[pqTopKAdc]] (spec-asserted). */
+  def pqTopKCoded(codes: DataFrame, em: DataFrame, idCol: String,
+                  vecCol: String, queryVec: DataFrame, k: Int,
+                  codebooks: Array[Array[Array[Double]]],
+                  rerank: Int = 50): DataFrame = {
+    val q = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
+    val luts = adcLuts(codebooks, q)
+    val cands = codes
+      .withColumn("adc", round(adcCol(luts, col("codes")), 6))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol), col("adc"))
+    em.join(broadcast(cands), Seq(idCol))
+      .crossJoin(broadcast(queryVec))
+      .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
+      .select(col(idCol), col("adc"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Corpus-wide code histogram: rows per (subspace, code) with counts —
+    * the encode-health audit (a collapsed subspace shows up as a few fat
+    * codes) and the compression accounting in one tiny frame. */
+  def pqCodeHistogram(em: DataFrame, vecCol: String,
+                      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    em.withColumn("__codes", pqEncode(col(vecCol), codebooks))
+      .select(posexplode(col("__codes")).as(Seq("sub", "code")))
+      .groupBy(col("sub").cast("long").as("sub"), col("code").cast("long").as("code"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("sub", "code")
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (equi on
     * bucket) + exact cosine filter — the scale path for vector dedup. */

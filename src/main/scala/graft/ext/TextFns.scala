@@ -146,6 +146,60 @@ object TextFns {
       regexp_count(text, lit(UrlRe)).cast("long"),
       regexp_count(text, lit(LongNumRe)).cast("long"))
 
+  /** N-gram novelty score: the fraction of a document's DISTINCT word
+    * n-grams whose corpus-wide first occurrence (minimum doc id among docs
+    * containing the gram) is this document — ~1 for fresh prose, ~0 for
+    * boilerplate or near-copies of earlier documents. The rank-signal
+    * complement to Dedup.segmentDedup's drop decision: novelty scores, the
+    * segment pass rewrites.
+    *
+    * Scale shape: explode per-doc distinct grams, one shuffle on the gram
+    * for the first-owner agg (map-side combine shrinks fan-in to |vocab|),
+    * then the grams⋈first join reuses the same gram key (AQE co-locates it
+    * with the agg's partitioning) and one final doc-id agg. Never a
+    * self-join of documents. */
+  def ngramNovelty(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = Par.ensure(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        explode(array_distinct(Dedup.shinglesOfWords(split(col(textCol), " "), n)))
+          .as("g"))
+    val first = grams.groupBy("g").agg(min(col(idCol)).as("first_doc"))
+    grams.join(first, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col(idCol)).cast("long")).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Overlapping word-window chunking — RAG / context-window prep: windows
+    * of `chunkSize` words starting every `stride` words, the last window
+    * clamped at the document end (so every word lands in ≥1 chunk and no
+    * chunk is empty). One output row per chunk with its word count and
+    * content digest; chunk_id = start div stride, so (doc, chunk_id) is a
+    * stable key across re-runs.
+    *
+    * Pure per-row explode — zero shuffles at any scale; the chunk TEXT
+    * itself never leaves the executors here (only the md5 digest is
+    * emitted), which is the honest shape for a 100 TB corpus where
+    * materialized chunks would be written straight to a partitioned sink,
+    * not returned. */
+  def chunkDocs(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, chunkSize: Int,
+                stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    val chunk = slice(col("__ws"), col("__s"),
+      least(lit(chunkSize), size(col("__ws")) - col("__s") + 1))
+    docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol), col("__ws"),
+        posexplode(sequence(lit(1), size(col("__ws")), lit(stride)))
+          .as(Seq("__i", "__s")))
+      .select(col(idCol), col("__i").cast("long").as("chunk_id"),
+        size(chunk).cast("long").as("n_words"),
+        md5(concat_ws(" ", chunk)).as("chunk_md5"))
+  }
+
   /** Eval-set decontamination — the GPT-3/Dolma-style n-gram overlap check:
     * corpus documents sharing ANY word n-gram with the eval/benchmark set,
     * with the count of distinct shared n-grams per document (the evidence a

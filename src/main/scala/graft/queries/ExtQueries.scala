@@ -159,6 +159,68 @@ object ExtQueries {
       "SELECT qid, vec_id, cos FROM c WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"
   }
 
+  /** DuckDB twins of Similarity.pqEncode / pqTopKAdc. The codebook and the
+    * query's ADC lookup-table literals are data-derived artifacts, so both
+    * oracles are generated at Verify dump time (SparkEntry.dynamicOracleSql)
+    * from the same cached deterministic trainer the queries use;
+    * Double.toString literals round-trip exactly. Sub-distance sums are
+    * left-to-right folds on both engines (the contract the IVF oracles
+    * already prove at dim 64), and the ADC sum adds the m lookups in
+    * subspace order on both. */
+  private def pqCodeSql(spark: SparkSession, sfDir: String,
+                        vec: String): Seq[String] = {
+    val cbs = graft.ext.Similarity.pqCodebooksFor(spark, sfDir)
+    val subdim = cbs(0)(0).length
+    def distSql(s: Int, c: Array[Double]): String = {
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      s"list_sum([(CAST($vec[${s * subdim} + i] AS DOUBLE) - ($lit)[i]) * " +
+        s"(CAST($vec[${s * subdim} + i] AS DOUBLE) - ($lit)[i]) " +
+        s"for i in generate_series(1, $subdim)])"
+    }
+    cbs.indices.map(s =>
+      cbs(s).zipWithIndex
+        .map { case (c, i) => s"{'d': ${distSql(s, c)}, 'c': $i}" }
+        .mkString("list_sort([", ", ", "])[1].c"))
+  }
+
+  def pqCodesOracleSql(spark: SparkSession, sfDir: String): String = {
+    val codes = pqCodeSql(spark, sfDir, "embedding")
+    val cols = codes.zipWithIndex
+      .map { case (c, s) => s"$c AS c$s" }.mkString(", ")
+    val unions = codes.indices
+      .map(s => s"SELECT $s AS sub, c$s AS code FROM b")
+      .mkString(" UNION ALL ")
+    s"WITH b AS (SELECT vec_id, $cols FROM $Embs), u AS ($unions) " +
+      "SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code, " +
+      "count(*) AS cnt FROM u GROUP BY 1, 2 ORDER BY sub, code"
+  }
+
+  def pqAdcOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cbs = graft.ext.Similarity.pqCodebooksFor(spark, sfDir)
+    val subdim = cbs(0)(0).length
+    // the query vector is corpus row 0 — materialize it the same way the
+    // Spark path does (driver collect) so the LUT literals are shared bits
+    val q = t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    val luts = cbs.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => graft.ext.Similarity.sqdist(
+        q.slice(s * subdim, (s + 1) * subdim), c))
+    }
+    val codes = pqCodeSql(spark, sfDir, "embedding")
+    val cols = codes.zipWithIndex
+      .map { case (c, s) => s"$c AS c$s" }.mkString(", ")
+    val adc = luts.zipWithIndex.map { case (lut, s) =>
+      s"(${lut.map(_.toString).mkString("[", ",", "]")})[c$s + 1]"
+    }.mkString(" + ")
+    s"WITH q AS (SELECT embedding AS qv FROM $Embs WHERE vec_id = 0), " +
+      s"b AS (SELECT vec_id, embedding, $cols FROM $Embs WHERE vec_id <> 0), " +
+      s"a AS (SELECT vec_id, embedding, round($adc, 6) AS adc FROM b), " +
+      "cand AS (SELECT vec_id, embedding, adc FROM a ORDER BY adc, vec_id LIMIT 50) " +
+      s"SELECT vec_id, adc, round($CosExpr, 6) AS cos FROM cand, q " +
+      "ORDER BY cos DESC, vec_id LIMIT 10"
+  }
+
   /** Per-language keep rates (percent) for the stratified sample: the shape a
     * data-mix rebalance uses (downsample dominant languages, keep the rest).
     * Declared before `inventory` — its oracle SQL is built eagerly. */
@@ -465,6 +527,30 @@ object ExtQueries {
       },
       None),
 
+    ("x_pq_codes", // product-quantization encode audit: per-(subspace, code)
+      // histogram over the whole corpus — 8 subspaces × 16 sub-centroids
+      // compress each 64-float vector to 8 bytes (32× scan-IO reduction at
+      // 100 TB). Codebooks are a data-derived artifact (deterministic
+      // per-subspace k-means over the bounded sample), so the oracle is
+      // generated at Verify dump time like the IVF ones.
+      (s: SparkSession, d: String) =>
+        Similarity.pqCodeHistogram(t(s, d, "embeddings"), "embedding",
+          Similarity.pqCodebooksFor(s, d)),
+      None),
+
+    ("x_ann_pq", // PQ/ADC ANN — the compressed-domain scan: per-row distance
+      // is 8 lookup-table reads summed over the row's CODES (no full vectors
+      // touched), top-50 candidates by (rounded ADC asc, id) are then
+      // exactly re-ranked by cosine — the PQ-then-refine shape production
+      // vector search runs. Dynamic codebook+LUT-literal oracle.
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.pqTopKAdc(em.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", q, k = 10, Similarity.pqCodebooksFor(s, d), rerank = 50)
+      },
+      None),
+
     ("x_embed_near_dup", // embedding-cosine near-dup via 8-plane LSH buckets
       // (256 buckets: intra-bucket cost n²/256 and shrinking with nPlanes —
       // the knob that keeps the self-join sub-quadratic at scale); threshold
@@ -589,6 +675,39 @@ object ExtQueries {
         "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que','y'))) AS BIGINT) AS s_es, " +
         "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','les','des','et','un'))) AS BIGINT) AS s_fr " +
         s"FROM $Docs) t ORDER BY doc_id")),
+
+    ("x_ngram_novelty", // fraction of a doc's DISTINCT 3-grams first seen in
+      // THIS doc (corpus-wide min doc_id owns a gram) — ~1 fresh prose, ~0
+      // boilerplate/near-copies. The rank-signal complement to segment
+      // dedup. One gram-keyed shuffle + one doc-keyed agg; no doc self-join.
+      (s: SparkSession, d: String) =>
+        TextFns.ngramNovelty(t(s, d, "documents"), "doc_id", "text", n = 3)
+          .orderBy("doc_id"),
+      Some(s"$ShingleCte, dd AS (SELECT DISTINCT doc_id, s FROM u), " +
+        "f AS (SELECT s, min(doc_id) AS fd FROM dd GROUP BY s) " +
+        "SELECT doc_id, count(*) AS n_grams, " +
+        "CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "round(CAST(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS DOUBLE) " +
+        "/ count(*), 6) AS novelty " +
+        "FROM dd JOIN f USING (s) GROUP BY doc_id ORDER BY doc_id")),
+
+    ("x_chunk_docs", // overlapping word-window chunking (RAG/context prep):
+      // 32-word windows every 16 words, last window clamped to the doc end.
+      // One row per chunk with word count + content digest — pure per-row
+      // explode, zero shuffles; the chunk text itself never moves (at scale
+      // it would stream straight to a partitioned sink).
+      (s: SparkSession, d: String) =>
+        TextFns.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 16)
+          .orderBy("doc_id", "chunk_id"),
+      Some("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        s"FROM $Docs), " +
+        "st AS (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws), 16)) AS s " +
+        "FROM w) " +
+        "SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS chunk_id, " +
+        "CAST(len(ws[s : least(s + 31, len(ws))]) AS BIGINT) AS n_words, " +
+        "md5(array_to_string(ws[s : least(s + 31, len(ws))], ' ')) AS chunk_md5 " +
+        "FROM st ORDER BY doc_id, chunk_id")),
 
     ("x_fingerprint",
       (s: SparkSession, d: String) =>
@@ -723,6 +842,30 @@ object ExtQueries {
           s"FROM (SELECT lang, ${hexToIntSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 100 AS pct, " +
           s"$rateCase AS rate FROM $Docs) GROUP BY lang ORDER BY lang"
       }),
+
+    ("x_source_mix", // temperature-based source mixing (alpha-sampling,
+      // α=0.5): per-source keep rate ∝ sqrt(n)/n scaled to a 50% target
+      // volume, capped at 100%. sqrt is correctly rounded (unlike pow) and
+      // the weight is floored into a BIGINT immediately, so the weight sum
+      // and the rate are pure integer arithmetic — bit-identical across
+      // engines AND partition orders. Keep decision: hashPct(id) < rate.
+      (s: SparkSession, d: String) =>
+        Sampling.sourceMixSummary(t(s, d, "documents"), "doc_id", "source",
+          targetPct = 50),
+      Some("WITH c AS (SELECT source, count(*) AS n_total, " +
+        "CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS w " +
+        s"FROM $Docs GROUP BY source), " +
+        "t AS (SELECT CAST(sum(n_total) AS BIGINT) AS n_corpus, " +
+        "CAST(sum(w) AS BIGINT) AS w_sum FROM c), " +
+        "r AS (SELECT source, n_total, least(100, " +
+        "(n_corpus * 50 // 100) * w * 100 // (w_sum * n_total)) AS rate_pct " +
+        "FROM c, t) " +
+        "SELECT source, CAST(r.n_total AS BIGINT) AS n_total, " +
+        "CAST(rate_pct AS BIGINT) AS rate_pct, " +
+        "CAST(sum(CASE WHEN pct < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+        s"FROM (SELECT source, ${hexToIntSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 100 AS pct " +
+        s"FROM $Docs) d JOIN r USING (source) " +
+        "GROUP BY 1, 2, 3 ORDER BY source")),
 
     ("x_pack_sequences", // token-budget sequence packing: hash-shard the
       // corpus, cumulative token count per shard in doc_id order, bin =

@@ -208,4 +208,40 @@ class SamplingSpec extends SparkTestBase {
       assert(math.abs(exact(q) - interp) < 1e-6, s"q=$q got=${exact(q)} want=$interp")
     }
   }
+
+  test("source mix: integer rates, cap at 100, kept set matches per-doc recompute") {
+    val byRow = Sampling.sourceMixRates(docs, "source", targetPct = 50)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every rate is a sane integer percent
+    assert(byRow.values.forall { case (_, r) => r >= 0 && r <= 100 })
+    // expected kept volume lands near the 50% target (hash-uniform pcts)
+    val summary = Sampling.sourceMixSummary(docs, "doc_id", "source", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = summary.map(_._2).sum
+    val kept = summary.map(_._4).sum
+    assert(kept > total * 35 / 100 && kept < total * 65 / 100,
+      s"kept $kept of $total under a 50% target")
+    // summary rates agree with the rate table, and n_kept is exactly the
+    // per-doc hashPct recompute (the decision is pure (id, rate))
+    summary.foreach { case (src, nTot, rate, nKept) =>
+      assert(byRow(src) === ((nTot, rate)))
+      val recomputed = docs.filter(col("source") === src)
+        .filter(Sampling.hashPct(col("doc_id")) < rate).count()
+      assert(nKept === recomputed, s"$src kept $nKept vs recomputed $recomputed")
+    }
+    // a 100% target on uniform-ish sources must cap every rate at 100
+    // only when the math says so; at minimum no rate may exceed the cap
+    val r100 = Sampling.sourceMixRates(docs, "source", 100)
+      .collect().map(_.getLong(2))
+    assert(r100.forall(_ <= 100))
+    // a dominant source is downsampled harder than a tiny one (the α<1
+    // property the mix exists for): synthesize 1000-vs-10 and compare
+    import spark.implicits._
+    val skewed = ((1 to 1000).map(i => (i.toLong, "big")) ++
+      (1001 to 1010).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val sk = Sampling.sourceMixRates(skewed, "source", 50)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sk("small") > sk("big"),
+      s"small-source rate ${sk("small")} must exceed big-source ${sk("big")}")
+  }
 }

@@ -282,4 +282,63 @@ class SimilaritySpec extends SparkTestBase {
       q, k = 5, c1)
     assert(got.count() === 5)
   }
+
+  test("PQ: codes well-formed, histogram conserves mass, full-rerank equals brute force") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val cbs = Similarity.pqCodebooksFor(spark, sf0001)
+    assert(cbs.length === 8 && cbs.forall(_.length === 16) &&
+      cbs.forall(_.forall(_.length === 8)))
+    val em = Td.t(spark, sf0001, "embeddings")
+    val codes = em.select(Similarity.pqEncode(col("embedding"), cbs).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // every (vector, subspace) lands in exactly one histogram cell
+    val n = em.count()
+    val hist = Similarity.pqCodeHistogram(em, "embedding", cbs)
+    assert(hist.agg(sum("cnt")).head.getLong(0) === n * 8)
+    // with rerank >= corpus the ADC cut keeps everything, so the exact
+    // re-rank must reproduce brute force bit-for-bit — the lossless anchor
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val rest = em.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .withColumn("cos", org.apache.spark.sql.functions.round(col("cos"), 6))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Similarity.pqTopKAdc(rest, "vec_id", "embedding", q, 10, cbs,
+        rerank = n.toInt)
+      .select("vec_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq === brute.toSeq)
+  }
+
+  test("PQ: ADC at rerank=50 recovers most true neighbors; encode is deterministic") {
+    import org.apache.spark.sql.functions.col
+    val cbs = Similarity.pqCodebooksFor(spark, sf0001)
+    val em = Td.t(spark, sf0001, "embeddings")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val rest = em.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.pqTopKAdc(rest, "vec_id", "embedding", q, 10, cbs,
+      rerank = 50).collect().map(_.getLong(0)).toSet
+    // 10% candidate budget on random 64-d vectors — the compressed scan
+    // must still surface a majority of the true top-10
+    assert((brute & pq).size >= 5, s"recall ${(brute & pq).size}/10")
+    // encode determinism across plans/runs (the write-time contract)
+    val c1 = Similarity.pqCodeHistogram(em, "embedding", cbs).collect().toSeq
+    val c2 = Similarity.pqCodeHistogram(em.repartition(7), "embedding", cbs)
+      .collect().toSeq
+    assert(c1 === c2)
+    // the pre-encoded (write-time) path answers exactly like inline encode
+    val codedPath = java.nio.file.Files
+      .createTempDirectory("graft_pq_codes").toString + "/codes.parquet"
+    Similarity.pqWriteCodes(rest, "vec_id", "embedding", cbs, codedPath)
+    val coded = spark.read.parquet(codedPath)
+    val viaCodes = Similarity.pqTopKCoded(coded, rest, "vec_id", "embedding",
+        q, 10, cbs, rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val inline = Similarity.pqTopKAdc(rest, "vec_id", "embedding", q, 10, cbs,
+        rerank = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(viaCodes === inline)
+  }
 }

@@ -128,6 +128,49 @@ class TextFnsSpec extends SparkTestBase {
     assert(counts(4) === ((0L, 0L, 0L)))
   }
 
+  test("ngram novelty: copies score 0, originals 1, partial overlap exact") {
+    val docs = Seq(
+      (1L, "a b c d e"),            // all 3 distinct 3-grams first here
+      (2L, "a b c d e"),            // exact copy -> novelty 0
+      (3L, "a b c x y z"),          // shares "a b c" only -> 3/4 novel
+      (4L, "p q r s")               // fresh -> novelty 1
+    ).toDF("doc_id", "text")
+    val got = TextFns.ngramNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((3L, 3L, 1.0)))
+    assert(got(2L) === ((3L, 0L, 0.0)))
+    // doc 3 grams: "a b c","b c x","c x y","x y z" — first owns all but
+    // "a b c"
+    assert(got(3L) === ((4L, 3L, 0.75)))
+    assert(got(4L) === ((2L, 2L, 1.0)))
+  }
+
+  test("chunkDocs: every word covered, overlap = size - stride, ids stable") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"), // 10 words
+      (2L, "a b"),                            // shorter than one chunk
+      (3L, (1 to 35).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextFns.chunkDocs(docs, "doc_id", "text", chunkSize = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 1,3,5,7,9 -> lengths 4,4,4,4,2
+    assert(d1.map(_._3).toSeq === Seq(4L, 4L, 4L, 4L, 2L))
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    assert(d1.head._4 === h("w1 w2 w3 w4"))
+    assert(d1.last._4 === h("w9 w10"))
+    // a doc shorter than a chunk yields exactly one clamped chunk
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2.head._3 === 2L && d2.head._4 === h("a b"))
+    // word conservation at stride == size/2: every word in ceil(n/stride)
+    // chunks' union; chunk count = ceil(n / stride)
+    val d3 = got.filter(_._1 == 3L)
+    assert(d3.length === (35 + 1) / 2)
+  }
+
   test("shingleFingerprint equals first minhash component semantics") {
     val df = Seq("a b c d e").toDF("t")
     val fp = df.select(TextFns.shingleFingerprint(col("t"))).collect()(0).getString(0)
