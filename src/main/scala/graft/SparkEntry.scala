@@ -33,6 +33,7 @@ object SparkEntry {
     Map("x_ann_ivf" -> ivf, "x_ann_ivf_indexed" -> ivf,
       "x_ann_ivf_batch" -> ExtQueries.ivfBatchOracleSql(spark, sfDir),
       "x_pq_codes" -> ExtQueries.pqCodesOracleSql(spark, sfDir),
-      "x_ann_pq" -> ExtQueries.pqAdcOracleSql(spark, sfDir))
+      "x_ann_pq" -> ExtQueries.pqAdcOracleSql(spark, sfDir),
+      "x_ann_ivfpq" -> ExtQueries.ivfPqOracleSql(spark, sfDir))
   }
 }

@@ -482,6 +482,88 @@ object Similarity {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("sub", "code")
 
+  /** Combined IVF-PQ index (the FAISS production shape) in ONE parquet
+    * table: rows carry (id, codes, vector), PARTITIONED BY the IVF list.
+    * Partition pruning keeps unprobed lists unopened; parquet column
+    * projection keeps the VECTOR column unread during the ADC candidate
+    * stage — the candidate scan costs probed-lists × 8 bytes/row. Only the
+    * `rerank` winners' vectors are materialized (broadcast semi-join back
+    * into the probed partitions, vector column projected there only). */
+  def ivfPqWriteIndex(em: DataFrame, idCol: String, vecCol: String,
+                      centroids: Array[Array[Double]],
+                      codebooks: Array[Array[Array[Double]]],
+                      path: String): Unit =
+    em.select(col(idCol), pqEncode(col(vecCol), codebooks).as("codes"),
+        col(vecCol))
+      .withColumn("list", ivfAssign(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+
+  /** Build-once location for the combined index, keyed like [[indexPathFor]]
+    * (data + centroid + codebook fingerprints; warehouse-scheme aware). */
+  private val ivfPqIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def ivfPqIndexPathFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        centroids: Array[Array[Double]],
+                        codebooks: Array[Array[Array[Double]]],
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        excludeId: Option[Long] = Some(0L),
+                        warehouse: Option[String] = None): String = {
+    val key = s"$dir#$idCol#$vecCol#$excludeId#${centroidFingerprint(centroids)}" +
+      s"#${centroidFingerprint(codebooks.flatten)}" +
+      s"#${Dedup.dataFingerprint(spark, s"$dir/embeddings.parquet")}#$warehouse"
+    ivfPqIndexCache.getOrElseUpdate(key, {
+      val path = warehouse match {
+        case Some(w) =>
+          val tag = java.security.MessageDigest.getInstance("MD5")
+            .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+          s"$w/ivfpq_idx_$tag"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        val em = excludeId.fold(base)(x => base.filter(col(idCol) =!= x))
+        ivfPqWriteIndex(em, idCol, vecCol, centroids, codebooks, path)
+      }
+      path
+    })
+  }
+
+  /** Query the combined index: driver-side centroid argmin → literal
+    * `list IN (...)` prunes partitions; ADC over the codes column cuts to
+    * `rerank` candidates; exact cosine re-ranks just those. With
+    * rerank ≥ probed-partition row count this equals ivfTopKIndexed
+    * bit-for-bit (spec-asserted) — `rerank` below that trades the PQ
+    * quantization error for an ~32× lighter candidate scan. */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                idCol: String, vecCol: String, queryVec: DataFrame, k: Int,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    val qv = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
+    val probeLists = centroids.zipWithIndex
+      .map { case (c, i) => (sqdist(qv, c), i) }
+      .sortBy(identity).take(nProbe).map(_._2.asInstanceOf[Any])
+    val luts = adcLuts(codebooks, qv)
+    val pruned = spark.read.parquet(path)
+      .filter(col("list").isin(probeLists: _*))
+    val cands = pruned.select(col(idCol), col("codes"))
+      .withColumn("adc", round(adcCol(luts, col("codes")), 6))
+      .orderBy(col("adc").asc, col(idCol))
+      .limit(rerank)
+      .select(col(idCol), col("adc"))
+    pruned.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .crossJoin(broadcast(queryVec))
+      .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
+      .select(col(idCol), col("adc"), col("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (equi on
     * bucket) + exact cosine filter — the scale path for vector dedup. */
   def cosineNearDupPairs(em: DataFrame, idCol: String, vecCol: String,

@@ -221,6 +221,49 @@ object ExtQueries {
       "ORDER BY cos DESC, vec_id LIMIT 10"
   }
 
+  /** DuckDB twin of Similarity.ivfPqTopK: IVF list pruning (the probe-list
+    * literals computed with the same driver arithmetic the query uses) +
+    * PQ/ADC candidate cut + exact re-rank. Dynamic like the other
+    * artifact-bearing oracles. */
+  def ivfPqOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
+    val cbs = graft.ext.Similarity.pqCodebooksFor(spark, sfDir)
+    val subdim = cbs(0)(0).length
+    val q = t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray.map(_.toDouble)
+    val probeLists = cents.zipWithIndex
+      .map { case (c, i) => (graft.ext.Similarity.sqdist(q, c), i) }
+      .sortBy(identity).take(2).map(_._2)
+    val luts = cbs.zipWithIndex.map { case (cb, s) =>
+      cb.map(c => graft.ext.Similarity.sqdist(
+        q.slice(s * subdim, (s + 1) * subdim), c))
+    }
+    def distSql(vec: String, c: Array[Double]): String = {
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
+        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
+        s"for i in generate_series(1, ${c.length})])"
+    }
+    val listSql = cents.zipWithIndex
+      .map { case (c, i) => s"{'d': ${distSql("embedding", c)}, 'l': $i}" }
+      .mkString("list_sort([", ", ", "])[1].l")
+    val codes = pqCodeSql(spark, sfDir, "embedding")
+    val cols = codes.zipWithIndex
+      .map { case (c, s) => s"$c AS c$s" }.mkString(", ")
+    val adc = luts.zipWithIndex.map { case (lut, s) =>
+      s"(${lut.map(_.toString).mkString("[", ",", "]")})[c$s + 1]"
+    }.mkString(" + ")
+    s"WITH q AS (SELECT embedding AS qv FROM $Embs WHERE vec_id = 0), " +
+      s"b AS (SELECT vec_id, embedding, $cols, $listSql AS list " +
+      s"FROM $Embs WHERE vec_id <> 0), " +
+      s"pr AS (SELECT vec_id, embedding, round($adc, 6) AS adc FROM b " +
+      s"WHERE list IN (${probeLists.mkString(", ")})), " +
+      "cand AS (SELECT vec_id, embedding, adc FROM pr ORDER BY adc, vec_id LIMIT 50) " +
+      s"SELECT vec_id, adc, round($CosExpr, 6) AS cos FROM cand, q " +
+      "ORDER BY cos DESC, vec_id LIMIT 10"
+  }
+
   /** Per-language keep rates (percent) for the stratified sample: the shape a
     * data-mix rebalance uses (downsample dominant languages, keep the rest).
     * Declared before `inventory` — its oracle SQL is built eagerly. */
@@ -548,6 +591,22 @@ object ExtQueries {
         val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         Similarity.pqTopKAdc(em.filter(col("vec_id") =!= 0), "vec_id",
           "embedding", q, k = 10, Similarity.pqCodebooksFor(s, d), rerank = 50)
+      },
+      None),
+
+    ("x_ann_ivfpq", // combined IVF-PQ (the FAISS production shape) in one
+      // partitioned table: literal probe-list IN prunes partitions, the ADC
+      // candidate stage projects only (id, codes) — parquet column pruning
+      // keeps the vector column unread — and just the top-50 fetch vectors
+      // for the exact re-rank. Dynamic centroid+codebook+LUT oracle.
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val cents = Similarity.centroidsFor(s, d)
+        val cbs = Similarity.pqCodebooksFor(s, d)
+        val idx = Similarity.ivfPqIndexPathFor(s, d, cents, cbs)
+        Similarity.ivfPqTopK(s, idx, "vec_id", "embedding", q, k = 10,
+          cents, cbs, nProbe = 2, rerank = 50)
       },
       None),
 

@@ -341,4 +341,35 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
     assert(viaCodes === inline)
   }
+
+  test("IVF-PQ: pruned partitions, unread vector column in the ADC stage, lossless at full rerank") {
+    import org.apache.spark.sql.functions.col
+    val cents = Similarity.centroidsFor(spark, sf0001)
+    val cbs = Similarity.pqCodebooksFor(spark, sf0001)
+    val idx = Similarity.ivfPqIndexPathFor(spark, sf0001, cents, cbs)
+    val em = Td.t(spark, sf0001, "embeddings")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    // partition pruning: the query's scan opens only probed list dirs
+    val got = Similarity.ivfPqTopK(spark, idx, "vec_id", "embedding", q,
+      k = 10, cents, cbs, nProbe = 2, rerank = 50)
+    val planStr = got.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(planStr).isDefined,
+      planStr.take(1200))
+    // the ADC candidate stage must not read the embedding column: its scan
+    // schema carries only id + codes (parquet column projection)
+    assert(planStr.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
+      planStr.take(1200))
+    // with rerank >= probed rows, IVF-PQ degrades to exact IVF — bit-equal
+    // to ivfTopKIndexed over the same probe lists
+    val n = em.count().toInt
+    val full = Similarity.ivfPqTopK(spark, idx, "vec_id", "embedding", q,
+        k = 10, cents, cbs, nProbe = 2, rerank = n)
+      .select("vec_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfIdx = Similarity.indexPathFor(spark, sf0001, cents)
+    val exact = Similarity.ivfTopKIndexed(spark, ivfIdx, "vec_id", "embedding",
+        q, k = 10, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact)
+  }
 }
