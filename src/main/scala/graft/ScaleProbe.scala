@@ -130,6 +130,18 @@ object ScaleProbe {
     }
     results += "segment_dedup_dropped" -> ((tSeg, segDropped))
 
+    // ---- containment join: does the asymmetric index stay bounded? ----
+    // The contained side prefixes to its rarest grams, but the container
+    // side indexes EVERY capped gram — candidate volume is Σ over prefix
+    // tokens of df(token), bounded by the frequency cap. Measured so the
+    // asymmetry's real cost (vs the symmetric prefix join) is on record.
+    if (!skip("containment")) {
+      val (tCont, contN) = time {
+        Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.5).count()
+      }
+      results += "containment_pairs" -> ((tCont, contN))
+    }
+
     // ---- cap recall: what does DefaultMaxBucket actually cost, per J? ----
     // True near-dup pairs lost to the cap are pairs that (a) co-bucket ONLY
     // in over-cap buckets (an anti-join vs the capped candidate set credits

@@ -401,6 +401,81 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** LOSSLESS containment join (asymmetric set overlap): ordered pairs
+    * (a, b) with C(A→B) = |A∩B| / |A| ≥ t — "a's grams are mostly inside
+    * b" — the sub-document/quote-inclusion detector symmetric Jaccard
+    * misses (a paragraph fully quoted inside a long doc has tiny J but
+    * C = 1). RefinedWeb-style curation drops or attributes such contained
+    * docs.
+    *
+    * Similarity universe: distinct `shingleK`-grams whose GLOBAL document
+    * frequency is ≤ `maxToken` — the same absolute-frequency cap semantics
+    * as [[prefixJoinPairs]], applied to BOTH candidates and verify (and
+    * the oracle), so boilerplate grams neither blow up the index nor count
+    * as containment evidence, and the prefix filter is exactly lossless on
+    * the defined universe at any scale.
+    *
+    * Prefix filter, asymmetric form (Chaudhuri et al. 2006): C ≥ t needs
+    * |A∩B| ≥ ⌈t·|A|⌉, so at most |A| − ⌈t·|A|⌉ of A's grams miss B —
+    * among A's first |A| − ⌈t·|A|⌉ + 1 grams in global-frequency order at
+    * least one must hit B. Only the CONTAINED side prefixes; the container
+    * side indexes all its (capped) grams — the cost asymmetry is inherent
+    * to containment. A lossless size bound (|B| ≥ ⌈t·|A|⌉, since
+    * |A∩B| ≤ |B|) kills undersized containers inside the candidate join.
+    *
+    * Scale shape: token-keyed equi-joins throughout (freq agg, prefix
+    * ordering, candidate probe — ReuseExchange shares the token shuffle);
+    * verify is the native sorted-merge on candidate pairs only. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int = 3, threshold: Double = 0.5,
+                       maxToken: Int = DefaultMaxBucket): DataFrame = {
+    val big = sizeRatioPrefilterWorthIt(df)
+    val setsRaw = Par.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol),
+        array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
+    val sets = if (big) setsRaw else setsRaw.localCheckpoint()
+    val tokAll = sets.select(col(idCol), explode(col("sset")).as("s"))
+    val freq = tokAll.groupBy("s").agg(count(lit(1)).as("__f"))
+    val freqSide = if (big) freq else broadcast(freq)
+    // the capped universe: one row per (doc, surviving distinct gram)
+    val tok = tokAll.join(freqSide, Seq("s")).filter(col("__f") <= maxToken)
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__f"), col("s"))
+    // capped set size + frequency-ordered rank ride one partitioning
+    val ranked = tok
+      .withColumn("__n", count(lit(1)).over(wN))
+      .withColumn("__rn", row_number().over(wDoc))
+      .localCheckpoint()
+    val pref = ranked
+      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col(idCol).as("a_id"), col("__n").as("__na"), col("s"))
+      .hint("shuffle_hash")
+    val index = ranked
+      .select(col(idCol).as("b_id"), col("__n").as("__nb"), col("s"))
+      .hint("shuffle_hash")
+    val cands = pref.join(index, Seq("s"))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("__nb") >= ceil(lit(threshold) * col("__na")))
+      .select("a_id", "b_id", "__na").distinct()
+    // verify on the capped sorted sets — native merge, no per-pair allocs
+    val sorted = tok.groupBy(col(idCol))
+      .agg(array_sort(collect_list(col("s"))).as("sset"))
+    def side(tag: String) = {
+      val s = sorted.select(col(idCol).as(s"${tag}_id"), col("sset").as(s"s$tag"))
+      if (big) s else broadcast(s)
+    }
+    val inter = graft.functions.GraftExpressions
+      .sorted_intersect_count(col("sa"), col("sb")).cast("double")
+    cands
+      .join(side("a"), Seq("a_id"))
+      .join(side("b"), Seq("b_id"))
+      .withColumn("containment", round(inter / col("__na"), 6))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+  }
+
   /** Persist a band table for incremental probing, partitioned by band so a
     * probe of one band prunes the rest at planning time. At 100 TB this is
     * the corpus signature store: written once at ingest, appended as the

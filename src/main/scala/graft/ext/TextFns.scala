@@ -146,6 +146,36 @@ object TextFns {
       regexp_count(text, lit(UrlRe)).cast("long"),
       regexp_count(text, lit(LongNumRe)).cast("long"))
 
+  /** Hashed-feature linear scorer — the fastText-style quality-classifier
+    * INFERENCE shape: each token hashes into one of `weightsMilli.length`
+    * buckets (first 4 hex chars of md5, mod dim — the same engine-portable
+    * hash the samplers use) and the broadcast weight table is summed per
+    * occurrence. Weights are INTEGER milli-units so the score — and any
+    * ranking or threshold on it — is bit-exact across engines and partition
+    * orders; the logistic squash (not correctly-rounded libm exp) is left
+    * to consumers who don't need cross-engine exactness.
+    *
+    * Scale shape: a zero-shuffle per-row fold in whole-stage codegen; the
+    * weight table rides the plan as a literal (a trained table of any real
+    * size would broadcast-join on the bucket instead — same contract).
+    * [[demoWeightsMilli]] provides a deterministic stand-in table;
+    * production swaps in trained values. */
+  def hashedLinearScore(text: Column, weightsMilli: Seq[Long]): Column = {
+    val dim = weightsMilli.length
+    aggregate(
+      transform(split(text, " "), tok =>
+        element_at(typedLit(weightsMilli),
+          (conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % dim)
+            .cast("int") + 1)),
+      lit(0L), (acc, v) => acc + v)
+  }
+
+  /** Deterministic stand-in weight table (Knuth-hash spread over
+    * [-1000, 1000] milli-units) — exercises the full inference path with
+    * reproducible values on both engines. */
+  def demoWeightsMilli(dim: Int = 1024): Seq[Long] =
+    (0 until dim).map(b => (b * 2654435761L) % 2001L - 1000L)
+
   /** N-gram novelty score: the fraction of a document's DISTINCT word
     * n-grams whose corpus-wide first occurrence (minimum doc id among docs
     * containing the gram) is this document — ~1 for fresh prose, ~0 for

@@ -570,6 +570,27 @@ object ExtQueries {
       },
       None),
 
+    ("x_containment_pairs", // asymmetric containment join: (a, b) with
+      // |A∩B|/|A| >= 0.5 on the frequency-capped 3-gram universe — the
+      // sub-document/quote-inclusion detector symmetric Jaccard misses.
+      // Spark side prefix-filters the contained side (lossless on the
+      // capped universe); the oracle verifies ALL token-sharing pairs
+      // directly — slower but same answer, which is the point.
+      (s: SparkSession, d: String) =>
+        Dedup.containmentPairs(t(s, d, "documents"), "text", "doc_id",
+          shingleK = 3, threshold = 0.5)
+          .orderBy("a_id", "b_id"),
+      Some(s"$ShingleCte, dd AS (SELECT DISTINCT doc_id, s FROM u), " +
+        "f AS (SELECT s, count(*) AS fr FROM dd GROUP BY s), " +
+        s"tok AS (SELECT doc_id, s FROM dd JOIN f USING (s) WHERE fr <= ${Dedup.DefaultMaxBucket}), " +
+        "n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id), " +
+        "i AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
+        "FROM tok x JOIN tok y ON x.s = y.s AND x.doc_id <> y.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(CAST(inter AS DOUBLE) / n.n, 6) AS containment " +
+        "FROM i JOIN n ON n.doc_id = i.a_id " +
+        "WHERE round(CAST(inter AS DOUBLE) / n.n, 6) >= 0.5 " +
+        "ORDER BY a_id, b_id")),
+
     ("x_pq_codes", // product-quantization encode audit: per-(subspace, code)
       // histogram over the whole corpus — 8 subspaces × 16 sub-centroids
       // compress each 64-float vector to 8 bytes (32× scan-IO reduction at
@@ -734,6 +755,32 @@ object ExtQueries {
         "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('el','la','de','que','y'))) AS BIGINT) AS s_es, " +
         "CAST(len(list_filter(string_split(text, ' '), w -> w IN ('le','les','des','et','un'))) AS BIGINT) AS s_fr " +
         s"FROM $Docs) t ORDER BY doc_id")),
+
+    ("x_quality_lr", // hashed-feature linear scoring — the fastText-style
+      // classifier inference shape: token -> md5 bucket (1024) -> broadcast
+      // integer milli-weight table summed per occurrence. Zero shuffles;
+      // INTEGER score keeps the keep/drop threshold engine-exact (the
+      // sigmoid is left to consumers). Weights: deterministic stand-in
+      // (demoWeightsMilli) — the operator under test is the plumbing.
+      (s: SparkSession, d: String) => {
+        val w = TextFns.demoWeightsMilli()
+        t(s, d, "documents").select(col("doc_id"),
+            TextFns.tokenCount(col("text")).as("n_tokens"),
+            TextFns.hashedLinearScore(col("text"), w).as("score_milli"))
+          .withColumn("keep", (col("score_milli") >= 0).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val wLit = TextFns.demoWeightsMilli().mkString("[", ",", "]")
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+          s"CAST(list_sum([($wLit)[" +
+          s"${hexToIntSql("substr(md5(w), 1, 4)")} % 1024 + 1] " +
+          "for w in string_split(text, ' ')]) AS BIGINT) AS score_milli, " +
+          "CAST(CASE WHEN list_sum([(" + wLit + ")[" +
+          s"${hexToIntSql("substr(md5(w), 1, 4)")} % 1024 + 1] " +
+          "for w in string_split(text, ' ')]) >= 0 THEN 1 ELSE 0 END AS INT) AS keep " +
+          s"FROM $Docs ORDER BY doc_id"
+      }),
 
     ("x_ngram_novelty", // fraction of a doc's DISTINCT 3-grams first seen in
       // THIS doc (corpus-wide min doc_id owns a gram) — ~1 fresh prose, ~0

@@ -128,6 +128,52 @@ class DedupSpec extends SparkTestBase {
     } finally { corpus.unpersist(); () }
   }
 
+  test("containment join: LOSSLESS vs brute force on the capped universe; quote-inclusion found") {
+    import spark.implicits._
+    // hand vector: doc 2 is a verbatim paragraph of doc 1 (J tiny, C = 1);
+    // doc 3 shares half its grams with doc 1; doc 4 is disjoint
+    val para = "alpha beta gamma delta epsilon zeta"
+    val hand = Seq(
+      (1L, para + " " + (1 to 40).map(i => s"filler$i").mkString(" ")),
+      (2L, para),
+      (3L, "alpha beta gamma other words here"),
+      (4L, "unrelated content entirely different")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(hand, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((2L, 1L)) === 1.0)          // the quoted paragraph
+    assert(!got.keySet.contains((1L, 2L))) // big doc is NOT contained in small
+    assert(got.keySet.forall { case (a, b) => a != 4L && b != 4L })
+    // Jaccard at the same threshold misses the quote (J = 4/43 here)
+    val j = Dedup.prefixJoinPairs(hand, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!j.contains((1L, 2L)) && !j.contains((2L, 1L)))
+
+    // lossless vs quadratic ground truth on a real corpus slice
+    val corpus = graft.queries.Td.t(spark, sf0001, "documents")
+      .select("doc_id", "text").limit(60).cache()
+    try {
+      val t = 0.3
+      val sets = corpus
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          array_distinct(Dedup.shinglesOfWords(col("ws"), 3)).as("sset"))
+      // cap is inert on 60 docs (max df << 1000): the capped universe IS
+      // the full one, so direct all-pairs containment is the ground truth
+      val truth = sets.as("a").crossJoin(sets.as("b"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
+        .withColumn("c", round(
+          size(array_intersect(col("a.sset"), col("b.sset"))).cast("double") /
+            size(col("a.sset")), 6))
+        .filter(col("c") >= t)
+        .select(col("a.doc_id"), col("b.doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pj = Dedup.containmentPairs(corpus, "text", "doc_id", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pj === truth, s"missed=${truth -- pj} extra=${pj -- truth}")
+    } finally { corpus.unpersist(); () }
+  }
+
   test("near-dup leaves no cached RDDs; shingle-set shuffle is reused, not recomputed") {
     // diff, not isEmpty: other suites may share this session's cache registry
     val before = spark.sparkContext.getPersistentRDDs.keySet
