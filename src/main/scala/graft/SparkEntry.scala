@@ -32,6 +32,8 @@ object SparkEntry {
     val ivf = ExtQueries.ivfOracleSql(spark, sfDir)
     Map("x_ann_ivf" -> ivf, "x_ann_ivf_indexed" -> ivf,
       "x_ann_ivf_batch" -> ExtQueries.ivfBatchOracleSql(spark, sfDir),
+      "x_semdedup" -> ExtQueries.semDedupOracleSql(spark, sfDir),
+      "x_cluster_sample" -> ExtQueries.clusterSampleOracleSql(spark, sfDir),
       "x_pq_codes" -> ExtQueries.pqCodesOracleSql(spark, sfDir),
       "x_ann_pq" -> ExtQueries.pqAdcOracleSql(spark, sfDir),
       "x_ann_ivfpq" -> ExtQueries.ivfPqOracleSql(spark, sfDir))

@@ -564,6 +564,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering-then-pruning — assign every vector to its nearest k-means
+    * centroid (the SAME write-time artifact the IVF index uses), compare
+    * pairs only WITHIN a cluster, and drop every vector that has a semantic
+    * near-duplicate (rounded cos ≥ t) with a LOWER id in its cluster. The
+    * keep-first survivor rule is deterministic under any partitioning, and
+    * the threshold applies to the 6-dp-rounded cosine so the survivor set is
+    * identical across engines even at the filter boundary.
+    *
+    * Scale shape: one shuffle on the list id, then a per-list self-join —
+    * the published SemDeDup cost model (O(n²/k) pairs with k clusters; at
+    * 100 TB, k grows with n so per-list membership stays bounded, and the
+    * assignment rides the ingest-time IVF write, costing nothing extra).
+    * The drop set stays distributed (semi-join shape), never collected. */
+  def semDedup(em: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]],
+               threshold: Double): DataFrame = {
+    val assigned = em.select(col(idCol), col(vecCol))
+      .withColumn("list", ivfAssign(col(vecCol), centroids))
+    // shuffle_hash on both sides: list-sized inputs must never broadcast,
+    // and the identical shuffled subplans share the assignment computation
+    val a = assigned
+      .select(col("list"), col(idCol).as("a_id"), col(vecCol).as("va"))
+      .hint("shuffle_hash")
+    val b = assigned
+      .select(col("list"), col(idCol).as("b_id"), col(vecCol).as("vb"))
+      .hint("shuffle_hash")
+    val dropped = a.join(b, Seq("list"))
+      .filter(col("b_id") < col("a_id"))
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("a_id").as(idCol)).distinct()
+    assigned.select(col(idCol), col("list"))
+      .join(dropped.withColumn("__dup", lit(1)), Seq(idCol), "left")
+      .withColumn("keep", when(col("__dup").isNull, 1).otherwise(0).cast("int"))
+      .select(col(idCol), col("list"), col("keep"))
+  }
+
+  /** Cluster-balanced diversity sampling — the resampling pass AFTER
+    * SemDeDup: per-cluster keep rates ∝ √(cluster size) flatten the cluster
+    * histogram (big boilerplate-y clusters downsample hard, small diverse
+    * clusters survive), the square-root compromise between proportional and
+    * uniform allocation. The keep decision is the engine-portable md5 hash
+    * percentile ([[Sampling.hashPct]]) — reproducible across runs, engines,
+    * partitionings, and corpus growth (previously-kept vectors stay kept).
+    *
+    * Rate arithmetic follows the x_source_mix contract: the √ is floored
+    * into a BIGINT weight immediately (w = ⌊√n·1000⌋ — sqrt is correctly
+    * rounded, unlike pow), then rate = least(100, w·boost div (n·10)) is
+    * PURE integer arithmetic — bit-identical across engines and partition
+    * orders. Scale shape: the rate table is one tiny agg (k rows) broadcast
+    * back; the keep filter itself is map-side; returns the per-list audit. */
+  def clusterBalancedSample(em: DataFrame, idCol: String, vecCol: String,
+                            centroids: Array[Array[Double]],
+                            boost: Int = 4): DataFrame = {
+    val assigned = em.select(col(idCol), col(vecCol))
+      .withColumn("list", ivfAssign(col(vecCol), centroids))
+    val rates = assigned.groupBy("list")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("w", floor(sqrt(col("n_total").cast("double")) * 1000.0)
+        .cast("long"))
+      .withColumn("rate", least(lit(100L),
+        expr(s"w * $boost div (n_total * 10)")))
+    assigned.join(broadcast(rates), Seq("list"))
+      .withColumn("__keep", (Sampling.hashPct(col(idCol)) < col("rate")).cast("long"))
+      .groupBy(col("list"), col("n_total"), col("rate"))
+      .agg(sum(col("__keep")).as("n_kept"))
+      .select("list", "n_total", "rate", "n_kept")
+      .orderBy("list")
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed self-join (equi on
     * bucket) + exact cosine filter — the scale path for vector dedup. */
   def cosineNearDupPairs(em: DataFrame, idCol: String, vecCol: String,

@@ -159,6 +159,56 @@ object ExtQueries {
       "SELECT qid, vec_id, cos FROM c WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id"
   }
 
+  /** DuckDB twin of Similarity.semDedup: same centroid-literal assignment as
+    * [[ivfOracleSql]], then the within-list keep-first prune on the rounded
+    * cosine. Generated at Verify dump time (centroids are data-derived). */
+  def semDedupOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
+    def distSql(vec: String, c: Array[Double]): String = {
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
+        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
+        s"for i in generate_series(1, ${c.length})])"
+    }
+    def sortedLists(vec: String): String =
+      cents.zipWithIndex
+        .map { case (c, i) => s"{'d': ${distSql(vec, c)}, 'l': $i}" }
+        .mkString("list_sort([", ", ", "])")
+    s"WITH b AS (SELECT vec_id, embedding, ${sortedLists("embedding")}[1].l AS list " +
+      s"FROM $Embs), " +
+      "d AS (SELECT DISTINCT x.vec_id AS vec_id " +
+      "FROM b x JOIN b y ON x.list = y.list AND y.vec_id < x.vec_id " +
+      s"WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= 0.3) " +
+      "SELECT b.vec_id, b.list, " +
+      "CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep " +
+      "FROM b LEFT JOIN d USING (vec_id) ORDER BY vec_id"
+  }
+
+  /** DuckDB twin of Similarity.clusterBalancedSample: centroid-literal
+    * assignment + the x_source_mix integer rate contract per list. */
+  def clusterSampleOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
+    def distSql(vec: String, c: Array[Double]): String = {
+      val lit = c.map(_.toString).mkString("[", ",", "]")
+      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
+        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
+        s"for i in generate_series(1, ${c.length})])"
+    }
+    def sortedLists(vec: String): String =
+      cents.zipWithIndex
+        .map { case (c, i) => s"{'d': ${distSql(vec, c)}, 'l': $i}" }
+        .mkString("list_sort([", ", ", "])")
+    s"WITH b AS (SELECT vec_id, ${sortedLists("embedding")}[1].l AS list FROM $Embs), " +
+      "c AS (SELECT list, count(*) AS n_total, " +
+      "CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS w " +
+      "FROM b GROUP BY list), " +
+      "r AS (SELECT list, n_total, least(100, w * 4 // (n_total * 10)) AS rate FROM c) " +
+      "SELECT list, CAST(r.n_total AS BIGINT) AS n_total, CAST(rate AS BIGINT) AS rate, " +
+      "CAST(sum(CASE WHEN pct < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept " +
+      s"FROM (SELECT list, ${hexToIntSql("substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)")} % 100 AS pct " +
+      "FROM b) d JOIN r USING (list) GROUP BY 1, 2, 3 ORDER BY list"
+  }
+
   /** DuckDB twins of Similarity.pqEncode / pqTopKAdc. The codebook and the
     * query's ADC lookup-table literals are data-derived artifacts, so both
     * oracles are generated at Verify dump time (SparkEntry.dynamicOracleSql)
@@ -972,6 +1022,29 @@ object ExtQueries {
         s"FROM (SELECT source, ${hexToIntSql("substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 100 AS pct " +
         s"FROM $Docs) d JOIN r USING (source) " +
         "GROUP BY 1, 2, 3 ORDER BY source")),
+
+    ("x_semdedup", // SemDeDup (Abbas et al. 2023): nearest-centroid cluster
+      // assignment (the IVF write-time artifact), within-cluster pairwise
+      // rounded cosine >= 0.3, keep-first survivor (min vec_id). The
+      // clustering bounds the pair count at O(n^2/k) — never all-pairs.
+      // Dynamic centroid-literal oracle, like x_ann_ivf.
+      (s: SparkSession, d: String) =>
+        graft.ext.Similarity.semDedup(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          graft.ext.Similarity.centroidsFor(s, d), threshold = 0.3)
+          .orderBy("vec_id"),
+      None),
+
+    ("x_cluster_sample", // cluster-balanced diversity sampling: per-cluster
+      // keep rate ~ sqrt(n)/n (big clusters downsample hard), decided by the
+      // portable md5 hash pct — the semantic-diversity resampling pass after
+      // SemDeDup. Integer rate arithmetic per the x_source_mix contract.
+      // Dynamic centroid-literal oracle.
+      (s: SparkSession, d: String) =>
+        graft.ext.Similarity.clusterBalancedSample(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          graft.ext.Similarity.centroidsFor(s, d), boost = 4),
+      None),
 
     ("x_pack_sequences", // token-budget sequence packing: hash-shard the
       // corpus, cumulative token count per shard in doc_id order, bin =

@@ -372,4 +372,40 @@ class SimilaritySpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full === exact)
   }
+
+  test("semDedup: keep-first within a cluster; cross-cluster pairs never compared") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    // a/b: near-identical, both cluster 0 -> b (higher id) dropped.
+    // c/d: cos ~0.9945 but straddle the cluster boundary -> BOTH kept (the
+    // published SemDeDup recall property: cluster-boundary blindness).
+    // e: cluster 1, dissimilar to everything -> kept.
+    val em = Seq(
+      (1L, Seq(1f, 0.01f)), (2L, Seq(1f, 0.02f)),
+      (3L, Seq(1f, 0.9f)), (4L, Seq(0.9f, 1f)),
+      (5L, Seq(-0.1f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(em, "vec_id", "embedding", cents, 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got(1L) === ((0, 1)) && got(2L) === ((0, 0)))
+    assert(got(3L) === ((0, 1)) && got(4L) === ((1, 1)))
+    assert(got(5L) === ((1, 1)))
+  }
+
+  test("clusterBalancedSample: sqrt-flattened integer rates, audit sums to corpus") {
+    val em = Td.t(spark, sf0001, "embeddings")
+    val cents = Similarity.centroidsFor(spark, sf0001)
+    val got = Similarity.clusterBalancedSample(em, "vec_id", "embedding", cents)
+      .collect()
+    assert(got.map(_.getLong(1)).sum === em.count())
+    got.foreach { r =>
+      val (n, rate, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val w = math.floor(math.sqrt(n.toDouble) * 1000).toLong
+      assert(rate === math.min(100L, w * 4 / (n * 10)))
+      assert(kept <= n)
+      // sqrt allocation: a list's keep rate shrinks as the list grows
+      assert(rate >= 1L, s"rate collapsed to 0 for n=$n")
+    }
+    // bigger lists get strictly smaller-or-equal rates (the flattening)
+    val byN = got.sortBy(_.getLong(1)).map(_.getLong(2))
+    assert(byN.zip(byN.tail).forall { case (a, b) => a >= b })
+  }
 }
