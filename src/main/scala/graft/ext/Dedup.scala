@@ -76,6 +76,60 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
 
+  /** Cross-SOURCE exact-duplicate overlap matrix — the curation diagnostic
+    * behind mix decisions ("how much of source A is verbatim inside source
+    * B?"). Counts duplicate PAIRS per (source_a, source_b) with
+    * source_a ≤ source_b: within a source C(n,2), across sources n_a·n_b.
+    *
+    * Scale shape: never a doc-level self-join — docs collapse to one row
+    * per (fingerprint, source) first (map-side-combinable agg), and the
+    * pair join runs on that collapsed table keyed by fingerprint; its size
+    * is bounded by the duplicate groups themselves. Pure integer pair
+    * arithmetic, partition-order-proof. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String, idCol: String,
+                          sourceCol: String): DataFrame = {
+    val perFp = Par.ensure(df.select(col(textCol), col(sourceCol)))
+      .groupBy(md5(col(textCol)).as("h"), col(sourceCol))
+      .agg(count(lit(1)).as("n"))
+    val a = perFp
+      .select(col("h"), col(sourceCol).as("source_a"), col("n").as("na"))
+      .hint("shuffle_hash")
+    val b = perFp
+      .select(col("h"), col(sourceCol).as("source_b"), col("n").as("nb"))
+      .hint("shuffle_hash")
+    a.join(b, Seq("h"))
+      .filter(col("source_a") <= col("source_b"))
+      .withColumn("pairs",
+        when(col("source_a") === col("source_b"),
+          expr("na * (na - 1) div 2")).otherwise(col("na") * col("nb")))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("pairs")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .select("source_a", "source_b", "n_pairs")
+  }
+
+  /** NEAR-dup flavor of the overlap matrix: aggregate an (a_id, b_id) pair
+    * set (e.g. [[prefixJoinPairs]] — lossless at its threshold — or
+    * [[nearDupPairs]]) per unordered source pair. Two id→source lookup
+    * joins (the projection is corpus-sized at scale, so no broadcast hint —
+    * AQE broadcasts it when it actually fits) + one tiny agg on top of
+    * whatever the pair join cost; `least/greatest` normalization keeps the
+    * matrix upper-triangular. */
+  def sourceOverlapFromPairs(pairs: DataFrame, docs: DataFrame,
+                             idCol: String, sourceCol: String): DataFrame = {
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("a_id"), col(sourceCol).as("__sa")),
+        Seq("a_id"))
+      .join(src.select(col(idCol).as("b_id"), col(sourceCol).as("__sb")),
+        Seq("b_id"))
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select("source_a", "source_b", "n_pairs")
+  }
+
   /** Cross-document SEGMENT dedup (CCNet/Gopher-style boilerplate removal):
     * split each doc into consecutive k-word segments, find the segments that
     * occur in more than `maxDocs` distinct documents, and rebuild each doc

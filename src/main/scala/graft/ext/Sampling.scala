@@ -216,4 +216,22 @@ object Sampling {
         element_at(typedLit(qs), col("__i").cast("int") + 1).as("q"),
         col("__v").as("v"))
   }
+
+  /** HLL++ cardinality-sketch audit: exact distinct count beside a boolean
+    * "the mergeable sketch landed within `tolPct`%". The sketch is the
+    * 100 TB path (fixed memory, partial-mergeable — a vocabulary count over
+    * exploded tokens never builds a distinct hash table per partition);
+    * the exact count anchors it, and only the exact value plus the bound
+    * VERDICT cross the engine boundary — sketch internals are
+    * engine-specific by nature, the bound is not. Deterministic for fixed
+    * data: HLL has no RNG, so the gate either always passes or the rsd is
+    * mis-sized (rsd 0.02 vs a 5% tolerance ≈ 2.5σ headroom). */
+  def distinctSketchAudit(df: DataFrame, valueCol: String,
+                          rsd: Double = 0.02, tolPct: Int = 5): DataFrame =
+    df.agg(
+        countDistinct(col(valueCol)).as("n_exact"),
+        approx_count_distinct(valueCol, rsd).as("__n_approx"))
+      .select(col("n_exact"),
+        (abs(col("__n_approx") - col("n_exact")) * 100 <=
+          col("n_exact") * tolPct).cast("int").as("sketch_ok"))
 }

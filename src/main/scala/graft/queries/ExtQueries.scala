@@ -1046,6 +1046,50 @@ object ExtQueries {
           graft.ext.Similarity.centroidsFor(s, d), boost = 4),
       None),
 
+    ("x_distinct_sketch", // HLL++ vocabulary-cardinality audit: the exact
+      // distinct-token count beside "the fixed-memory mergeable sketch
+      // landed within 5%". Only the exact value + the bound verdict cross
+      // the engine boundary (sketch internals are engine-specific; the
+      // bound is not). rsd 0.02 vs 5% tol = 2.5-sigma headroom, and HLL is
+      // RNG-free, so the verdict is deterministic for fixed data.
+      (s: SparkSession, d: String) =>
+        Sampling.distinctSketchAudit(
+          t(s, d, "documents").select(explode(split(col("text"), " ")).as("w")),
+          "w"),
+      Some("SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_exact, " +
+        "CAST(1 AS INT) AS sketch_ok " +
+        s"FROM (SELECT unnest(string_split(text, ' ')) AS w FROM $Docs)")),
+
+    ("x_source_overlap", // cross-source NEAR-dup overlap matrix: J >= 0.2
+      // pairs (the lossless prefix join) per unordered source pair — the
+      // "how much of A duplicates B" table behind mix/decontamination
+      // decisions. (The exact-fingerprint variant, sourceOverlapMatrix, is
+      // spec-tested: this corpus has zero verbatim dups, so its gate query
+      // would be a vacuous 0-row check.) Oracle: DIRECT all-pairs Jaccard
+      // on the capped token universe — slower but independently derived.
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Dedup.sourceOverlapFromPairs(
+          Dedup.prefixJoinPairs(docs, "text", "doc_id", threshold = 0.2),
+          docs, "doc_id", "source")
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"$ShingleCte, ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh), " +
+        "dd AS (SELECT DISTINCT doc_id, s FROM u), " +
+        "f AS (SELECT s, count(*) AS fr FROM dd GROUP BY s), " +
+        s"tokc AS (SELECT doc_id, s FROM dd JOIN f USING (s) WHERE fr <= ${Dedup.DefaultMaxBucket}), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id " +
+        "FROM tokc x JOIN tokc y ON x.s = y.s AND x.doc_id < y.doc_id), " +
+        "p AS (SELECT a_id, b_id FROM cand " +
+        "JOIN ds x ON x.doc_id = a_id JOIN ds y ON y.doc_id = b_id " +
+        "WHERE CAST(len(list_intersect(x.sset, y.sset)) AS DOUBLE) / " +
+        "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.2) " +
+        s"SELECT least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b, count(*) AS n_pairs " +
+        s"FROM p JOIN $Docs da ON da.doc_id = p.a_id " +
+        s"JOIN $Docs db ON db.doc_id = p.b_id " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     ("x_pack_sequences", // token-budget sequence packing: hash-shard the
       // corpus, cumulative token count per shard in doc_id order, bin =
       // start-offset div budget. The window is per-shard (parallelism =

@@ -174,6 +174,27 @@ class DedupSpec extends SparkTestBase {
     } finally { corpus.unpersist(); () }
   }
 
+  test("source overlap: exact-fp pair arithmetic and pairs-based matrix agree with hand counts") {
+    import spark.implicits._
+    // "boiler" appears 3x in src A, 2x in src B; "uniq" rows are singletons
+    val hand = Seq(
+      (1L, "boiler plate text", "A"), (2L, "boiler plate text", "A"),
+      (3L, "boiler plate text", "A"), (4L, "boiler plate text", "B"),
+      (5L, "boiler plate text", "B"), (6L, "uniq one", "A"),
+      (7L, "uniq two", "B")).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapMatrix(hand, "text", "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // C(3,2)=3 within A, C(2,2)=1 within B, 3*2=6 across
+    assert(m === Map(("A", "A") -> 3L, ("A", "B") -> 6L, ("B", "B") -> 1L))
+
+    // pairs-based matrix: feed an explicit pair list, check normalization
+    val pairs = Seq((1L, 4L), (4L, 2L), (6L, 7L), (1L, 2L))
+      .toDF("a_id", "b_id")
+    val pm = Dedup.sourceOverlapFromPairs(pairs, hand, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pm === Map(("A", "A") -> 1L, ("A", "B") -> 3L))
+  }
+
   test("near-dup leaves no cached RDDs; shingle-set shuffle is reused, not recomputed") {
     // diff, not isEmpty: other suites may share this session's cache registry
     val before = spark.sparkContext.getPersistentRDDs.keySet

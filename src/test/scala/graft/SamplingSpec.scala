@@ -244,4 +244,17 @@ class SamplingSpec extends SparkTestBase {
     assert(sk("small") > sk("big"),
       s"small-source rate ${sk("small")} must exceed big-source ${sk("big")}")
   }
+
+  test("distinct sketch audit: exact anchor matches countDistinct, bound holds") {
+    val toks = Td.t(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val row = Sampling.distinctSketchAudit(toks, "w").collect().head
+    val exact = toks.agg(countDistinct("w")).collect().head.getLong(0)
+    assert(row.getLong(0) === exact)
+    assert(row.getInt(1) === 1, "HLL rsd=0.02 must land within 5% of exact")
+    // partition-order determinism: the sketch merge is commutative
+    val re = Sampling.distinctSketchAudit(toks.repartition(7), "w")
+      .collect().head
+    assert(re.getLong(0) === exact && re.getInt(1) === 1)
+  }
 }
