@@ -108,6 +108,38 @@ object Dedup {
       .select("source_a", "source_b", "n_pairs")
   }
 
+  /** Winnowing-print candidate pairs: docs sharing ≥ `minShared` winnowed
+    * fingerprints ([[TextFns.winnowedPrints]]). The winnowed set samples
+    * ~2/(w+1) of grams yet guarantees a hit for any shared run of w+k−1
+    * words — so this equi-join probes a fingerprint index that is ~3×
+    * sparser than the full gram index at the same run-detection guarantee
+    * (the MOSS trade). Same bounded-cost knob as the other joins: prints
+    * whose global frequency exceeds `maxToken` are excluded from evidence
+    * (boilerplate runs), mirrored in the oracle. */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  shingleK: Int = 3, window: Int = 4, minShared: Int = 2,
+                  maxToken: Int = DefaultMaxBucket): DataFrame = {
+    val big = sizeRatioPrefilterWorthIt(df)
+    val pr = Par.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol),
+        explode(TextFns.winnowedPrints(col("__ws"), shingleK, window)).as("p"))
+    val freq = pr.groupBy("p").agg(count(lit(1)).as("__f"))
+    // print-frequency table ∝ distinct prints: broadcast only when the
+    // corpus is provably small, shuffle-join otherwise (same policy as
+    // prefixJoinPairs); the a/b sides share the pr shuffle via ReuseExchange
+    val freqSide = if (big) freq else broadcast(freq)
+    val tok = pr.join(freqSide, Seq("p")).filter(col("__f") <= maxToken)
+    val a = tok.select(col("p"), col(idCol).as("a_id")).hint("shuffle_hash")
+    val b = tok.select(col("p"), col(idCol).as("b_id")).hint("shuffle_hash")
+    a.join(b, Seq("p"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("a_id", "b_id", "n_shared")
+  }
+
   /** NEAR-dup flavor of the overlap matrix: aggregate an (a_id, b_id) pair
     * set (e.g. [[prefixJoinPairs]] — lossless at its threshold — or
     * [[nearDupPairs]]) per unordered source pair. Two id→source lookup

@@ -88,6 +88,24 @@ object TextFns {
       lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
 
+  /** FULL winnowing (Schleimer et al. 2003 — the MOSS local-fingerprinting
+    * algorithm): hash every k-word shingle (portable 56-bit md5 prefix, the
+    * same hash family MinHash uses), slide a window of `w` consecutive
+    * hashes, keep each window's minimum, distinct the kept set. Guarantee:
+    * any shared run of w+k-1 words yields at least one shared print, at an
+    * expected density of only 2/(w+1) — the sparse fingerprint INDEX that
+    * makes partial-overlap detection affordable at 100 TB (vs indexing
+    * every gram). Pure per-row array ops — zero shuffles, stays in
+    * whole-stage codegen. Takes a pre-split words column. */
+  def winnowedPrints(ws: Column, k: Int = 3, w: Int = 4): Column = {
+    val hashes = transform(Dedup.shinglesOfWords(ws, k),
+      g => conv(substring(md5(g), 1, 14), 16, 10).cast("long"))
+    array_distinct(
+      when(size(hashes) <= w, array(array_min(hashes)))
+        .otherwise(transform(sequence(lit(1), size(hashes) - w + 1),
+          i => array_min(slice(hashes, i, lit(w))))))
+  }
+
   /** Winnowing-style shingle fingerprint: minimum shingle hash — equals the
     * first MinHash component, so near-identical docs collide. Hot paths
     * should pass a materialized words column via the Dedup two-step API. */

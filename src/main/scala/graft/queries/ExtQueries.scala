@@ -886,6 +886,49 @@ object ExtQueries {
           .orderBy("doc_id"),
       Some(s"$ShingleCte SELECT doc_id, min(md5(s)) AS fp FROM u GROUP BY doc_id ORDER BY doc_id")),
 
+    ("x_winnow_fp", // full winnowing (Schleimer et al. 2003 / MOSS): window
+      // min over 56-bit shingle hashes at density ~2/(w+1); per-doc audit
+      // (gram count, print count, min/max print — order-free so the
+      // engines' distinct orderings can't diverge).
+      (s: SparkSession, d: String) =>
+        graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
+          .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+          .select(col("doc_id"),
+            size(Dedup.shinglesOfWords(col("__ws"), 3)).cast("long").as("n_grams"),
+            TextFns.winnowedPrints(col("__ws"), 3, 4).as("__p"))
+          .select(col("doc_id"), col("n_grams"),
+            size(col("__p")).cast("long").as("n_prints"),
+            array_min(col("__p")).as("fp_min"),
+            array_max(col("__p")).as("fp_max"))
+          .orderBy("doc_id"),
+      Some(s"$ShingleCte, h AS (SELECT doc_id, len(shingles) AS n_grams, " +
+        s"[${hexToIntSql("substr(md5(g), 1, 14)")} for g in shingles] AS hs FROM sh), " +
+        "wn AS (SELECT doc_id, n_grams, list_distinct(CASE WHEN len(hs) <= 4 " +
+        "THEN [list_min(hs)] ELSE [list_min(hs[i:i+3]) " +
+        "for i in generate_series(1, len(hs) - 3)] END) AS p FROM h) " +
+        "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, " +
+        "CAST(len(p) AS BIGINT) AS n_prints, list_min(p) AS fp_min, " +
+        "list_max(p) AS fp_max FROM wn ORDER BY doc_id")),
+
+    ("x_winnow_pairs", // winnowed-print candidate pairs: docs sharing >= 2
+      // prints — partial-overlap detection off a ~3x sparser index than the
+      // full gram join, with the w+k-1-run guarantee. Frequency-capped
+      // evidence, like every other pair join here.
+      (s: SparkSession, d: String) =>
+        Dedup.winnowPairs(t(s, d, "documents"), "text", "doc_id",
+          shingleK = 3, window = 4, minShared = 2)
+          .orderBy("a_id", "b_id"),
+      Some(s"$ShingleCte, h AS (SELECT doc_id, " +
+        s"[${hexToIntSql("substr(md5(g), 1, 14)")} for g in shingles] AS hs FROM sh), " +
+        "wn AS (SELECT doc_id, UNNEST(list_distinct(CASE WHEN len(hs) <= 4 " +
+        "THEN [list_min(hs)] ELSE [list_min(hs[i:i+3]) " +
+        "for i in generate_series(1, len(hs) - 3)] END)) AS p FROM h), " +
+        "f AS (SELECT p, count(*) AS fr FROM wn GROUP BY p), " +
+        s"tk AS (SELECT doc_id, p FROM wn JOIN f USING (p) WHERE fr <= ${Dedup.DefaultMaxBucket}) " +
+        "SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_shared " +
+        "FROM tk x JOIN tk y ON x.p = y.p AND x.doc_id < y.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id")),
+
     // --------------------------------------------------------- multimodal --
     ("x_mm_bytes",
       (s: SparkSession, d: String) =>

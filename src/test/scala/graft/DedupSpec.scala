@@ -195,6 +195,18 @@ class DedupSpec extends SparkTestBase {
     assert(pm === Map(("A", "A") -> 1L, ("A", "B") -> 3L))
   }
 
+  test("winnowPairs: planted partial overlap found; disjoint docs produce no pair") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"run$i").mkString(" ") // 10-word shared run
+    val hand = Seq(
+      (1L, s"$run " + (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 25).map(i => s"b$i").mkString(" ") + s" $run"),
+      (3L, (1 to 40).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(hand, "text", "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("near-dup leaves no cached RDDs; shingle-set shuffle is reused, not recomputed") {
     // diff, not isEmpty: other suites may share this session's cache registry
     val before = spark.sparkContext.getPersistentRDDs.keySet

@@ -180,4 +180,45 @@ class TextFnsSpec extends SparkTestBase {
         .map("%02x".format(_)).mkString).min
     assert(fp === exp)
   }
+
+  test("winnowing: run guarantee, density, equals a Scala reference implementation") {
+    val k = 3; val w = 4
+    def refWinnow(text: String): Set[Long] = {
+      val words = text.split(" ")
+      val grams =
+        if (words.length < k) Seq(words.mkString(" "))
+        else words.sliding(k).map(_.mkString(" ")).toSeq
+      val hs = grams.map { g =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes).map("%02x".format(_)).mkString.take(14)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      if (hs.length <= w) Set(hs.min)
+      else hs.sliding(w).map(_.min).toSet
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "a b",
+      "one two three four five six",
+      ("lorem ipsum dolor sit amet " * 8).trim)
+    val got = texts.toDF("t")
+      .select(TextFns.winnowedPrints(split(col("t"), " "), k, w))
+      .collect().map(_.getSeq[Long](0).toSet)
+    texts.zip(got).foreach { case (t, g) => assert(g === refWinnow(t), t) }
+
+    // run guarantee: two docs sharing a w+k-1-word run share >= 1 print
+    val shared = "alpha bravo charlie delta echo foxtrot" // 6 = w+k-1 words
+    val d1 = s"$shared unique tail words here"
+    val d2 = s"different head stuff $shared"
+    assert(refWinnow(d1).intersect(refWinnow(d2)).nonEmpty)
+    val gotPair = Seq(d1, d2).toDF("t")
+      .select(TextFns.winnowedPrints(split(col("t"), " "), k, w))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(gotPair(0).intersect(gotPair(1)).nonEmpty)
+
+    // density: winnowed set is a real compression of the gram set
+    val big = texts(0)
+    val nGrams = big.split(" ").sliding(k).length
+    assert(got(0).size < nGrams && got(0).size >= nGrams / (w + 1))
+  }
 }
