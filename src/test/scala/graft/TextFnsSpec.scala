@@ -181,6 +181,22 @@ class TextFnsSpec extends SparkTestBase {
     assert(fp === exp)
   }
 
+  test("hashedLinearScore equals a Scala reference; per-occurrence weighting") {
+    val w = TextFns.demoWeightsMilli(64)
+    def refScore(text: String): Long =
+      text.split(" ").map { tok =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes).map("%02x".format(_)).mkString.take(4)
+        w((java.lang.Long.parseLong(hex, 16) % 64).toInt)
+      }.sum
+    val texts = Seq("the quick brown fox", "the the the", "solo")
+    val got = texts.toDF("t")
+      .select(TextFns.hashedLinearScore(col("t"), w)).collect().map(_.getLong(0))
+    texts.zip(got).foreach { case (t, g) => assert(g === refScore(t), t) }
+    // repeated tokens weigh per occurrence, not per type
+    assert(got(1) === 3 * refScore("the"))
+  }
+
   test("winnowing: run guarantee, density, equals a Scala reference implementation") {
     val k = 3; val w = 4
     def refWinnow(text: String): Set[Long] = {
