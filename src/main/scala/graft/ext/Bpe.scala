@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING primitives (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the vocabulary-induction pass a training-data
+  * pipeline runs before tokenizing a corpus.
+  *
+  * Scale shape — the part that matters at 100 TB: the corpus is touched by
+  * exactly ONE aggregation (the word-frequency table; map-side combinable,
+  * output vocab-sized, i.e. sublinear in the corpus by Heaps' law). Every
+  * merge round after that operates on the frequency-weighted word TYPES —
+  * corpus-size-independent work, one vocab-sized shuffle per round, and
+  * only the single argmax row crosses to the driver each round.
+  */
+object Bpe {
+
+  /** Adjacent character-pair counts over the frequency-weighted vocabulary —
+    * round 1's BPE candidate table. A pair of adjacent single chars IS a
+    * 2-char substring, so the pair key is `substr(w, i, 2)` — engine-
+    * portable with no struct plumbing. */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n"))
+  }
+
+  /** One merge of symbol sequence `syms`: fuse every non-overlapping
+    * adjacent (a, b) occurrence left-to-right — the reference merge rule. */
+  def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Train `nMerges` BPE merges. Per round: a vocab-sized pair-count agg,
+    * a deterministic argmax (max count, lexicographically smallest (a, b)
+    * tiebreak), and a distributed re-symbolization of the vocab — the
+    * symbol table never leaves the executors; `localCheckpoint` cuts the
+    * per-round lineage so round r doesn't replay rounds 1..r−1. Stops
+    * early when no pair repeats. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(Seq[String], Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val best = vocab.flatMap { case (syms, f) =>
+          syms.iterator.zip(syms.iterator.drop(1)).map(p => (p._1, p._2, f))
+        }
+        .toDF("a", "b", "f")
+        .groupBy("a", "b").agg(sum(col("f")).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val prev = vocab
+        vocab = vocab.map { case (syms, f) => (mergeOnce(syms, a, b), f) }
+          .localCheckpoint()
+        prev.unpersist()
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a trained merge list to one word — the (driver-side) reference
+    * tokenizer used by specs; bulk corpus tokenization would broadcast the
+    * merge ranks and run the same fold per row. */
+  def tokenizeWord(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (syms, (a, b)) => mergeOnce(syms, a, b)
+    }
+}

@@ -886,6 +886,23 @@ object ExtQueries {
           .orderBy("doc_id"),
       Some(s"$ShingleCte SELECT doc_id, min(md5(s)) AS fp FROM u GROUP BY doc_id ORDER BY doc_id")),
 
+    ("x_bpe_pairs", // BPE tokenizer training, round-1 candidate table
+      // (Sennrich et al. 2016): adjacent char-pair counts over the
+      // frequency-weighted vocab. The corpus is touched by ONE map-side-
+      // combinable agg; every merge round after works on word TYPES
+      // (corpus-size-independent — the trainer is Bpe.train, spec-tested
+      // against a reference implementation).
+      (s: SparkSession, d: String) =>
+        graft.ext.Bpe.pairCounts(t(s, d, "documents"), "text")
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20),
+      Some("WITH v AS (SELECT w, count(*) AS freq FROM " +
+        s"(SELECT unnest(string_split(text, ' ')) AS w FROM $Docs) GROUP BY w), " +
+        "p AS (SELECT UNNEST([substr(w, i, 2) for i in generate_series(1, len(w) - 1)]) AS pair, " +
+        "freq FROM v WHERE len(w) >= 2) " +
+        "SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair " +
+        "ORDER BY n DESC, pair LIMIT 20")),
+
     ("x_winnow_fp", // full winnowing (Schleimer et al. 2003 / MOSS): window
       // min over 56-bit shingle hashes at density ~2/(w+1); per-doc audit
       // (gram count, print count, min/max print — order-free so the

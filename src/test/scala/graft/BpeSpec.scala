@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Bpe
+
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Naive single-machine BPE reference: same argmax + tiebreak rule. */
+  private def refTrain(words: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Seq[String], Long] = words.groupBy(identity)
+      .map { case (w, g) => (w.map(_.toString): Seq[String]) -> g.length.toLong }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val eligible = counts.filter(_._2 >= 2)
+      if (eligible.isEmpty) done = true
+      else {
+        val best = eligible.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        vocab = vocab.groupBy { case (syms, _) =>
+          Bpe.mergeOnce(syms, best._1, best._2)
+        }.map { case (k, g) => k -> g.values.sum }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("train matches the reference implementation merge-for-merge") {
+    val words = Seq("low", "low", "low", "lower", "lower", "newest", "newest",
+      "newest", "newest", "widest", "widest")
+    val docs = Seq(words.mkString(" ")).toDF("text")
+    val got = Bpe.train(docs, "text", nMerges = 8)
+    val ref = refTrain(words, nMerges = 8)
+    assert(got === ref, s"got=$got ref=$ref")
+    // the classic example's first merges fuse the frequent suffixes
+    assert(got.nonEmpty && got.head._2.nonEmpty)
+  }
+
+  test("early stop when no pair repeats; tokenizeWord applies merges in order") {
+    val docs = Seq("ab cd").toDF("text")
+    // each word appears once; every pair count is 1 < 2 -> zero merges
+    assert(Bpe.train(docs, "text", nMerges = 5).isEmpty)
+
+    val merges = Seq(("e", "s"), ("es", "t"), ("n", "e"))
+    assert(Bpe.tokenizeWord("newest", merges) ===
+      Seq("ne", "w", "est"))
+  }
+
+  test("pairCounts: frequency weighting and pair extraction match a hand count") {
+    val docs = Seq("aa ab", "aa").toDF("text")
+    val got = Bpe.pairCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("aa" -> 2L, "ab" -> 1L))
+  }
+}
