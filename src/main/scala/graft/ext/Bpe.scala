@@ -75,10 +75,12 @@ object Bpe {
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        val prev = vocab
+        // superseded checkpoints become unreachable here; ContextCleaner
+        // unpersists them on GC (Dataset.unpersist can't — localCheckpoint
+        // blocks aren't CacheManager entries; same policy as the
+        // dedupClusters loop)
         vocab = vocab.map { case (syms, f) => (mergeOnce(syms, a, b), f) }
           .localCheckpoint()
-        prev.unpersist()
       }
     }
     merges.toSeq
