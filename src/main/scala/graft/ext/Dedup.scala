@@ -213,6 +213,93 @@ object Dedup {
       .filter(col("__nd") > maxDocs)
       .select("s")
 
+  /** Exact-substring (span-level) dedup stats, after Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): hash every k-word SLIDING window; a window whose
+    * hash occurs more than once in the corpus (across documents or within
+    * one) is a duplicated span. Per doc: occurrence count plus the MERGED
+    * coverage of all duplicated spans (distinct word positions under any
+    * duplicated window — overlapping spans are unioned, not summed) and its
+    * fraction of the doc.
+    *
+    * Complement of [[segmentDedup]]: segments are ALIGNED k-word blocks
+    * (boilerplate keyed by document frequency); sliding windows catch ANY
+    * verbatim run of ≥ k words regardless of alignment — the suffix-array
+    * criterion of the paper, realized as a hash-shuffle because a
+    * distributed groupBy on window hashes is the scalable equivalent of the
+    * suffix array: one shuffle keyed on a fixed-width digest with map-side
+    * partial counts, no global sort, no index build.
+    *
+    * Scale shape: exploded windows ≈ one row per corpus token; the window-
+    * frequency agg is the one big shuffle (keyed on the 32-byte md5 —
+    * constant width no matter the k; production could halve it again with
+    * xxhash64 at the price of engine-portable verification); duplicated keys
+    * join back on the same key (partitioning reuse), and coverage merging is
+    * a per-doc agg whose state is bounded by document length. */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8): DataFrame = {
+    val base = spanBase(docs, idCol, textCol)
+    val occ = dupSpanOccurrences(base, k)
+    val perDoc = occ.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        // merged coverage: union of [p, p+k-1] per occurrence; per-doc list
+        // state is bounded by the doc's own window count (docs are
+        // document-sized, not corpus-sized — no unbounded agg state)
+        size(array_distinct(flatten(collect_list(
+          sequence(col("__p"), col("__p") + lit(k - 1))))))
+          .cast("long").as("dup_cov"))
+    base.select("doc_id", "n_words")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_cov"), lit(0L)).as("dup_cov"),
+        round(coalesce(col("dup_cov"), lit(0L)) / col("n_words"), 6)
+          .as("dup_frac"))
+  }
+
+  /** Span-scrub companion of [[duplicateSpanStats]]: rebuild each doc with
+    * every word under a duplicated k-window removed (the paper's "drop the
+    * duplicated span" step). Output: (doc_id, n_words, n_dropped, cleaned).
+    * Same single heavy shuffle as the stats form; the rebuild joins the
+    * per-doc covered-position array back and filters by word index — a
+    * per-row map whose cost is bounded by doc length (array_contains over a
+    * ≤ doc-length int array, not a corpus-side structure). */
+  def duplicateSpanScrub(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8): DataFrame = {
+    val base = spanBase(docs, idCol, textCol)
+    val cov = dupSpanOccurrences(base, k).groupBy("doc_id")
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("__p"), col("__p") + lit(k - 1))))).as("__cov"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_dropped"),
+        array_join(filter(col("__ws"), (w, i) =>
+          !array_contains(coalesce(col("__cov"), array().cast("array<int>")), i)),
+          " ").as("cleaned"))
+  }
+
+  /** (doc_id, __ws, n_words) with heavy-compute partitioning ensured. */
+  private def spanBase(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    Par.ensure(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"), split(col("__text"), " ").as("__ws"))
+      .select(col("doc_id"), col("__ws"),
+        size(col("__ws")).cast("long").as("n_words"))
+
+  /** (doc_id, __p): 0-based positions of this doc's k-windows whose md5
+    * occurs ≥2 times corpus-wide. Docs shorter than k emit no windows. */
+  private def dupSpanOccurrences(base: DataFrame, k: Int): DataFrame = {
+    val wins = base.filter(size(col("__ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("__ws")) - k),
+          i => md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("pos").as("__p"), col("col").as("__h"))
+    val dupKeys = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__h")
+    wins.join(dupKeys, Seq("__h")).select("doc_id", "__p")
+  }
+
   /** MinHash signature from ONE md5 per shingle: the 128-bit digest splits
     * into two 56-bit halves (a, b) and permutation i is the universal hash
     * a + i*b (the double-hashing construction of Kirsch–Mitzenmacher 2006,
