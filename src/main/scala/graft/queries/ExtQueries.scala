@@ -31,6 +31,23 @@ object ExtQueries {
 
   private val ShingleCte = shingleCteOf(3)
 
+  /** Shared DuckDB CTE twin of Dedup.duplicateSpanStats/Scrub's occurrence
+    * pipeline: b = (doc_id, words, n_words); occ = 0-based positions of
+    * k-windows whose md5 repeats corpus-wide; cov = per-doc merged (distinct)
+    * covered positions. k = 8 matches the x_span_* query entries. */
+  private def spanCteOf(k: Int): String =
+    s"WITH b AS (SELECT doc_id, string_split(text, ' ') AS w, " +
+      s"CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words FROM $Docs), " +
+      s"wins AS (SELECT doc_id, UNNEST(range(len(w) - ${k - 1})) AS p, w " +
+      s"FROM b WHERE len(w) >= $k), " +
+      s"hs AS (SELECT doc_id, p, md5(array_to_string(w[(p + 1):(p + $k)], ' ')) AS h FROM wins), " +
+      "dup AS (SELECT h FROM hs GROUP BY h HAVING count(*) > 1), " +
+      "occ AS (SELECT doc_id, p FROM hs JOIN dup USING (h)), " +
+      s"cov AS (SELECT doc_id, list_distinct(flatten(list(range(p, p + $k)))) AS cv " +
+      "FROM occ GROUP BY doc_id)"
+
+  private val SpanCte = spanCteOf(8)
+
   /** Parse a hex string to BIGINT (DuckDB has no conv()): fold the chars
     * through a*16 + digit, BIGINT-casting the accumulator seed. */
   private def hexToIntSql(e: String): String =
@@ -377,6 +394,41 @@ object ExtQueries {
         "CAST(count(dropme) AS BIGINT) AS n_dropped, " +
         "coalesce(array_to_string(list(s ORDER BY pos) FILTER (WHERE dropme IS NULL), ' '), '') AS cleaned " +
         "FROM s2 LEFT JOIN f USING (s) GROUP BY doc_id ORDER BY doc_id")),
+
+    ("x_span_stats", // suffix-array-criterion duplicated-RUN detection
+      // (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+      // Better"): any verbatim k-word window occurring >= 2x corpus-wide is
+      // a duplicated span, regardless of segment alignment. Per doc: dup
+      // window count + MERGED coverage (union of [p, p+k-1], not summed)
+      // and its fraction. One heavy shuffle (window-hash frequency agg);
+      // see Dedup.duplicateSpanStats scaladoc for the scale shape.
+      (s: SparkSession, d: String) =>
+        Dedup.duplicateSpanStats(t(s, d, "documents"), "doc_id", "text",
+          k = 8).orderBy("doc_id"),
+      Some(s"$SpanCte, pd AS (SELECT doc_id, count(*) AS ndw FROM occ GROUP BY doc_id) " +
+        "SELECT b.doc_id, b.n_words, " +
+        "CAST(coalesce(pd.ndw, 0) AS BIGINT) AS n_dup_windows, " +
+        "CAST(coalesce(len(cov.cv), 0) AS BIGINT) AS dup_cov, " +
+        "round(CAST(coalesce(len(cov.cv), 0) AS DOUBLE) / b.n_words, 6) AS dup_frac " +
+        "FROM b LEFT JOIN pd USING (doc_id) LEFT JOIN cov USING (doc_id) " +
+        "ORDER BY doc_id")),
+
+    ("x_span_scrub", // scrub companion: rebuild each doc with every word
+      // under a duplicated k-window removed (the paper's "drop the
+      // duplicated span" step). Same single heavy shuffle; the rebuild is
+      // a per-row positional filter bounded by doc length.
+      (s: SparkSession, d: String) =>
+        Dedup.duplicateSpanScrub(t(s, d, "documents"), "doc_id", "text",
+          k = 8).orderBy("doc_id"),
+      Some(s"$SpanCte, " +
+        "wp AS (SELECT doc_id, UNNEST(w) AS word, UNNEST(range(len(w))) AS i FROM b), " +
+        "cl AS (SELECT wp.doc_id, coalesce(array_to_string(list(word ORDER BY i) " +
+        "FILTER (WHERE cov.cv IS NULL OR NOT list_contains(cov.cv, i)), ' '), '') AS cleaned " +
+        "FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id GROUP BY wp.doc_id) " +
+        "SELECT b.doc_id, b.n_words, " +
+        "CAST(coalesce(len(cov.cv), 0) AS BIGINT) AS n_dropped, cl.cleaned " +
+        "FROM b LEFT JOIN cov USING (doc_id) JOIN cl USING (doc_id) " +
+        "ORDER BY doc_id")),
 
     ("x_minhash_sig",
       (s: SparkSession, d: String) =>

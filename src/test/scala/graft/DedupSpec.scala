@@ -56,6 +56,54 @@ class DedupSpec extends SparkTestBase {
     assert(got(0).getString(3) === "a b c d")
   }
 
+  // Shared run "A B C D E" starts at word 2 in doc 10 and word 1 in doc 11 —
+  // NOT aligned to any k=4 segment boundary, so segmentDedup cannot see it;
+  // the sliding-window span detector must.
+  private lazy val unalignedRunDocs = Seq(
+    (10L, "u1 u2 A B C D E u3 u4 u5"),
+    (11L, "v1 A B C D E v2 v3 v4 v5")).toDF("doc_id", "text")
+
+  test("duplicateSpanStats: unaligned cross-doc run found; coverage is a UNION, not a sum") {
+    val got = Dedup.duplicateSpanStats(unalignedRunDocs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    // per doc: windows [A B C D] and [B C D E] each occur 2x corpus-wide
+    // -> 2 dup windows; covered positions union to the 5-word run (2 windows
+    // x 4 words = 8 summed — union must be 5)
+    assert(got.map(_.getAs[Long]("n_dup_windows")).toSeq === Seq(2L, 2L))
+    assert(got.map(_.getAs[Long]("dup_cov")).toSeq === Seq(5L, 5L))
+    assert(got.map(_.getAs[Double]("dup_frac")).toSeq === Seq(0.5, 0.5))
+    // the complement claim in the scaladoc: aligned-segment dedup MISSES this
+    val seg = Dedup.segmentDedup(unalignedRunDocs, "doc_id", "text", k = 4, maxDocs = 1)
+      .orderBy("doc_id").collect()
+    assert(seg.forall(_.getAs[Long]("n_dropped") === 0L))
+  }
+
+  test("duplicateSpanScrub: covered words removed, order kept, unique words survive") {
+    val got = Dedup.duplicateSpanScrub(unalignedRunDocs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Long]("n_dropped") === 5L)
+    assert(got(0).getAs[String]("cleaned") === "u1 u2 u3 u4 u5")
+    assert(got(1).getAs[String]("cleaned") === "v1 v2 v3 v4 v5")
+  }
+
+  test("duplicateSpanStats: WITHIN-doc repeat counts (corpus-wide frequency, not distinct docs)") {
+    val in = Seq(
+      (20L, "m n o p q m n o p q r s"), // run repeats inside ONE doc
+      (21L, "tiny doc")).toDF("doc_id", "text") //  shorter than k: no windows
+    val got = Dedup.duplicateSpanStats(in, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    // dup windows: [m n o p] at 0 and 5, [n o p q] at 1 and 6 -> 4 occurrences;
+    // coverage [0..4] U [5..9] = 10 of 12 words
+    assert(got(0).getAs[Long]("n_dup_windows") === 4L)
+    assert(got(0).getAs[Long]("dup_cov") === 10L)
+    assert(got(1).getAs[Long]("n_dup_windows") === 0L)
+    assert(got(1).getAs[Long]("dup_cov") === 0L)
+    val scrub = Dedup.duplicateSpanScrub(in, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    assert(scrub(0).getAs[String]("cleaned") === "r s")
+    assert(scrub(1).getAs[String]("cleaned") === "tiny doc") // untouched
+  }
+
   test("minhash: identical docs get identical signatures; short doc handled") {
     val sig = Dedup.minhashSig(docs, "text", "doc_id").orderBy("doc_id").collect()
     assert(sig.length === 5)
