@@ -48,6 +48,33 @@ object ExtQueries {
 
   private val SpanCte = spanCteOf(8)
 
+  /** DuckDB twin of one Bpe.mergePass: a list_reduce whose accumulator is a
+    * VARCHAR[] (elements arrive as singleton lists so accumulator and
+    * element types match), fusing with the accumulator's last symbol —
+    * the same "fold == mergeOnce" equivalence the Scala side documents.
+    * acc[-1] on an empty list is NULL in DuckDB, so the fuse predicate is
+    * safely false before the first symbol. */
+  private def bpeFoldSql(inner: String, a: String, b: String): String =
+    "list_reduce(list_prepend(CAST([] AS VARCHAR[]), " +
+      s"list_transform($inner, s -> [s])), " +
+      s"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$a' AND x[1] = '$b' " +
+      s"THEN list_append(acc[:len(acc)-1], '${a + b}') " +
+      "ELSE list_concat(acc, x) END)"
+
+  /** Full x_bpe_tokens oracle: per-word char split (empty-word-safe, like
+    * the Spark side's filter), one nested fold per DemoMerges entry in
+    * training order, flattened per doc, token stream hashed. */
+  private val bpeTokensSql: String = {
+    val perWord = graft.ext.Bpe.DemoMerges.foldLeft(
+      "list_filter(string_split(wd, ''), c -> c != '')") {
+      case (inner, (a, b)) => bpeFoldSql(inner, a, b)
+    }
+    s"WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM $Docs), " +
+      s"tk AS (SELECT doc_id, flatten(list_transform(w, wd -> $perWord)) AS toks FROM ws) " +
+      "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, " +
+      "md5(array_to_string(toks, ' ')) AS tok_hash FROM tk ORDER BY doc_id"
+  }
+
   /** Parse a hex string to BIGINT (DuckDB has no conv()): fold the chars
     * through a*16 + digit, BIGINT-casting the accumulator seed. */
   private def hexToIntSql(e: String): String =
@@ -954,6 +981,22 @@ object ExtQueries {
         "freq FROM v WHERE len(w) >= 2) " +
         "SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM p GROUP BY pair " +
         "ORDER BY n DESC, pair LIMIT 20")),
+
+    ("x_bpe_tokens", // BPE tokenizer APPLICATION in bulk: the frozen
+      // Bpe.DemoMerges vocab applied to every doc as a pure Catalyst fold
+      // (one aggregate-HOF merge pass per merge, whole-stage-codegen'd, no
+      // UDF) — one corpus scan, zero shuffles. Gate checks the md5 of the
+      // full token stream, so any per-word fold divergence fails loudly.
+      // The big-vocab scale path is Bpe.tokenizeBulkBig (broadcast merge
+      // table + per-partition word memoization), spec-asserted equal.
+      (s: SparkSession, d: String) =>
+        graft.ext.Bpe.tokenizeBulk(t(s, d, "documents"), "doc_id", "text",
+            graft.ext.Bpe.DemoMerges)
+          .select(col("doc_id"),
+            size(col("tokens")).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("tokens"))).as("tok_hash"))
+          .orderBy("doc_id"),
+      Some(bpeTokensSql)),
 
     ("x_winnow_fp", // full winnowing (Schleimer et al. 2003 / MOSS): window
       // min over 56-bit shingle hashes at density ~2/(w+1); per-doc audit

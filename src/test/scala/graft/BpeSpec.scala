@@ -51,6 +51,40 @@ class BpeSpec extends SparkTestBase {
       Seq("ne", "w", "est"))
   }
 
+  test("tokenizeBulk: codegen fold equals the per-word reference tokenizer on every word") {
+    val texts = Seq(
+      "lower partner starts low in western waters",
+      "aaaa partner error lower stow", // runs of the same char (non-overlap rule)
+      "", //                             empty doc -> zero tokens
+      "x") //                            single char, no merges apply
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.tokenizeBulk(docs, "doc_id", "text", Bpe.DemoMerges)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ref = t.split(" ", -1).iterator.filter(_.nonEmpty)
+        .flatMap(w => Bpe.tokenizeWord(w, Bpe.DemoMerges)).toSeq
+      assert(got(i.toLong) === ref, s"doc $i")
+    }
+    // reconstruction: concatenating a word's tokens yields the word back
+    assert(Bpe.tokenizeWord("partner", Bpe.DemoMerges).mkString === "partner")
+    assert(Bpe.tokenizeWord("partner", Bpe.DemoMerges) ===
+      Seq("par", "t", "n", "er")) // multi-char merge ("p","ar") applied
+  }
+
+  test("tokenizeBulkBig: broadcast+memoized path equals the codegen path") {
+    val docs = Seq(
+      (1L, "lower lower lower partner stow stow"), // repeats exercise the memo
+      (2L, ""),
+      (3L, "resort western error")).toDF("doc_id", "text")
+    val a = Bpe.tokenizeBulk(docs, "doc_id", "text", Bpe.DemoMerges)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1)).toSeq
+    val b = Bpe.tokenizeBulkBig(docs, "doc_id", "text", Bpe.DemoMerges)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1)).toSeq
+    assert(a === b)
+  }
+
   test("pairCounts: frequency weighting and pair extraction match a hand count") {
     val docs = Seq("aa ab", "aa").toDF("text")
     val got = Bpe.pairCounts(docs, "text")
