@@ -107,11 +107,13 @@ object ScaleProbe {
     results += "max_bucket" -> ((tBkt, bktStats._1))
     results += "band_rows_dropped" -> ((0.0, bktStats._2))
 
-    val (tPairs, pairsN) = time {
-      Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
-        .select("a_id", "b_id").count()
+    if (!skip("neardup")) {
+      val (tPairs, pairsN) = time {
+        Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+          .select("a_id", "b_id").count()
+      }
+      results += "near_dup_pairs" -> ((tPairs, pairsN))
     }
-    results += "near_dup_pairs" -> ((tPairs, pairsN))
 
     // ---- segment dedup: does the frequent set stay broadcast-sized? ----
     // The op's 100 TB viability rests on |frequent| (segments in > maxDocs
@@ -257,6 +259,47 @@ object ScaleProbe {
     results += "prefix_join_pairs" -> ((tPrefix, prefixN))
     } // skip("prefix")
 
+    // ---- winnowing: prints are scan-bound (zero shuffles); the pair join
+    // cost tracks Σ df(print)² over the ≤ maxToken print index, at ~2/(w+1)
+    // the density of the full gram index — measured here so the top-2 bench
+    // entries (x_winnow_fp / x_winnow_pairs) have ladder numbers, not just
+    // sf0.1 points.
+    if (!skip("winnow")) {
+      val (tWfp, wfpN) = time {
+        graft.ext.Par.ensure(docs.select("doc_id", "text"))
+          .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+          .select(explode(TextFns.winnowedPrints(col("__ws"), 3, 4)).as("p"))
+          .count()
+      }
+      results += "winnow_prints" -> ((tWfp, wfpN))
+      val (tWp, wpN) = time {
+        Dedup.winnowPairs(docs, "text", "doc_id").count()
+      }
+      results += "winnow_pairs" -> ((tWp, wpN))
+    }
+
+    // ---- duplicate spans: the window-frequency agg shuffles ~one row per
+    // corpus TOKEN (the heaviest per-token shuffle in the stack) — measured
+    // so its growth constant is on record next to the segment/winnow rows.
+    if (!skip("span")) {
+      val (tSpan, spanN) = time {
+        Dedup.duplicateSpanStats(docs, "doc_id", "text")
+          .agg(sum("n_dup_windows")).collect()(0).getLong(0)
+      }
+      results += "span_dup_windows" -> ((tSpan, spanN))
+    }
+
+    // ---- bulk BPE: one scan, zero shuffles; cost ∝ corpus chars ----
+    if (!skip("bpe")) {
+      val (tBpe, bpeN) = time {
+        graft.ext.Bpe.tokenizeBulk(docs, "doc_id", "text",
+            graft.ext.Bpe.DemoMerges)
+          .agg(sum(size(col("tokens")))).collect()(0).getLong(0)
+      }
+      results += "bpe_tokens" -> ((tBpe, bpeN))
+    }
+
+    if (!skip("neardup")) {
     val (tClust, rClust) = time {
       // pairs materialized first so this times the cluster rounds, not a
       // recompute of the LSH pipeline
@@ -267,7 +310,9 @@ object ScaleProbe {
     }
     results += "pairs_plus_clusters" -> ((tClust, rClust._1))
     results += "cluster_rounds" -> ((0.0, rClust._2.toLong))
+    } // skip("neardup")
 
+    if (!skip("store")) {
     // The production refresh path: half the corpus is the "existing" side,
     // persisted once as the partitioned band store (the ingest-time
     // artifact); the other half probes it as the refresh batch. Store build
@@ -290,6 +335,7 @@ object ScaleProbe {
         "text", "doc_id", threshold = 0.2).count()
     }
     results += "incr_probe" -> ((tIncr, rIncr))
+    } // skip("store")
 
     val (tTok, rTok) = time {
       graft.ext.Par.ensure(docs.select("text"))
