@@ -4,14 +4,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.store.Store
 
-/** Testdata access. `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects; we read it as a long (nanos since epoch) via the
-  * legacy flag and derive seconds/dates with exact integer arithmetic — never
-  * double division, which loses ulps at 1e18. */
+/** Testdata access. `events.ts` has shipped as both parquet TIMESTAMP(NANOS)
+  * (which Spark's vectorized reader rejects — read as a nanos long via the
+  * legacy flag) and TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Every consumer
+  * in this codebase — and the nanos arithmetic in the inventory queries —
+  * assumes nanos-since-epoch LONG, so `t` canonicalizes whatever arrives to
+  * that: the session timeZone is pinned UTC, so the NTZ wall clock IS the
+  * UTC epoch and `unix_micros(cast) * 1000` is exact integer arithmetic
+  * (never double division, which loses ulps at 1e18). */
 object Td {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => df
+    }
   }
 
   /** events with ts as nanos long + derived exact epoch-seconds and date. */
