@@ -139,6 +139,16 @@ object Bpe {
       flatten(transform(split(col(textCol), " "),
         w => tokensOf(w, merges))).as("tokens"))
 
+  /** Bulk corpus tokenization, native-expression path: one compiled-kernel
+    * call per row ([[graft.functions.BpeEncode]]) with per-task word
+    * memoization — the fast form of [[tokenizeBulk]] (token-stream-equal,
+    * BpeSpec-asserted), one corpus scan, zero shuffles, whole-stage
+    * codegen. */
+  def tokenizeBulkNative(docs: DataFrame, idCol: String, textCol: String,
+                         merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.functions.GraftExpressions.bpe_encode(col(textCol), merges).as("tokens"))
+
   /** Bulk corpus tokenization, big-vocab path: the merge table rides an
     * executor BROADCAST (one copy per JVM, not per task) and each partition
     * memoizes word→tokens — by Heaps' law the distinct-word set per

@@ -294,6 +294,85 @@ case class SortedContains(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Serializable BPE-application kernel for [[BpeEncode]]: a frozen merge
+  * list plus a per-instance (= per-task after deserialization) word→tokens
+  * memo. By Heaps' law the distinct-word set a task sees is far smaller
+  * than its token count, so most words are one hash probe. The memo is
+  * capped — an adversarial all-distinct corpus degrades to compute, never
+  * to memory. */
+final class BpeTokenizer(val merges: Seq[(String, String)]) extends Serializable {
+  import graft.ext.Bpe
+  private val MemoCap = 1 << 16
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Array[UTF8String]]()
+
+  private def encodeWord(w: String): Array[UTF8String] = {
+    val cached = memo.get(w)
+    if (cached != null) return cached
+    val toks = Bpe.tokenizeWord(w, merges).iterator
+      .map(UTF8String.fromString).toArray
+    if (memo.size < MemoCap) memo.put(w, toks)
+    toks
+  }
+
+  /** Tokens of the whole text: words split on single spaces (empty words
+    * skipped — same contract as the fold path's split+filter). */
+  def encode(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    val n = s.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) {
+          val toks = encodeWord(s.substring(start, i))
+          var k = 0
+          while (k < toks.length) { out += toks(k); k += 1 }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Bulk BPE application as ONE native expression per row: text →
+  * ARRAY<STRING> of tokens under a frozen merge list. The pure-Catalyst
+  * fold form (one `aggregate` HOF per merge, nested under
+  * `transform`/`flatten`) re-allocates the accumulator array per element
+  * per pass — O(merges·|word|²) array copies per word, measured 17 s for
+  * 5 k docs at sf0.1; this is one compiled-kernel call per row with
+  * per-task word memoization (BENCH x_bpe_tokens). Token-stream-identical
+  * to the fold path (BpeSpec asserts all three paths equal). Stays inside
+  * whole-stage codegen via a reference-object call, like [[RollingHash]]. */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  private lazy val tokenizer = new BpeTokenizer(merges)
+
+  override protected def nullSafeEval(v: Any): Any =
+    tokenizer.encode(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tok = ctx.addReferenceObj("bpeTokenizer", tokenizer,
+      classOf[BpeTokenizer].getName)
+    defineCodeGen(ctx, ev, c => s"$tok.encode($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import GraftBridge.{column, expression}
 
@@ -314,6 +393,9 @@ object GraftExpressions {
 
   def sorted_contains(arr: Column, elem: Column): Column =
     column(SortedContains(expression(arr), expression(elem)))
+
+  def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
+    column(BpeEncode(expression(text), merges))
 
   /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {

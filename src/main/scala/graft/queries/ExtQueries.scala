@@ -983,14 +983,14 @@ object ExtQueries {
         "ORDER BY n DESC, pair LIMIT 20")),
 
     ("x_bpe_tokens", // BPE tokenizer APPLICATION in bulk: the frozen
-      // Bpe.DemoMerges vocab applied to every doc as a pure Catalyst fold
-      // (one aggregate-HOF merge pass per merge, whole-stage-codegen'd, no
-      // UDF) — one corpus scan, zero shuffles. Gate checks the md5 of the
-      // full token stream, so any per-word fold divergence fails loudly.
-      // The big-vocab scale path is Bpe.tokenizeBulkBig (broadcast merge
-      // table + per-partition word memoization), spec-asserted equal.
+      // Bpe.DemoMerges vocab applied to every doc via the native BpeEncode
+      // expression (compiled kernel + per-task word memo, whole-stage
+      // codegen, no UDF) — one corpus scan, zero shuffles. Gate checks the
+      // md5 of the full token stream, so any per-word divergence fails
+      // loudly. The pure-Catalyst fold (tokenizeBulk) and broadcast
+      // big-vocab (tokenizeBulkBig) forms are spec-asserted token-equal.
       (s: SparkSession, d: String) =>
-        graft.ext.Bpe.tokenizeBulk(t(s, d, "documents"), "doc_id", "text",
+        graft.ext.Bpe.tokenizeBulkNative(t(s, d, "documents"), "doc_id", "text",
             graft.ext.Bpe.DemoMerges)
           .select(col("doc_id"),
             size(col("tokens")).cast("long").as("n_tokens"),

@@ -15,11 +15,23 @@ import graft.store.Store
 object Td {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP cast below is only exact under a UTC session zone;
+    // pin it here so correctness never depends on caller-side session state.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     df.schema.find(_.name == "ts") match {
-      case Some(f) if f.dataType != org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
-      case _ => df
+      case Some(f) =>
+        f.dataType match {
+          case org.apache.spark.sql.types.LongType => df
+          case org.apache.spark.sql.types.TimestampType |
+              org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+          case other =>
+            throw new IllegalStateException(
+              s"$name.ts arrived as $other; expected LONG (nanos) or TIMESTAMP[_NTZ] — " +
+                "refusing to guess an epoch encoding")
+        }
+      case None => df
     }
   }
 

@@ -73,16 +73,35 @@ class BpeSpec extends SparkTestBase {
       Seq("par", "t", "n", "er")) // multi-char merge ("p","ar") applied
   }
 
-  test("tokenizeBulkBig: broadcast+memoized path equals the codegen path") {
+  test("tokenizeBulkBig/tokenizeBulkNative: both fast paths equal the codegen fold") {
     val docs = Seq(
       (1L, "lower lower lower partner stow stow"), // repeats exercise the memo
       (2L, ""),
-      (3L, "resort western error")).toDF("doc_id", "text")
+      (3L, "resort western error"),
+      (4L, "  double  spaces  "), //     empty split fragments skipped
+      (5L, "unseen zzz qqq")).toDF("doc_id", "text")
     val a = Bpe.tokenizeBulk(docs, "doc_id", "text", Bpe.DemoMerges)
       .orderBy("doc_id").collect().map(_.getSeq[String](1)).toSeq
     val b = Bpe.tokenizeBulkBig(docs, "doc_id", "text", Bpe.DemoMerges)
       .orderBy("doc_id").collect().map(_.getSeq[String](1)).toSeq
+    val c = Bpe.tokenizeBulkNative(docs, "doc_id", "text", Bpe.DemoMerges)
+      .orderBy("doc_id").collect().map(_.getSeq[String](1)).toSeq
     assert(a === b)
+    assert(a === c)
+  }
+
+  test("tokenizeBulkNative: interpreted eval (no codegen) matches too") {
+    // Force the non-codegen path: evaluate the expression directly.
+    val e = graft.functions.BpeEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal("lower partner stow"),
+      Bpe.DemoMerges)
+    val got = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+    val ref = "lower partner stow".split(" ").iterator
+      .flatMap(w => Bpe.tokenizeWord(w, Bpe.DemoMerges)).toSeq
+    assert(got === ref)
   }
 
   test("pairCounts: frequency weighting and pair extraction match a hand count") {
