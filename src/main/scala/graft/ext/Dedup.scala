@@ -485,9 +485,11 @@ object Dedup {
     * never an all-pairs pass. Rare shingles join first, boilerplate
     * shingles sit at prefix tails or outside them.
     *
-    * Scale shape: one groupBy for global frequencies, one window for
-    * per-doc ranks, one equi-join on the prefix shingle (+ the lossless
-    * size-ratio bound inside the join), Jaccard verify on candidates only.
+    * Scale shape: one groupBy for global frequencies, one distributed
+    * dictionary encode (sort + zipWithIndex, vocabulary-sized) replacing
+    * any per-doc rank window, one integer equi-join on the prefix gram id
+    * (+ the lossless size-ratio bound inside the join), long-merge Jaccard
+    * verify on candidates only.
     * `maxToken` excludes shingles whose GLOBAL frequency exceeds it from
     * candidate generation (an upper bound of any prefix bucket's size) —
     * the same bounded-worst-case knob as the LSH cap, inert at gate scale
@@ -509,14 +511,6 @@ object Dedup {
                       shingleK: Int = 3, threshold: Double = 0.2,
                       maxToken: Int = DefaultMaxBucket): DataFrame = {
     val big = sizeRatioPrefilterWorthIt(df)
-    // Small corpora: checkpoint the shingled sets ONCE — the token stream,
-    // the frequency table, and both (broadcast) verify sides then all
-    // derive from that single shingling evaluation — and BROADCAST the
-    // frequency table so the token stream is never shuffled for the
-    // ordering join. At scale, keep lineage and shuffle joins: the freq
-    // groupBy and the ordering join exchange the identical token subplan by
-    // `s`, so ReuseExchange computes it once, and a corpus-sized checkpoint
-    // would trade cheap recompute for block-storage pressure.
     val setsRaw = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
@@ -525,46 +519,64 @@ object Dedup {
     val sets = if (big) setsRaw else setsRaw.localCheckpoint()
     val tok = sets.select(col(idCol), col("__n"), explode(col("sset")).as("s"))
     val freq = tok.groupBy("s").agg(count(lit(1)).as("__f"))
-    val freqSide = if (big) freq else broadcast(freq)
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__f"), col("s"))
-    // prefix length |A| − ⌈t·|A|⌉ + 1; both engines compute the same IEEE
-    // t·n product, so the ceil agrees bit-for-bit. The bounded-cost cap
-    // rides the global frequency already joined for the ordering (an upper
-    // bound of any prefix bucket's size — no second window needed);
-    // checkpointed so the self-join sides read the window output instead of
-    // re-running it (same policy as incrementalNearDupsFromBands' candidate
-    // materialization).
-    val capped = tok.join(freqSide, Seq("s"))
-      .filter(col("__f") <= maxToken)
-      .withColumn("__rn", row_number().over(wDoc))
-      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+    // Dictionary-encode the gram universe to DENSE ids in global (f, s)
+    // ascending order. Everything downstream rides the ids: per-doc
+    // frequency rank becomes array POSITION in the sorted id set (the
+    // per-doc row_number window — a full token-stream shuffle — disappears),
+    // the candidate equi-join keys and the distinct are 8-byte longs
+    // instead of ~20-byte grams, and the Jaccard verify is the native
+    // long-merge loop. The encoding is a bijection, so candidate sets,
+    // intersection counts and Jaccard values are identical to joining on
+    // the grams themselves (oracle contract unchanged).
+    val dict = gramDictionary(freq)
+    // Ids are dense in (f, s) order, so the maxToken cap (global frequency
+    // bound — same knob/caveats as before, mirrored in the oracle) keeps
+    // exactly the ids below the capped-vocabulary count: ONE long compare,
+    // and every capped id sorts before every uncapped one.
+    val nCapped: Long = freq.filter(col("__f") <= maxToken).count()
+    val dictSide = if (big) dict else broadcast(dict)
+    val tokI = tok.join(dictSide, Seq("s"))
+      .select(col(idCol), col("__n"), col("__tid"))
+    // One shuffle by doc id rebuilds the sets in id space (sorted => in
+    // global (f, s) order, capped ids first); checkpointed so candidate
+    // generation (twice) and both verify sides read the materialized arrays
+    // instead of re-running the encode join (same policy the windowed token
+    // stream had before).
+    val isets = tokI.groupBy(col(idCol), col("__n"))
+      .agg(sort_array(collect_list(col("__tid"))).as("tids"))
       .localCheckpoint()
-    def side(tag: String) = capped.select(col(idCol).as(s"${tag}_id"),
-      col("__n").as(s"__n$tag"), col("s")).hint("shuffle_hash")
+    // prefix = the first |A| − ⌈t·|A|⌉ + 1 CAPPED grams in global order:
+    // front slice of the sorted id array (positions ARE capped ranks), then
+    // drop any uncapped ids the slice picked up on short-capped docs. Both
+    // engines compute the same IEEE t·n product, so the ceil agrees
+    // bit-for-bit; prefix lengths keep using the FULL set size (__n), so
+    // the bound stays valid for every pair sharing an uncapped shingle.
+    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+    val pre = isets
+      .select(col(idCol), col("__n"),
+        explode(slice(col("tids"), lit(1), prefLen)).as("__tid"))
+      .filter(col("__tid") < nCapped)
+    def side(tag: String) = pre.select(col(idCol).as(s"${tag}_id"),
+      col("__n").as(s"__n$tag"), col("__tid")).hint("shuffle_hash")
     // sizes ride along through the distinct (they are functions of the ids,
     // so the pair cardinality is unchanged): the verify can then compute
     // |A∪B| = |A|+|B|−|A∩B| arithmetically instead of allocating an
     // array_union per pair — the sets are distinct, so this is exact
-    val cands = side("a").join(side("b"), Seq("s"))
+    val cands = side("a").join(side("b"), Seq("__tid"))
       .filter(col("a_id") < col("b_id"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(threshold) * greatest(col("__na"), col("__nb")))
       .select("a_id", "b_id", "__na", "__nb").distinct()
-    // when the corpus is small, broadcast the shingle sets: the candidate
-    // pairs then never shuffle array payloads — each pair row carries only
-    // ids + sizes and probes the hashed sets in place. At scale the stats
-    // read big and this degrades gracefully to the shuffled join. Sets are
-    // sorted ONCE per doc so the per-pair intersection is the native
-    // allocation-free merge loop (SortedIntersectCount), not a per-row
-    // hash-set build.
-    val sorted = sets.select(col(idCol), array_sort(col("sset")).as("sset"))
+    // when the corpus is small, broadcast the id sets: the candidate pairs
+    // then never shuffle array payloads — each pair row carries only ids +
+    // sizes and probes the hashed sets in place. At scale the stats read
+    // big and this degrades gracefully to the shuffled join.
     def setsSide(tag: String) = {
-      val s = sorted.select(col(idCol).as(s"${tag}_id"), col("sset").as(s"s$tag"))
-      if (sizeRatioPrefilterWorthIt(df)) s else broadcast(s)
+      val s = isets.select(col(idCol).as(s"${tag}_id"), col("tids").as(s"t$tag"))
+      if (big) s else broadcast(s)
     }
     val inter = graft.functions.GraftExpressions
-      .sorted_intersect_count(col("sa"), col("sb")).cast("double")
+      .sorted_intersect_count_long(col("ta"), col("tb")).cast("double")
     cands
       .join(setsSide("a"), Seq("a_id"))
       .join(setsSide("b"), Seq("b_id"))
@@ -572,6 +584,25 @@ object Dedup {
         inter / (col("__na") + col("__nb") - inter))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Dense-id dictionary over a gram frequency table `(s, __f)`: returns
+    * `(s, __tid)` with ids 0,1,2,… assigned in ascending (__f, s) order —
+    * the AllPairs global total order, materialized as integers. Distributed
+    * at any vocabulary size: one range-sorted pass + zipWithIndex (ids are
+    * numbered across the range-ordered partitions, preserving the sort).
+    * (f, s) pairs are unique (s is distinct), so the order — and the ids —
+    * are deterministic. */
+  private def gramDictionary(freq: DataFrame): DataFrame = {
+    val spark = freq.sparkSession
+    val sorted = freq.orderBy(col("__f"), col("s"))
+    val rdd = sorted.select(col("s")).rdd.zipWithIndex
+      .map { case (r, i) => org.apache.spark.sql.Row(r.getString(0), i) }
+    spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("__tid",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** LOSSLESS containment join (asymmetric set overlap): ordered pairs
@@ -596,9 +627,12 @@ object Dedup {
     * to containment. A lossless size bound (|B| ≥ ⌈t·|A|⌉, since
     * |A∩B| ≤ |B|) kills undersized containers inside the candidate join.
     *
-    * Scale shape: token-keyed equi-joins throughout (freq agg, prefix
-    * ordering, candidate probe — ReuseExchange shares the token shuffle);
-    * verify is the native sorted-merge on candidate pairs only. */
+    * Scale shape: one freq groupBy, one distributed dictionary encode
+    * (sort + zipWithIndex over the CAPPED vocabulary — the similarity
+    * universe here, so verify uses the same ids), integer equi-joins for
+    * candidates, long-merge verify on candidate pairs only. Rank windows
+    * are gone: ids are dense in (f, s) order, so per-doc rank = position
+    * in the sorted id array. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, threshold: Double = 0.5,
                        maxToken: Int = DefaultMaxBucket): DataFrame = {
@@ -610,37 +644,40 @@ object Dedup {
     val sets = if (big) setsRaw else setsRaw.localCheckpoint()
     val tokAll = sets.select(col(idCol), explode(col("sset")).as("s"))
     val freq = tokAll.groupBy("s").agg(count(lit(1)).as("__f"))
-    val freqSide = if (big) freq else broadcast(freq)
-    // the capped universe: one row per (doc, surviving distinct gram)
-    val tok = tokAll.join(freqSide, Seq("s")).filter(col("__f") <= maxToken)
-    val wN = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__f"), col("s"))
-    // capped set size + frequency-ordered rank ride one partitioning
-    val ranked = tok
-      .withColumn("__n", count(lit(1)).over(wN))
-      .withColumn("__rn", row_number().over(wDoc))
+    // Dictionary over the CAPPED universe only (the cap defines the
+    // similarity universe for candidates AND verify here, unlike the
+    // symmetric join): encode, and uncapped grams drop out in the inner
+    // join below. Ids dense in (f, s) order — see prefixJoinPairs.
+    val dict = gramDictionary(freq.filter(col("__f") <= maxToken))
+    val dictSide = if (big) dict else broadcast(dict)
+    val tokI = tokAll.join(dictSide, Seq("s")).select(col(idCol), col("__tid"))
+    // one shuffle by doc id: capped set size + frequency order both live in
+    // the sorted id array (position = rank); checkpointed for the two
+    // candidate sides + two verify sides
+    val isets = tokI.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__tid"))).as("tids"))
+      .withColumn("__n", size(col("tids")))
       .localCheckpoint()
-    val pref = ranked
-      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col(idCol).as("a_id"), col("__n").as("__na"), col("s"))
+    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
+    val pref = isets
+      .select(col(idCol).as("a_id"), col("__n").as("__na"),
+        explode(slice(col("tids"), lit(1), prefLen)).as("__tid"))
       .hint("shuffle_hash")
-    val index = ranked
-      .select(col(idCol).as("b_id"), col("__n").as("__nb"), col("s"))
+    val index = isets
+      .select(col(idCol).as("b_id"), col("__n").as("__nb"),
+        explode(col("tids")).as("__tid"))
       .hint("shuffle_hash")
-    val cands = pref.join(index, Seq("s"))
+    val cands = pref.join(index, Seq("__tid"))
       .filter(col("a_id") =!= col("b_id"))
       .filter(col("__nb") >= ceil(lit(threshold) * col("__na")))
       .select("a_id", "b_id", "__na").distinct()
-    // verify on the capped sorted sets — native merge, no per-pair allocs
-    val sorted = tok.groupBy(col(idCol))
-      .agg(array_sort(collect_list(col("s"))).as("sset"))
+    // verify on the capped sorted id sets — native long merge, no allocs
     def side(tag: String) = {
-      val s = sorted.select(col(idCol).as(s"${tag}_id"), col("sset").as(s"s$tag"))
+      val s = isets.select(col(idCol).as(s"${tag}_id"), col("tids").as(s"t$tag"))
       if (big) s else broadcast(s)
     }
     val inter = graft.functions.GraftExpressions
-      .sorted_intersect_count(col("sa"), col("sb")).cast("double")
+      .sorted_intersect_count_long(col("ta"), col("tb")).cast("double")
     cands
       .join(side("a"), Seq("a_id"))
       .join(side("b"), Seq("b_id"))

@@ -232,6 +232,72 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedIntersectCount]] for ARRAY<BIGINT>: the merge loop compares
+  * longs instead of UTF8 byte strings. Pair-verify hot paths first encode
+  * the gram universe to dense integer ids (prefixJoinPairs' dictionary), so
+  * the per-pair cost is a branchy-but-allocation-free int merge — ~20-byte
+  * memcmps per step become one register compare. Same null contract as the
+  * string form. */
+case class SortedIntersectCountLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_intersect_count_long"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val bad = ctx.freshName("bad")
+      s"""
+         |final int $na = $av.numElements();
+         |final int $nb = $bv.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |boolean $bad = false;
+         |while ($i < $na && $j < $nb) {
+         |  if ($av.isNullAt($i) || $bv.isNullAt($j)) { $bad = true; break; }
+         |  final long $x = $av.getLong($i);
+         |  final long $y = $bv.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; }
+         |  else { $j++; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $c; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Binary-search membership in a SORTED ARRAY<STRING> — the broadcast-set
   * probe for [[graft.ext.Dedup.segmentDedup]]'s frequent-segment test, where
   * the builtin `array_contains` is a linear scan: at sf0.1 that is 5.4 k
@@ -396,6 +462,9 @@ object GraftExpressions {
 
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncode(expression(text), merges))
+
+  def sorted_intersect_count_long(a: Column, b: Column): Column =
+    column(SortedIntersectCountLong(expression(a), expression(b)))
 
   /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {

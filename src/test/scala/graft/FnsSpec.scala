@@ -140,4 +140,32 @@ class FnsSpec extends SparkTestBase {
         size(array_intersect(col("a"), col("b")))).count()
     assert(interp === 0L)
   }
+
+  test("SortedIntersectCountLong == size(array_intersect) on sorted-distinct long arrays") {
+    import graft.functions.GraftExpressions.sorted_intersect_count_long
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 200).map { _ =>
+      def set() = rng.shuffle((0 until 40).map(_.toLong)).take(1 + rng.nextInt(30))
+      (set(), set())
+    }
+    val df = rows.toDF("a", "b")
+      .select(array_sort(col("a")).as("a"), array_sort(col("b")).as("b"))
+    val got = df.select(
+      sorted_intersect_count_long(col("a"), col("b")).as("m"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    val edge = Seq(
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(1L, 2L), Seq(1L, 2L))).toDF("a", "b")
+      .select(sorted_intersect_count_long(col("a"), col("b"))).collect()
+    assert(edge.map(_.getInt(0)).toSeq === Seq(0, 0, 2))
+    val nul = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(sorted_intersect_count_long(col("a"), col("b"))).collect()(0)
+    assert(nul.isNullAt(0))
+    val interp = df.filter(
+      sorted_intersect_count_long(col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b")))).count()
+    assert(interp === 0L)
+  }
 }
