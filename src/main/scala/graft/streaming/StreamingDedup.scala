@@ -176,6 +176,13 @@ object StreamingDedup {
     // untouched.
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // No-data micro-batches exist to advance the watermark for eviction/
+    // append finalization between data batches; with per-chunk drains each
+    // data batch is immediately followed by one, DOUBLING the per-batch
+    // planning + state-commit rounds. State eviction timing is not part of
+    // this harness' contract (TTL is generous; StreamingDedupSpec covers
+    // expiry), so skip them.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     import ss.implicits._
     val inStream = ss.readStream
       .schema("doc_id LONG, text STRING, event_time TIMESTAMP")
