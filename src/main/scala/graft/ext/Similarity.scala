@@ -384,7 +384,15 @@ object Similarity {
     * (array of m small ints) — the write-time encode at scale; ties break
     * to the lowest code (struct min over (dist, code), the ivfAssign
     * contract). */
-  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    graft.functions.GraftExpressions.pq_encode(vec, codebooks)
+
+  /** The HOF/literal form of [[pqEncode]] — one zip_with+aggregate l2 fold
+    * per sub-centroid under array_min, a ~1000-node expression tree per row.
+    * Kept as the independently-derived reference the native kernel is
+    * spec-asserted against (same IEEE fold order, same low-code tiebreak). */
+  private[graft] def pqEncodeHof(vec: Column,
+                                 codebooks: Array[Array[Array[Double]]]): Column = {
     val subdim = codebooks(0)(0).length
     array(codebooks.zipWithIndex.map { case (cb, s) =>
       val sub = slice(vec, s * subdim + 1, subdim)

@@ -439,6 +439,93 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Serializable product-quantization encode kernel for [[PqEncode]]:
+  * per-subspace nearest-sub-centroid codes. Arithmetic contract (shared
+  * with the generated DuckDB oracle): per-centroid distance is the
+  * LEFT-TO-RIGHT fold of (x−c)² in index order on doubles; ties break to
+  * the LOWEST code (strict < keeps the first). */
+final class PqEncoder(val codebooks: Array[Array[Array[Double]]])
+    extends Serializable {
+  private val m = codebooks.length
+  private val subdim = codebooks(0)(0).length
+
+  /** codes of one vector, or null if the vector is too short / has a null
+    * slot (mirrors the HOF form's null propagation). */
+  def encode(v: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (v.numElements() < m * subdim) return null
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val base = s * subdim
+      var i = 0
+      while (i < subdim) { if (v.isNullAt(base + i)) return null; i += 1 }
+      val cb = codebooks(s)
+      var best = 0; var bd = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var d = 0.0
+        var k = 0
+        while (k < subdim) {
+          val diff = v.getFloat(base + k).toDouble - c(k)
+          d += diff * diff
+          k += 1
+        }
+        if (d < bd) { bd = d; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Product-quantization encode as ONE native expression per row:
+  * ARRAY<FLOAT> vector → ARRAY<INT> of m sub-centroid codes. The
+  * HOF/literal form (one zip_with+aggregate l2 fold per sub-centroid,
+  * m·ksub of them under array_min) is a ~1000-node expression tree per
+  * row — the dominant cost of the PQ family at sf0.1; this is one
+  * compiled-kernel call (BENCH x_pq_codes). Code-identical to the HOF
+  * form (SimilaritySpec asserts; same IEEE fold order and tie-break as
+  * the generated DuckDB oracle). */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  private lazy val encoder =
+    new PqEncoder(codebooks.map(_.map(_.toArray).toArray).toArray)
+
+  override protected def nullSafeEval(v: Any): Any =
+    encoder.encode(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val enc = ctx.addReferenceObj("pqEncoder", encoder,
+      classOf[PqEncoder].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("pqCodes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp = $enc.encode($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import GraftBridge.{column, expression}
 
@@ -465,6 +552,10 @@ object GraftExpressions {
 
   def sorted_intersect_count_long(a: Column, b: Column): Column =
     column(SortedIntersectCountLong(expression(a), expression(b)))
+
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqEncode(expression(vec),
+      codebooks.map(_.map(_.toSeq).toSeq).toSeq))
 
   /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {

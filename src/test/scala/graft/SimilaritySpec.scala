@@ -292,6 +292,11 @@ class SimilaritySpec extends SparkTestBase {
     val codes = em.select(Similarity.pqEncode(col("embedding"), cbs).as("c"))
       .collect().map(_.getSeq[Int](0))
     assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // native kernel == the independently-derived HOF/literal form, every
+    // vector (same IEEE fold order + low-code tiebreak)
+    val hof = em.select(Similarity.pqEncodeHof(col("embedding"), cbs).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.toSeq === hof.toSeq)
     // every (vector, subspace) lands in exactly one histogram cell
     val n = em.count()
     val hist = Similarity.pqCodeHistogram(em, "embedding", cbs)
