@@ -452,15 +452,15 @@ object Dedup {
     // ReuseExchange computes the shingle sets once and reuses the shuffle
     // files for the second join (DedupSpec asserts the ReusedExchange node).
     // A .cache() here would leak executor storage across invocations — the
-    // caller never gets a handle to unpersist. Sets are sorted once so the
-    // per-pair verify is the native merge (SortedIntersectCount), and
+    // caller never gets a handle to unpersist. Sets ride as sorted HASHED
+    // identities ([[hashedSetOf]]) so the per-pair verify is the native
+    // long merge and the shuffled payload is 8 B/gram, and
     // |A∪B| = |A|+|B|−|A∩B| — exact on distinct sets, no union allocation.
     val sets = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol),
-        array_sort(array_distinct(shinglesOfWords(col("__ws"), shingleK))).as("sset"))
+      .select(col(idCol), hashedSetOf(col("__ws"), shingleK).as("sset"))
     val inter = graft.functions.GraftExpressions
-      .sorted_intersect_count(col("sa"), col("sb")).cast("double")
+      .sorted_intersect_count_long(col("sa"), col("sb")).cast("double")
     cands
       .join(sets.select(col(idCol).as("a_id"), col("sset").as("sa")), Seq("a_id"))
       .join(sets.select(col(idCol).as("b_id"), col("sset").as("sb")), Seq("b_id"))
@@ -468,6 +468,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
+
+  /** Distinct shingles as SORTED 64-bit identities (xxhash64) — the verify-
+    * set representation for the LSH candidate families: built in the same
+    * projection as the shingling (no extra pass or shuffle, unlike the
+    * prefix join's dictionary, which needs global frequencies anyway), the
+    * per-pair merge compares registers instead of ~20-byte grams, and set
+    * payloads shrink ~2.5×. Distinct-THEN-hash, so sizes are exact; two
+    * grams colliding in 64 bits would overcount one intersection slot —
+    * expected colliding pairs ≈ v²/2⁶⁵ over a v-gram vocabulary, ~0.03 at
+    * v = 10⁹ (birthday bound), zero at every gate/probe scale. */
+  private def hashedSetOf(ws: Column, k: Int): Column =
+    array_sort(transform(array_distinct(shinglesOfWords(ws, k)),
+      s => xxhash64(s)))
 
   /** LOSSLESS set-similarity join via prefix filtering (the SSJoin /
     * AllPairs family — Chaudhuri et al., ICDE 2006; Bayardo et al., WWW
@@ -735,8 +748,7 @@ object Dedup {
     val cands = if (materializeCands) candsPlan.localCheckpoint() else candsPlan
     def setsOf(df: DataFrame) = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol),
-        array_sort(array_distinct(shinglesOfWords(col("__ws"), shingleK))).as("sset"))
+      .select(col(idCol), hashedSetOf(col("__ws"), shingleK).as("sset"))
     def sizesOf(df: DataFrame) = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
@@ -756,7 +768,7 @@ object Dedup {
           .select("new_id", "old_id")
       else cands
     val interIncr = graft.functions.GraftExpressions
-      .sorted_intersect_count(col("sa"), col("sb")).cast("double")
+      .sorted_intersect_count_long(col("sa"), col("sb")).cast("double")
     narrowed
       .join(setsOf(newDf).select(col(idCol).as("new_id"), col("sset").as("sa")), Seq("new_id"))
       .join(setsOf(oldCandDocs).select(col(idCol).as("old_id"), col("sset").as("sb")), Seq("old_id"))
