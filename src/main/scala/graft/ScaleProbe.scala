@@ -292,7 +292,7 @@ object ScaleProbe {
     // ---- bulk BPE: one scan, zero shuffles; cost ∝ corpus chars ----
     if (!skip("bpe")) {
       val (tBpe, bpeN) = time {
-        graft.ext.Bpe.tokenizeBulk(docs, "doc_id", "text",
+        graft.ext.Bpe.tokenizeBulkNative(docs, "doc_id", "text",
             graft.ext.Bpe.DemoMerges)
           .agg(sum(size(col("tokens")))).collect()(0).getLong(0)
       }

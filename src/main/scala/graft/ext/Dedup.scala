@@ -531,7 +531,10 @@ object Dedup {
       .withColumn("__n", size(col("sset")))
     val sets = if (big) setsRaw else setsRaw.localCheckpoint()
     val tok = sets.select(col(idCol), col("__n"), explode(col("sset")).as("s"))
-    val freq = tok.groupBy("s").agg(count(lit(1)).as("__f"))
+    // VOCABULARY-sized (not corpus-sized) checkpoint: the frequency table
+    // feeds both the dictionary sort and the capped-universe count below —
+    // without it each action re-runs the token-stream groupBy.
+    val freq = tok.groupBy("s").agg(count(lit(1)).as("__f")).localCheckpoint()
     // Dictionary-encode the gram universe to DENSE ids in global (f, s)
     // ascending order. Everything downstream rides the ids: per-doc
     // frequency rank becomes array POSITION in the sorted id set (the
@@ -656,7 +659,9 @@ object Dedup {
         array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
     val sets = if (big) setsRaw else setsRaw.localCheckpoint()
     val tokAll = sets.select(col(idCol), explode(col("sset")).as("s"))
-    val freq = tokAll.groupBy("s").agg(count(lit(1)).as("__f"))
+    // vocabulary-sized checkpoint: zipWithIndex's internal partition-size
+    // job would otherwise re-run the token-stream groupBy
+    val freq = tokAll.groupBy("s").agg(count(lit(1)).as("__f")).localCheckpoint()
     // Dictionary over the CAPPED universe only (the cap defines the
     // similarity universe for candidates AND verify here, unlike the
     // symmetric join): encode, and uncapped grams drop out in the inner
