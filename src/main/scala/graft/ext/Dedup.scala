@@ -173,20 +173,31 @@ object Dedup {
     * the boilerplate), so it comes back to the doc side as a broadcast
     * single-row sorted array and the rebuild is a pure per-row map over each
     * doc's segment array: no second shuffle, no re-aggregation of exploded
-    * rows, no join keyed on segment text. At 100 TB the frequency agg keys
-    * on the segment string; swapping the grouping key for xxhash64(segment)
-    * halves that shuffle's width if profiles demand it (the rebuild side is
-    * unaffected — membership still tests the original strings). */
+    * rows, no join keyed on segment text. The frequency agg keys on
+    * xxhash64(segment) — 8 bytes/row through the one corpus shuffle
+    * regardless of k (see the inline birthday-bound note). */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, maxDocs: Int = 1): DataFrame = {
     val base = segmentsOf(docs, idCol, textCol, k)
-    val frequent = frequentSegments(base, maxDocs)
-      .agg(sort_array(collect_list("s")).as("__freq"))
+    // The ONE corpus shuffle keys on xxhash64(segment), not the segment
+    // text: 8 bytes/row instead of ~4·k words (the doc comment's "if
+    // profiles demand it" knob, demanded by the 500 k ladder — 141 s with
+    // ~25-byte keys). The broadcast frequent set and the rebuild probes are
+    // hashes too; two distinct segments colliding in 64 bits would merge
+    // their document counts — same negligible birthday bound as
+    // [[hashedSetOf]], and the oracle stays value-equal at any gate scale.
+    val frequent = base
+      .select(col("doc_id"), explode(col("__segs")).as("s"))
+      .groupBy(xxhash64(col("s")).as("__h"))
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .agg(sort_array(collect_list("__h")).as("__freq"))
     // membership probes use the codegen'd binary search over the sorted
     // broadcast array: the builtin array_contains is a linear scan, which at
-    // sf0.1 is already 5.4k frequent × 70k probes ≈ 4e8 string compares
+    // sf0.1 is already 5.4k frequent × 70k probes ≈ 4e8 compares
     val in = (x: Column) =>
-      graft.functions.GraftExpressions.sorted_contains(col("__freq"), x)
+      graft.functions.GraftExpressions.sorted_contains_long(
+        col("__freq"), xxhash64(x))
     base.crossJoin(broadcast(frequent))
       .select(col("doc_id"),
         size(col("__segs")).cast("long").as("n_segments"),

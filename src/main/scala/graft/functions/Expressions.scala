@@ -439,6 +439,64 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** [[SortedContains]] for ARRAY<BIGINT>: binary-search membership of a long
+  * in a sorted long array — the broadcast-set probe when the set rides as
+  * 64-bit identities (segmentDedup's hashed frequent set). Same contract:
+  * caller owns the sort precondition; null slot probed mid-search → null. */
+case class SortedContainsLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _)
+      if right.dataType == LongType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, BIGINT), got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "sorted_contains_long"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val e = r.asInstanceOf[java.lang.Long].longValue()
+    var lo = 0; var hi = a.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (a.isNullAt(mid)) return null
+      val v = a.getLong(mid)
+      if (v == e) return true
+      else if (v < e) lo = mid + 1
+      else hi = mid - 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, ev2) => {
+      val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+      val mid = ctx.freshName("mid"); val v = ctx.freshName("v")
+      val found = ctx.freshName("found"); val bad = ctx.freshName("bad")
+      s"""
+         |int $lo = 0; int $hi = $av.numElements() - 1;
+         |boolean $found = false; boolean $bad = false;
+         |while ($lo <= $hi) {
+         |  final int $mid = ($lo + $hi) >>> 1;
+         |  if ($av.isNullAt($mid)) { $bad = true; break; }
+         |  final long $v = $av.getLong($mid);
+         |  if ($v == $ev2) { $found = true; break; }
+         |  else if ($v < $ev2) { $lo = $mid + 1; }
+         |  else { $hi = $mid - 1; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $found; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedContainsLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Serializable product-quantization encode kernel for [[PqEncode]]:
   * per-subspace nearest-sub-centroid codes. Arithmetic contract (shared
   * with the generated DuckDB oracle): per-centroid distance is the
@@ -552,6 +610,9 @@ object GraftExpressions {
 
   def sorted_intersect_count_long(a: Column, b: Column): Column =
     column(SortedIntersectCountLong(expression(a), expression(b)))
+
+  def sorted_contains_long(arr: Column, elem: Column): Column =
+    column(SortedContainsLong(expression(arr), expression(elem)))
 
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(vec),

@@ -141,6 +141,25 @@ class FnsSpec extends SparkTestBase {
     assert(interp === 0L)
   }
 
+  test("SortedContainsLong == array_contains on sorted long arrays") {
+    import graft.functions.GraftExpressions.sorted_contains_long
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 200).map { _ =>
+      (rng.shuffle((0 until 60).map(_.toLong)).take(1 + rng.nextInt(40)),
+        rng.nextInt(70).toLong)
+    }
+    val df = rows.toDF("a", "e").select(array_sort(col("a")).as("a"), col("e"))
+    val bad = df.filter(
+      sorted_contains_long(col("a"), col("e")) =!=
+        array_contains(col("a"), col("e"))).count()
+    assert(bad === 0L)
+    // empty array, null array
+    val edge = Seq((Some(Seq.empty[Long]), Some(1L)),
+        (Option.empty[Seq[Long]], Some(1L))).toDF("a", "e")
+      .select(sorted_contains_long(col("a"), col("e"))).collect()
+    assert(edge(0).getBoolean(0) === false && edge(1).isNullAt(0))
+  }
+
   test("SortedIntersectCountLong == size(array_intersect) on sorted-distinct long arrays") {
     import graft.functions.GraftExpressions.sorted_intersect_count_long
     val rng = new scala.util.Random(11)
