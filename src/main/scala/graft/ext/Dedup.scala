@@ -794,6 +794,55 @@ object Dedup {
       .select("new_id", "old_id", "jaccard")
   }
 
+  /** Bloom-accelerated incremental EXACT dedup — the refresh-batch
+    * complement of [[incrementalNearDupsFromBands]] for verbatim
+    * duplicates: which new-batch documents are genuinely NEW against the
+    * ingested corpus?
+    *
+    * The naive shape is an anti-join of the new batch's fingerprints
+    * against the corpus fingerprint table — at 100 TB that shuffles the
+    * BATCH against a corpus-sized table every refresh. Here the corpus side
+    * is compressed ONCE into a mergeable Bloom filter (distributed
+    * `treeAggregate` build — partitions fill local filters, merged pairwise
+    * up the tree; ~10 bits/doc at fpp 1 %, so a billion-doc corpus is a
+    * ~1.2 GB broadcast artifact, rebuilt only as often as the corpus
+    * grows). Each refresh then probes the broadcast filter in a codegen'd
+    * projection ([[graft.functions.BloomMightContain]]):
+    *  - might-contain == false ⇒ DEFINITELY new (Bloom has no false
+    *    negatives) — these rows SKIP the join entirely (the vast majority
+    *    of a typical refresh batch);
+    *  - might-contain == true ⇒ duplicate OR false positive — only these
+    *    suspects (true dups + ~fpp of the batch) pay the exact anti-join
+    *    backstop.
+    * The output is therefore EXACT — the filter moves cost, never
+    * correctness, which is what makes the operator oracle-checkable with a
+    * plain anti-join twin (x_bloom_new_docs) at ANY fpp.
+    *
+    * Returns (idCol, content_hash) for genuinely-new docs.
+    * `expectedItems` sizes the filter; <= 0 derives it from a corpus
+    * count (one cheap agg — production passes the known corpus size). */
+  def bloomNewDocs(newDf: DataFrame, oldDf: DataFrame,
+                   textCol: String, idCol: String,
+                   fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val oldFp = oldDf.select(md5(col(textCol)).as("__fp"))
+    val expected = if (expectedItems > 0) expectedItems
+      else math.max(1L, oldFp.count())
+    val bf = oldFp.as[String].rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
+      (f, s) => { f.putString(s); f }, (a, b) => a.mergeInPlace(b))
+    val probed = newDf.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("__might",
+        graft.functions.GraftExpressions.bloom_might_contain(
+          col("content_hash"), bf))
+    val definiteNew = probed.filter(!col("__might"))
+    val suspects = probed.filter(col("__might"))
+      .join(oldFp.select(col("__fp").as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+    definiteNew.unionByName(suspects).select(col(idCol), col("content_hash"))
+  }
+
   /** Inline form: derives the old band table from the old text and delegates
     * to [[incrementalNearDupsFromBands]]. Correctness-equivalent; prod and
     * the bench use the band-store form — re-LSHing the corpus per refresh is

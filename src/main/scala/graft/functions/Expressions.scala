@@ -360,6 +360,37 @@ case class SortedContains(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast Bloom-filter membership probe as a native expression: string →
+  * "might the OLD corpus contain it". The filter rides the expression's
+  * reference array (one deserialized copy per task, like [[BpeEncode]]'s
+  * kernel), so the probe stays inside whole-stage codegen — no UDF, no
+  * encoder round-trip. Contract: NO false negatives (a false ⇒ definitely
+  * absent), false positives at the filter's configured fpp — callers that
+  * need exactness must re-check positives (see Dedup.bloomNewDocs). */
+case class BloomMightContain(child: Expression,
+    filter: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(v: Any): Any =
+    filter.mightContainString(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("bloomFilter", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$bf.mightContainString($c.toString())")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** Serializable BPE-application kernel for [[BpeEncode]]: a frozen merge
   * list plus a per-instance (= per-task after deserialization) word→tokens
   * memo. By Heaps' law the distinct-word set a task sees is far smaller
@@ -613,6 +644,10 @@ object GraftExpressions {
 
   def sorted_contains_long(arr: Column, elem: Column): Column =
     column(SortedContainsLong(expression(arr), expression(elem)))
+
+  def bloom_might_contain(c: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column =
+    column(BloomMightContain(expression(c), filter))
 
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(vec),

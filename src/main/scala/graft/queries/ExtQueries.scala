@@ -1432,6 +1432,26 @@ object ExtQueries {
         "(len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) >= 0.2 " +
         "ORDER BY new_id, old_id")),
 
+    ("x_bloom_new_docs", // Bloom-accelerated incremental EXACT dedup: docs
+      // with doc_id % 10 < 2 are the refresh batch, the rest the ingested
+      // corpus. The corpus compresses to a treeAggregate-built Bloom filter
+      // probed in a codegen'd projection; definitely-new rows skip the
+      // anti-join, only might-contain suspects pay the exact backstop —
+      // output is EXACT at any fpp (the filter moves cost, not
+      // correctness), so the oracle is the plain anti-join.
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        Dedup.bloomNewDocs(
+          docs.filter(col("doc_id") % 10 < 2),
+          docs.filter(col("doc_id") % 10 >= 2),
+          "text", "doc_id", fpp = 0.01)
+          .orderBy("doc_id")
+      },
+      Some(s"SELECT doc_id, md5(text) AS content_hash FROM $Docs " +
+        "WHERE doc_id % 10 < 2 AND md5(text) NOT IN " +
+        s"(SELECT md5(text) FROM $Docs WHERE doc_id % 10 >= 2) " +
+        "ORDER BY doc_id")),
+
     ("x_curation_funnel", // the end-to-end curation pipeline in one pass:
       // quality gate -> language gate -> stratum-free 60% sample -> near-dup
       // fingerprint dedup, reported as cumulative stage counts. One scan +

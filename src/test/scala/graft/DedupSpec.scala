@@ -491,4 +491,34 @@ class DedupSpec extends SparkTestBase {
     assert(got(0) === Seq("a b c", "b c d"))
     assert(got(1) === Seq("a b"))
   }
+
+  test("bloomNewDocs: exact at any fpp — equals the plain anti-join") {
+    // corpus of 300 docs; batch of 100 where 40 are verbatim corpus dups.
+    // fpp 0.4 forces false positives through the probe, so this asserts the
+    // exact backstop, not a lucky filter.
+    val corpus = (0 until 300).map(i => (i.toLong, s"corpus doc $i text"))
+      .toDF("doc_id", "text")
+    val batch = ((1000 until 1060).map(i => (i.toLong, s"fresh doc $i")) ++
+      (0 until 40).map(i => (2000L + i, s"corpus doc $i text")))
+      .toDF("doc_id", "text")
+    for (fpp <- Seq(0.01, 0.4)) {
+      val got = Dedup.bloomNewDocs(batch, corpus, "text", "doc_id", fpp = fpp)
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      val ref = batch.join(corpus.select(md5(col("text")).as("h")),
+          md5(batch("text")) === col("h"), "left_anti")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === ref.toSeq, s"fpp=$fpp")
+      assert(got.length === 60)
+    }
+    // no false negatives: every corpus fingerprint must probe true
+    val oldFp = corpus.select(md5(col("text")).as("fp"))
+    val bf = oldFp.as[String].rdd.treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(300, 0.01))(
+      (f, s) => { f.putString(s); f }, (a, b) => a.mergeInPlace(b))
+    val misses = oldFp.filter(
+      !graft.functions.GraftExpressions.bloom_might_contain(col("fp"), bf))
+      .count()
+    assert(misses === 0L)
+  }
 }
