@@ -234,4 +234,38 @@ object Sampling {
       .select(col("n_exact"),
         (abs(col("__n_approx") - col("n_exact")) * 100 <=
           col("n_exact") * tolPct).cast("int").as("sketch_ok"))
+
+  /** Count-min-sketch heavy-hitter audit — the frequency twin of
+    * [[distinctSketchAudit]]: exact top-k token counts beside the boolean
+    * "the mergeable sketch's estimate respects its guarantee". The sketch
+    * is the 100 TB path for per-token frequencies (fixed d×w counter grid,
+    * map-side partial, merge = counter addition — commutative, so the
+    * result is bit-deterministic under ANY partitioning, unlike
+    * order-sensitive sketches); the exact top-k anchors it. Guarantee
+    * (Cormode & Muthukrishnan 2005): est ≥ true always, and
+    * est ≤ true + eps·N with probability 1−δ per item — eps·N is plain
+    * arithmetic both engines can state, so only exact counts and the
+    * verdict cross the engine boundary. Fixed seed ⇒ fixed hash rows ⇒
+    * deterministic verdict for fixed data. */
+  def cmsTopKAudit(df: DataFrame, valueCol: String, k: Int,
+                   eps: Double = 0.0001, confidence: Double = 0.99): DataFrame = {
+    val spark = df.sparkSession
+    val bytes = df.agg(count_min_sketch(col(valueCol), lit(eps),
+        lit(confidence), lit(42)).as("__cms"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val slack = math.ceil(eps * cms.totalCount()).toLong
+    val top = df.groupBy(col(valueCol).as("w"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w"))
+      .limit(k).collect()
+      .map { r =>
+        val est = cms.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1),
+          if (est >= r.getLong(1) && est <= r.getLong(1) + slack) 1 else 0)
+      }
+    import spark.implicits._
+    top.toSeq.toDF("w", "n_exact", "sketch_ok")
+  }
 }

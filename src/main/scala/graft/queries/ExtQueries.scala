@@ -806,6 +806,24 @@ object ExtQueries {
         s"(SELECT UNNEST(string_split(text, ' ')) AS token FROM $Docs) " +
         "GROUP BY token ORDER BY cnt DESC, token LIMIT 20")),
 
+    ("x_token_cms", // count-min-sketch heavy-hitter audit: exact top-20
+      // token counts beside "the mergeable sketch respects est ∈
+      // [true, true + eps·N]" — the fixed-memory frequency path at 100 TB
+      // (counter-grid merges commute, so the sketch is bit-deterministic
+      // under any partitioning; fixed seed). Only exact counts + the
+      // verdict cross the engine boundary, like the HLL audit.
+      (s: SparkSession, d: String) =>
+        Sampling.cmsTopKAudit(
+          graft.ext.Par.ensure(t(s, d, "documents").select("text"))
+            .select(explode(split(col("text"), " ")).as("w")),
+          "w", k = 20)
+          .orderBy(col("n_exact").desc, col("w")),
+      Some("SELECT w, n_exact, 1 AS sketch_ok FROM " +
+        "(SELECT w, CAST(count(*) AS BIGINT) AS n_exact FROM " +
+        s"(SELECT UNNEST(string_split(text, ' ')) AS w FROM $Docs) " +
+        "GROUP BY w ORDER BY n_exact DESC, w LIMIT 20) " +
+        "ORDER BY n_exact DESC, w")),
+
     ("x_corpus_stats", // one-row corpus profile: doc count, token volume,
       // length spread, distinct content fingerprints (exact-dup headroom)
       (s: SparkSession, d: String) =>

@@ -257,4 +257,23 @@ class SamplingSpec extends SparkTestBase {
       .collect().head
     assert(re.getLong(0) === exact && re.getInt(1) === 1)
   }
+
+  test("CMS top-k audit: exact anchors match groupBy, bound holds, partition-proof") {
+    val toks = Td.t(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val got = Sampling.cmsTopKAudit(toks, "w", k = 10)
+      .orderBy(col("n_exact").desc, col("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val exact = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(t => (t._1, t._2)).toSeq === exact.toSeq)
+    assert(got.forall(_._3 === 1),
+      "CMS estimate must satisfy est in [true, true + eps*N] on every top item")
+    // counter merges commute: any partitioning yields the identical sketch
+    val re = Sampling.cmsTopKAudit(toks.repartition(7), "w", k = 10)
+      .orderBy(col("n_exact").desc, col("w")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(re.toSeq === got.toSeq)
+  }
 }
