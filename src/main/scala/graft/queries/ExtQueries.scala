@@ -1462,7 +1462,9 @@ object ExtQueries {
         Dedup.bloomNewDocs(
           docs.filter(col("doc_id") % 10 < 2),
           docs.filter(col("doc_id") % 10 >= 2),
-          "text", "doc_id", fpp = 0.01)
+          // production passes the known corpus size instead of paying a
+          // sizing count; an over-estimate only lowers the realized fpp
+          "text", "doc_id", fpp = 0.01, expectedItems = 10000L)
           .orderBy("doc_id")
       },
       Some(s"SELECT doc_id, md5(text) AS content_hash FROM $Docs " +
