@@ -1025,10 +1025,12 @@ object Dedup {
     coalesce(packed, lit(0L))
   }
 
-  /** Convenience over raw words — recomputes md5s per bit position (16×);
-    * hot paths should materialize `transform(words, md5)` first. */
+  /** SimHash over raw words — the native kernel form (md5 consumed as
+    * bytes, no hex strings materialized); bit-identical to
+    * [[simhash16FromHashes]] over `transform(words, md5)` (DedupSpec
+    * asserts on corpus text). Hot paths use this. */
   def simhash16(words: Column): Column =
-    simhash16FromHashes(transform(words, w => md5(w)))
+    graft.functions.GraftExpressions.simhash16(words)
 
   /** Hamming distance between two small signatures (for simhash pairing). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

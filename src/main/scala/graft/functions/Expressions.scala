@@ -360,6 +360,74 @@ case class SortedContains(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 16-bit SimHash of a word array as ONE native kernel call per row —
+  * bit-identical to the Catalyst fold form (md5 per word, bit p votes on
+  * whether hex digit p ≥ 8 i.e. the nibble's high bit; ties and the empty
+  * array set the bit; a NULL word votes −1 on every bit, matching the
+  * fold's null-condition branch). The fold rebuilt a 16-slot vote array
+  * per word (the BPE-fold churn pattern); here votes live in 16 ints and
+  * the md5 is consumed as raw bytes — the 32-char hex string per word is
+  * never materialized. DedupSpec asserts equality on real corpus text. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHash16.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash16.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+object SimHash16 {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** votes over the high bit of the first 16 md5 nibbles; ties set the bit. */
+  def compute(words: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val md = mdPool.get()
+    val votes = new Array[Int](16)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) {
+        // fold parity: a null hash fails every bit test -> -1 on all bits
+        var p = 0
+        while (p < 16) { votes(p) -= 1; p += 1 }
+      } else {
+        val d = md.digest(words.getUTF8String(i).getBytes)
+        var p = 0
+        while (p < 16) {
+          val nib = if ((p & 1) == 0) (d(p >> 1) >> 4) & 0xF else d(p >> 1) & 0xF
+          votes(p) += (if (nib >= 8) 1 else -1)
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var p = 0
+    while (p < 16) {
+      if (votes(p) >= 0) out |= 1L << p
+      p += 1
+    }
+    out
+  }
+}
+
 /** Broadcast Bloom-filter membership probe as a native expression: string →
   * "might the OLD corpus contain it". The filter rides the expression's
   * reference array (one deserialized copy per task, like [[BpeEncode]]'s
@@ -648,6 +716,9 @@ object GraftExpressions {
   def bloom_might_contain(c: Column,
       filter: org.apache.spark.util.sketch.BloomFilter): Column =
     column(BloomMightContain(expression(c), filter))
+
+  def simhash16(words: Column): Column =
+    column(SimHash16(expression(words)))
 
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(vec),

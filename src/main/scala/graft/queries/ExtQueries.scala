@@ -490,12 +490,11 @@ object ExtQueries {
         "(len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 6) AS jaccard " +
         "FROM ds a JOIN ds b ON b.doc_id = a.doc_id + 1 ORDER BY a_id")),
 
-    ("x_simhash16",
+    ("x_simhash16", // native kernel (md5 as bytes, one call per row);
+      // bit-identical to the fold form, spec-asserted
       (s: SparkSession, d: String) =>
         graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
-          .select(col("doc_id"),
-            transform(split(col("text"), " "), w => md5(w)).as("__wh"))
-          .select(col("doc_id"), Dedup.simhash16FromHashes(col("__wh")).as("simhash"))
+          .select(col("doc_id"), Dedup.simhash16(split(col("text"), " ")).as("simhash"))
           .orderBy("doc_id"),
       Some("SELECT doc_id, CAST(" +
         (1 to 16).map(simhashTermSql).mkString(" + ") +
@@ -508,9 +507,7 @@ object ExtQueries {
       // pigeonhole), ranked by exact hamming. Top-20 closest, deterministic.
       (s: SparkSession, d: String) => {
         val sh = graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
-          .select(col("doc_id"),
-            transform(split(col("text"), " "), w => md5(w)).as("__wh"))
-          .select(col("doc_id"), Dedup.simhash16FromHashes(col("__wh")).as("sh"))
+          .select(col("doc_id"), Dedup.simhash16(split(col("text"), " ")).as("sh"))
         val banded = sh.select(col("doc_id"), col("sh"),
           explode(array(
             struct(lit(0).as("band"), col("sh").bitwiseAND(lit(255L)).as("key")),

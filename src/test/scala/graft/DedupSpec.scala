@@ -354,6 +354,16 @@ class DedupSpec extends SparkTestBase {
       .select(Dedup.simhash16FromHashes(wh).as("a"), perBit.as("b"))
       .filter(col("a") =!= col("b")).count()
     assert(mismatches === 0L)
+    // native kernel == the fold form on every corpus doc (+ empty-array tie
+    // behavior: all 16 votes tie at 0 -> every bit set)
+    val nativeMismatch = docs
+      .select(Dedup.simhash16(split(col("text"), " ")).as("a"),
+        Dedup.simhash16FromHashes(wh).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(nativeMismatch === 0L)
+    val empty = Seq(Seq.empty[String]).toDF("ws")
+      .select(Dedup.simhash16(col("ws"))).collect()(0).getLong(0)
+    assert(empty === 0xFFFFL)
   }
 
   test("incremental near-dup from the persisted band store: equal result, store is scanned") {
