@@ -432,8 +432,14 @@ object Dedup {
   val SizeRatioPrefilterMinBytes: Long = 4L << 20
 
   private[ext] def sizeRatioPrefilterWorthIt(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes >=
-      BigInt(SizeRatioPrefilterMinBytes)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(
+      // test override: the "big corpus" code paths (shuffled dictionary /
+      // verify joins instead of broadcasts, prefilter on) are the
+      // production-at-scale paths — DedupSpec forces them onto fixture-
+      // sized data via this property and asserts both paths emit identical
+      // results. Read per call; never set outside tests.
+      sys.props.get("graft.test.sizeRatioPrefilterMinBytes").map(_.toLong)
+        .getOrElse(SizeRatioPrefilterMinBytes))
 
   /** End-to-end MinHash-LSH near-dup dedup: candidates from banding, verified
     * by true shingle Jaccard ≥ threshold. */

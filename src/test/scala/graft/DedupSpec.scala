@@ -502,6 +502,31 @@ class DedupSpec extends SparkTestBase {
     assert(got(1) === Seq("a b"))
   }
 
+  test("big-corpus (shuffle) paths emit identical results to the broadcast paths") {
+    // The stats gate routes fixture-sized data down the broadcast/small
+    // branches; production corpora take the shuffled-join branches. Force
+    // the big branches onto the fixtures and assert pair-level equality for
+    // every gated operator — the at-scale plan shape must not change one
+    // result row.
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+    def results(): Map[String, Seq[(Long, Long)]] = Map(
+      "near" -> Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted,
+      "prefix" -> Dedup.prefixJoinPairs(docs, "text", "doc_id", threshold = 0.2)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted,
+      "contain" -> Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.5)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted,
+      "winnow" -> Dedup.winnowPairs(docs, "text", "doc_id")
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted)
+    val small = results()
+    assert(small("near").nonEmpty || small("prefix").nonEmpty) // non-vacuous
+    System.setProperty("graft.test.sizeRatioPrefilterMinBytes", "1")
+    try {
+      val big = results()
+      small.keys.foreach(k => assert(big(k) === small(k), s"op $k"))
+    } finally System.clearProperty("graft.test.sizeRatioPrefilterMinBytes")
+  }
+
   test("bloomNewDocs: exact at any fpp — equals the plain anti-join") {
     // corpus of 300 docs; batch of 100 where 40 are verbatim corpus dups.
     // fpp 0.4 forces false positives through the probe, so this asserts the
