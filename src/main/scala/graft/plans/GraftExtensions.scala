@@ -92,12 +92,66 @@ object HeightBucketPruning extends Rule[LogicalPlan] {
   }
 }
 
+/** ClickHouse's `FINAL` modifier as a Spark query hint (SURVEY §4 optional
+  * polish #1, opt-in form): `df.hint("FINAL")` — or
+  * `SELECT /*+ FINAL */ …` on the SQL surface — rewrites the hinted
+  * subtree to its latest-full-row-per-key view during analysis.
+  *
+  * The dedup spec (keys + version column) is resolved against
+  * [[graft.store.Store.versionedTables]] by SCHEMA inference: exactly one
+  * registry entry whose key and version columns all appear in the child's
+  * output. Zero matches or an ambiguous schema fail loudly — a silent
+  * raw read is exactly the hazard the hint exists to close. The rewrite
+  * is the same window plan `Store.latest` builds (row_number over keys,
+  * version desc, keep rank 1), so hinted and explicit reads are
+  * plan-identical.
+  *
+  * Opt-in by design: an automatic rewrite of every versioned-table read
+  * would break the call sites that legitimately read raw appends (ingest
+  * counters, compaction audits, partition-layout checks). */
+object FinalHintResolution extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, UnresolvedHint, Window}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case h @ UnresolvedHint(name, _, child) if name.equalsIgnoreCase("FINAL") =>
+      if (!child.resolved) h
+      else {
+        val matches = graft.store.Store.versionedTables.toSeq.filter {
+          case (_, (keys, ver)) =>
+            (keys :+ ver).forall(c => child.output.exists(_.name == c))
+        }
+        matches match {
+          case Seq((_, (keys, ver))) => latestPlan(child, keys, ver)
+          case Seq() => throw new IllegalArgumentException(
+            "FINAL hint: no versioned-table spec matches schema " +
+              child.output.map(_.name).mkString("[", ", ", "]") +
+              s" (registry: ${graft.store.Store.versionedTables.keys.mkString(", ")})")
+          case many => throw new IllegalArgumentException(
+            s"FINAL hint: ambiguous schema matches ${many.map(_._1).sorted.mkString(", ")}")
+        }
+      }
+  }
+
+  /** row_number() over (partition by keys order by ver desc) == 1, then
+    * project the original columns — Store.latest's exact plan. */
+  private def latestPlan(child: LogicalPlan, keys: Seq[String],
+                         ver: String): LogicalPlan = {
+    def attr(n: String) = child.output.find(_.name == n).get
+    val order = Seq(SortOrder(attr(ver), Descending))
+    val spec = WindowSpecDefinition(keys.map(attr), order, UnspecifiedFrame)
+    val rn = Alias(WindowExpression(RowNumber(), spec), "__rn")()
+    val win = Window(Seq(rn), keys.map(attr), order, child)
+    Project(child.output, Filter(EqualTo(rn.toAttribute, Literal(1)), win))
+  }
+}
+
 /** Session-extension registration: `SparkSession.builder()
   * .withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => HeightBucketPruning)
+    e.injectResolutionRule(_ => FinalHintResolution)
   }
 }
 

@@ -436,7 +436,23 @@ object Queries {
           .select("user_id", "event_id", "value").orderBy("user_id"),
       Some("SELECT user_id, event_id, value FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn " +
-        "FROM events) t WHERE rn = 1 ORDER BY user_id")))
+        "FROM events) t WHERE rn = 1 ORDER BY user_id")),
+
+    ("w3_final_hint", // the FINAL query hint (ClickHouse's FINAL modifier
+      // as a Spark hint, resolved by the injected FinalHintResolution
+      // rule against the versioned-table registry): latest-per-key through
+      // the ANALYZER, not an explicit latest() call. Output keeps only
+      // (key, winning version) — tie-insensitive, so the arbitrary-row
+      // tie-break can't leak nondeterminism into the hash gate.
+      (s: SparkSession, d: String) =>
+        Td.events(s, d)
+          .select(col("user_id").as("height"), col("ts").as("created_at"),
+            col("event_id"))
+          .hint("FINAL")
+          .select(col("height"), expr("created_at div 1000").as("created_at_us"))
+          .orderBy("height"),
+      Some("SELECT user_id AS height, max(epoch_us(ts)) AS created_at_us " +
+        "FROM events GROUP BY user_id ORDER BY height")))
 
   // ------------------------------------------------------------------------
   // O — sorts / limits / top-k

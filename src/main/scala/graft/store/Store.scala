@@ -91,6 +91,17 @@ object Store {
     "type_wasm" -> Seq("tx_hash"),
     "type_message" -> Seq("tx_hash"))
 
+  /** ReplacingMergeTree-versioned tables: dedup keys + version column —
+    * the registry the FINAL query hint
+    * ([[graft.plans.FinalHintResolution]]) resolves against by schema
+    * inference (ref models.js ORDER BY/ver pairs; same specs every
+    * `latest()` call site passes explicitly). */
+  val versionedTables: Map[String, (Seq[String], String)] = Map(
+    "blocks" -> ((Seq("height"), "created_at")),
+    "index_state" -> ((Seq("index_name"), "updated_at")),
+    "work_queue" -> ((Seq("id"), "updated_at")),
+    "failed_blocks" -> ((Seq("block_height"), "last_retry_at")))
+
   /** Background-merge analogue (the job ClickHouse's MergeTree does
     * asynchronously): rewrite a versioned table to its latest() view,
     * reclaiming superseded rows. Atomic-ish via tmp-dir + rename swap. */

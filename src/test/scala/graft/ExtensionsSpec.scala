@@ -64,4 +64,34 @@ class ExtensionsSpec extends SparkTestBase {
     val q2 = df.filter(col("height") >= col("height_bucket"))
     assert(q2.count() === 2)
   }
+
+  test("FINAL hint: rewrites to latest-per-key, equal to Store.latest, SQL surface works") {
+    // blocks-shaped frame: (height, created_at) spec from the registry
+    val df = Seq(
+      (1L, 100L, "a"), (1L, 200L, "b"), // height 1: v200 wins
+      (2L, 50L, "c")).toDF("height", "created_at", "payload")
+    val viaHint = df.hint("FINAL").orderBy("height")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val viaApi = Store.latest(df, Seq("height"), "created_at").orderBy("height")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(viaHint.toSeq === viaApi.toSeq)
+    assert(viaHint.toSeq === Seq((1L, 200L, "b"), (2L, 50L, "c")))
+    // SQL surface: the ClickHouse-FINAL analogue as a hint
+    df.createOrReplaceTempView("final_hint_t")
+    // the hint goes on the table read (innermost select) — above a
+    // projection the version column may already be pruned away
+    val viaSql = spark.sql(
+      "SELECT height, payload FROM (SELECT /*+ FINAL */ * FROM final_hint_t) " +
+        "ORDER BY height")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaSql.toSeq === Seq((1L, "b"), (2L, "c")))
+    // unknown schema fails loudly, never silently reads raw
+    val bad = Seq((1L, "x")).toDF("some_id", "v")
+    val e = intercept[Exception](bad.hint("FINAL").collect())
+    assert(e.getMessage.contains("FINAL hint"))
+    // ambiguous schema (blocks + work_queue specs both present) fails loudly
+    val amb = Seq((1L, 2L, 3L, 4L)).toDF("height", "created_at", "id", "updated_at")
+    val e2 = intercept[Exception](amb.hint("FINAL").collect())
+    assert(e2.getMessage.contains("ambiguous"))
+  }
 }
