@@ -127,6 +127,24 @@ class PlanSpec extends SparkTestBase {
     assert(hashExchanges <= 1, s"$hashExchanges hash exchanges:\n${p.take(2500)}")
   }
 
+  test("prefix/containment joins: dictionary-encoded — no rank window, no cartesian") {
+    // the round-8 rewrite replaced the per-doc row_number window with
+    // dense-id array positions; a Window node reappearing means the
+    // token-stream shuffle came back
+    for (q <- Seq("x_prefix_pairs", "x_containment_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), q)
+      assert(p.contains("sorted_intersect_count_long"), s"$q verify not native")
+    }
+  }
+
+  test("x_bloom_new_docs: bloom probe evaluated in the scan filter, no shuffle before it") {
+    val p = plan("x_bloom_new_docs")
+    assert(p.contains("bloom_might_contain"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen active in flagship plan") {
     // AQE wraps the plan pre-execution; disable it for this one inspection so
     // the WholeStageCodegen spans are visible in the physical plan.
