@@ -8,6 +8,13 @@ import org.apache.spark.sql.functions._
   * All pure column expressions (whole-stage-codegen friendly). */
 object TextFns {
 
+  /** Unicode cleanup (CCNet/ftfy-style, run BEFORE fingerprinting/dedup so
+    * encoding noise can't defeat exact matching): NFC composition, C0/DEL
+    * controls → space, space runs collapsed, trimmed. Native codegen
+    * expression; DuckDB-oracle-checkable because NFC is pinned by Unicode. */
+  def normalizeText(text: Column): Column =
+    graft.functions.GraftExpressions.normalize_text(text)
+
   /** Whitespace token count (split on single space, like the corpus format). */
   def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
 

@@ -360,6 +360,32 @@ case class SortedContains(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode text cleanup as a codegen'd unary expression: NFC composition +
+  * C0/DEL controls → space + space-run collapse + trim (the CCNet/ftfy-
+  * style step run before any fingerprinting/dedup so byte-level encoding
+  * noise doesn't defeat exact matching). Kernel in [[Fns.normalizeTextStr]];
+  * the DuckDB oracle twin is nfc_normalize + regexp_replace — NFC is
+  * pinned by Unicode, so both engines agree. */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(Fns.normalizeTextStr(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"UTF8String.fromString(graft.functions.Fns.normalizeTextStr($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 /** 16-bit SimHash of a word array as ONE native kernel call per row —
   * bit-identical to the Catalyst fold form (md5 per word, bit p votes on
   * whether hex digit p ≥ 8 i.e. the nibble's high bit; ties and the empty
@@ -720,6 +746,9 @@ object GraftExpressions {
   def simhash16(words: Column): Column =
     column(SimHash16(expression(words)))
 
+  def normalize_text(c: Column): Column =
+    column(NormalizeText(expression(c)))
+
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(vec),
       codebooks.map(_.map(_.toSeq).toSeq).toSeq))
@@ -740,5 +769,15 @@ object GraftExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_contains",
       exprs => SortedContains(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count_long",
+      exprs => SortedIntersectCountLong(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_contains_long",
+      exprs => SortedContainsLong(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash16", exprs => SimHash16(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_text", exprs => NormalizeText(exprs.head), "built-in")
   }
 }

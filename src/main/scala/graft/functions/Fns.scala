@@ -126,4 +126,28 @@ object Fns {
   /** F19 numeric flavor: null or 0 -> default. */
   def falsyDefaultNum(c: Column, dflt: Double): Column =
     when(c.isNull || c === 0, lit(dflt)).otherwise(c)
+
+  /** Unicode cleanup core (the CCNet/ftfy-style pre-dedup step): NFC
+    * composition, C0/DEL control characters → space, space runs collapsed,
+    * ends trimmed. NFC is pinned by Unicode (same answer from
+    * java.text.Normalizer and DuckDB's utf8proc nfc_normalize), which is
+    * what makes the operator oracle-checkable cross-engine. Tabs/newlines
+    * are C0 controls, so they normalize to single spaces too. */
+  def normalizeTextStr(s: String): String = {
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < nfc.length) {
+      val c = nfc.charAt(i)
+      if (c <= '\u001f' || c == '\u007f' || c == ' ') pendingSpace = true
+      else {
+        if (pendingSpace && sb.length() > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
 }

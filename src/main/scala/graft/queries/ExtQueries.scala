@@ -851,6 +851,28 @@ object ExtQueries {
         s"round($QualitySql, 6) AS quality " +
         s"FROM $Docs ORDER BY doc_id")),
 
+    ("x_text_normalize", // unicode cleanup (CCNet/ftfy step): NFC compose +
+      // controls→space + space-run collapse + trim, run over docs with
+      // deterministic synthetic noise injected (decomposed e+combining-
+      // accent, tab, C0 control, double spaces) so the normalization path
+      // is exercised, not just passed through. NFC is pinned by Unicode —
+      // java.text.Normalizer and DuckDB's utf8proc agree — so the gate
+      // hash-checks the normalized text itself. Pure per-row map.
+      (s: SparkSession, d: String) => {
+        val noisy = t(s, d, "documents").select(col("doc_id"),
+          concat(lit("cafe\u0301 \t"), col("text"),
+            lit("  x\u0001y  ")).as("t2"))
+        noisy.select(col("doc_id"),
+          TextFns.normalizeText(col("t2")).as("clean"),
+          length(TextFns.normalizeText(col("t2"))).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars FROM " +
+        "(SELECT doc_id, trim(regexp_replace(regexp_replace(nfc_normalize(" +
+        "'caf' || chr(101) || chr(769) || ' ' || chr(9) || text || '  x' || chr(1) || 'y  '" +
+        "), '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS clean " +
+        s"FROM $Docs) ORDER BY doc_id")),
+
     ("x_text_scrub", // PII-style redaction audit: deterministic synthetic
       // PII (doc_id-derived email, URL, 8+-digit ref) is appended to each
       // doc, counted pre-scrub, then scrubbed URL -> email -> digit-run.

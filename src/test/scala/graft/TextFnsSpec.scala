@@ -237,4 +237,27 @@ class TextFnsSpec extends SparkTestBase {
     val nGrams = big.split(" ").sliding(k).length
     assert(got(0).size < nGrams && got(0).size >= nGrams / (w + 1))
   }
+
+  test("normalizeText: NFC composition, controls to space, collapse, trim") {
+    val vectors = Seq(
+      ("café", "café"), //        decomposed -> composed (NFC)
+      ("a\tb\nc", "a b c"), //          C0 controls become single spaces
+      ("  a   b  ", "a b"), //          runs collapse, ends trim
+      ("xyz", "x y z"), //  C0 + DEL
+      ("", ""),
+      ("\t\t", ""), //                  all-control -> empty
+      ("héllo wörld", "héllo wörld")) // already-NFC text unchanged
+    val got = vectors.map(_._1).toDF("t")
+      .select(TextFns.normalizeText(col("t"))).collect().map(_.getString(0))
+    assert(got.toSeq === vectors.map(_._2))
+    // exact-dedup motivation: byte-different, visually-identical texts
+    // fingerprint equal AFTER normalization
+    val pair = Seq("café  au lait", "café au\tlait").toDF("t")
+      .select(md5(TextFns.normalizeText(col("t")))).collect().map(_.getString(0))
+    assert(pair(0) === pair(1))
+    // null propagates
+    val nul = Seq(Option.empty[String]).toDF("t")
+      .select(TextFns.normalizeText(col("t"))).collect()(0)
+    assert(nul.isNullAt(0))
+  }
 }
