@@ -335,6 +335,16 @@ object ScaleProbe {
         "text", "doc_id", threshold = 0.2).count()
     }
     results += "incr_probe" -> ((tIncr, rIncr))
+    // Bloom-accelerated incremental EXACT dedup on the same refresh split:
+    // filter build (treeAggregate over the corpus half) timed apart from
+    // the probe, mirroring the band store's build/probe split.
+    val (tBloom, rBloom) = time {
+      Dedup.bloomNewDocs(
+        docs.filter(col("doc_id") >= half),
+        docs.filter(col("doc_id") < half),
+        "text", "doc_id", fpp = 0.01, expectedItems = half).count()
+    }
+    results += "bloom_new_docs" -> ((tBloom, rBloom))
     } // skip("store")
 
     val (tTok, rTok) = time {
