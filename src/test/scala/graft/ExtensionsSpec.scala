@@ -65,6 +65,38 @@ class ExtensionsSpec extends SparkTestBase {
     assert(q2.count() === 2)
   }
 
+  test("native kernels: interpreted eval matches the codegen'd column path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // NormalizeText
+    val nt = graft.functions.NormalizeText(Literal("a  b́  "))
+    assert(nt.eval(null).asInstanceOf[UTF8String].toString ===
+      graft.functions.Fns.normalizeTextStr("a  b́  "))
+    // SimHash16 over a words literal
+    val wordsLit = Literal.create(Seq("lower", "stow"),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val sh = graft.functions.SimHash16(wordsLit)
+    val viaCol = Seq(Seq("lower", "stow")).toDF("ws")
+      .select(graft.functions.GraftExpressions.simhash16(col("ws")))
+      .collect()(0).getLong(0)
+    assert(sh.eval(null).asInstanceOf[Long] === viaCol)
+    // PqEncode on a real codebook + vector
+    val cbs = Array.tabulate(2, 4, 2)((s, c, d) => (s + c * 2 + d).toDouble)
+    val vec = Literal.create(Seq(1.0f, 2.0f, 3.0f, 4.0f),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val pq = graft.functions.PqEncode(vec,
+      cbs.map(_.map(_.toSeq).toSeq).toSeq)
+    val interp = pq.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+    val viaCol2 = Seq(Seq(1.0f, 2.0f, 3.0f, 4.0f)).toDF("v")
+      .select(graft.functions.GraftExpressions.pq_encode(col("v"), cbs))
+      .collect()(0).getSeq[Int](0)
+    assert(interp === viaCol2)
+  }
+
   test("FINAL hint: rewrites to latest-per-key, equal to Store.latest, SQL surface works") {
     // blocks-shaped frame: (height, created_at) spec from the registry
     val df = Seq(
