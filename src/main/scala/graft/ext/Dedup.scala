@@ -591,19 +591,20 @@ object Dedup {
       .filter(col("__tid") < nCapped)
     def side(tag: String) = pre.select(col(idCol).as(s"${tag}_id"),
       col("__n").as(s"__n$tag"), col("__tid")).hint("shuffle_hash")
-    // sizes ride along through the distinct (they are functions of the ids,
-    // so the pair cardinality is unchanged): the verify can then compute
-    // |A∪B| = |A|+|B|−|A∩B| arithmetically instead of allocating an
-    // array_union per pair — the sets are distinct, so this is exact
+    // the size-ratio bound is applied INSIDE the join (where sizes already
+    // ride the prefix rows); the distinct then shuffles bare id pairs —
+    // sizes are re-read as size(tids) at the verify, since the id arrays
+    // ARE the full sets. |A∪B| = |A|+|B|−|A∩B| arithmetically — the sets
+    // are distinct, so this is exact, no array_union allocation.
     val cands = side("a").join(side("b"), Seq("__tid"))
       .filter(col("a_id") < col("b_id"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(threshold) * greatest(col("__na"), col("__nb")))
-      .select("a_id", "b_id", "__na", "__nb").distinct()
+      .select("a_id", "b_id").distinct()
     // when the corpus is small, broadcast the id sets: the candidate pairs
-    // then never shuffle array payloads — each pair row carries only ids +
-    // sizes and probes the hashed sets in place. At scale the stats read
-    // big and this degrades gracefully to the shuffled join.
+    // then never shuffle array payloads — each pair row carries only ids
+    // and probes the hashed sets in place. At scale the stats read big and
+    // this degrades gracefully to the shuffled join.
     def setsSide(tag: String) = {
       val s = isets.select(col(idCol).as(s"${tag}_id"), col("tids").as(s"t$tag"))
       if (big) s else broadcast(s)
@@ -614,7 +615,7 @@ object Dedup {
       .join(setsSide("a"), Seq("a_id"))
       .join(setsSide("b"), Seq("b_id"))
       .withColumn("jaccard",
-        inter / (col("__na") + col("__nb") - inter))
+        inter / ((size(col("ta")) + size(col("tb"))).cast("double") - inter))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
