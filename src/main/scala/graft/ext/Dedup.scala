@@ -706,7 +706,7 @@ object Dedup {
     val cands = pref.join(index, Seq("__tid"))
       .filter(col("a_id") =!= col("b_id"))
       .filter(col("__nb") >= ceil(lit(threshold) * col("__na")))
-      .select("a_id", "b_id", "__na").distinct()
+      .select("a_id", "b_id").distinct() // |A| re-read as size(ta) at verify
     // verify on the capped sorted id sets — native long merge, no allocs
     def side(tag: String) = {
       val s = isets.select(col(idCol).as(s"${tag}_id"), col("tids").as(s"t$tag"))
@@ -717,7 +717,7 @@ object Dedup {
     cands
       .join(side("a"), Seq("a_id"))
       .join(side("b"), Seq("b_id"))
-      .withColumn("containment", round(inter / col("__na"), 6))
+      .withColumn("containment", round(inter / size(col("ta")).cast("double"), 6))
       .filter(col("containment") >= threshold)
       .select("a_id", "b_id", "containment")
   }
