@@ -833,7 +833,13 @@ object Dedup {
                    fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
     val spark = newDf.sparkSession
     import spark.implicits._
+    // Null text hashes to null: drop those fingerprints from the filter
+    // build (putString(null) NPEs in treeAggregate) and route null-hash
+    // batch rows around the bloom probe entirely, so the output matches the
+    // plain anti-join twin, where a NULL content_hash never equi-matches
+    // and the row always comes out "new".
     val oldFp = oldDf.select(md5(col(textCol)).as("__fp"))
+      .filter(col("__fp").isNotNull)
     val expected = if (expectedItems > 0) expectedItems
       else math.max(1L, oldFp.count())
     val bf = oldFp.as[String].rdd.treeAggregate(
@@ -843,8 +849,8 @@ object Dedup {
       .withColumn("__might",
         graft.functions.GraftExpressions.bloom_might_contain(
           col("content_hash"), bf))
-    val definiteNew = probed.filter(!col("__might"))
-    val suspects = probed.filter(col("__might"))
+    val definiteNew = probed.filter(col("content_hash").isNull || !col("__might"))
+    val suspects = probed.filter(col("content_hash").isNotNull && col("__might"))
       .join(oldFp.select(col("__fp").as("content_hash")).distinct(),
         Seq("content_hash"), "left_anti")
     definiteNew.unionByName(suspects).select(col(idCol), col("content_hash"))
@@ -1035,9 +1041,11 @@ object Dedup {
   /** SimHash over raw words — the native kernel form (md5 consumed as
     * bytes, no hex strings materialized); bit-identical to
     * [[simhash16FromHashes]] over `transform(words, md5)` (DedupSpec
-    * asserts on corpus text). Hot paths use this. */
+    * asserts on corpus text). Hot paths use this. The kernel propagates
+    * NULL for a null words array, so fold it to 0L here to keep the
+    * fold-form contract (null text -> signature 0, never a NULL band key). */
   def simhash16(words: Column): Column =
-    graft.functions.GraftExpressions.simhash16(words)
+    coalesce(graft.functions.GraftExpressions.simhash16(words), lit(0L))
 
   /** Hamming distance between two small signatures (for simhash pairing). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -187,6 +187,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       s"$prettyName requires two ARRAY<STRING> inputs, got " +
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  // A null SLOT inside a non-null array also yields null, so the output is
+  // nullable even when both inputs are non-nullable attributes; without this
+  // override the generated `ev.isNull = true` assigns to the literal `false`
+  // and the whole stage falls back to interpreted execution.
+  override def nullable: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -252,6 +257,9 @@ case class SortedIntersectCountLong(left: Expression, right: Expression)
       s"$prettyName requires two ARRAY<BIGINT> inputs, got " +
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  // See SortedIntersectCount: null slots make the output nullable regardless
+  // of input nullability; required for the codegen null branch to compile.
+  override def nullable: Boolean = true
   override def prettyName: String = "sorted_intersect_count_long"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -317,6 +325,8 @@ case class SortedContains(left: Expression, right: Expression)
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  // Null slot probed mid-search -> null; see SortedIntersectCount.
+  override def nullable: Boolean = true
   override def prettyName: String = "sorted_contains"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -579,6 +589,8 @@ case class SortedContainsLong(left: Expression, right: Expression)
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  // Null slot probed mid-search -> null; see SortedIntersectCount.
+  override def nullable: Boolean = true
   override def prettyName: String = "sorted_contains_long"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {

@@ -110,18 +110,15 @@ object HeightBucketPruning extends Rule[LogicalPlan] {
   * would break the call sites that legitimately read raw appends (ingest
   * counters, compaction audits, partition-layout checks). */
 object FinalHintResolution extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{Project, UnresolvedHint, Window}
+  import org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case h @ UnresolvedHint(name, _, child) if name.equalsIgnoreCase("FINAL") =>
       if (!child.resolved) h
       else {
-        val matches = graft.store.Store.versionedTables.toSeq.filter {
-          case (_, (keys, ver)) =>
-            (keys :+ ver).forall(c => child.output.exists(_.name == c))
-        }
+        val matches = FinalRewrite.specsMatching(child)
         matches match {
-          case Seq((_, (keys, ver))) => latestPlan(child, keys, ver)
+          case Seq((_, spec)) => FinalRewrite.latestPlan(child, spec)
           case Seq() => throw new IllegalArgumentException(
             "FINAL hint: no versioned-table spec matches schema " +
               child.output.map(_.name).mkString("[", ", ", "]") +
@@ -131,18 +128,72 @@ object FinalHintResolution extends Rule[LogicalPlan] {
         }
       }
   }
+}
 
-  /** row_number() over (partition by keys order by ver desc) == 1, then
-    * project the original columns — Store.latest's exact plan. */
-  private def latestPlan(child: LogicalPlan, keys: Seq[String],
-                         ver: String): LogicalPlan = {
+/** Shared FINAL machinery: spec inference + the latest-view window plan. */
+object FinalRewrite {
+  import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
+
+  /** Registry entries whose key/version/tie-break columns all appear in the
+    * plan's output — the schema-inference step both FINAL forms share. */
+  def specsMatching(plan: LogicalPlan): Seq[(String, graft.store.Store.VersionedSpec)] =
+    graft.store.Store.versionedTables.toSeq.filter {
+      case (_, spec) => spec.allCols.forall(c => plan.output.exists(_.name == c))
+    }
+
+  /** row_number() over (partition by keys order by ver desc, tieBreak desc)
+    * == 1, then project the original columns — Store.latest's exact plan,
+    * tie-breaks included, so hinted and explicit reads are plan-identical
+    * and deterministic under version ties (failed_blocks ties on id). */
+  def latestPlan(child: LogicalPlan,
+                 spec: graft.store.Store.VersionedSpec): LogicalPlan = {
     def attr(n: String) = child.output.find(_.name == n).get
-    val order = Seq(SortOrder(attr(ver), Descending))
-    val spec = WindowSpecDefinition(keys.map(attr), order, UnspecifiedFrame)
-    val rn = Alias(WindowExpression(RowNumber(), spec), "__rn")()
-    val win = Window(Seq(rn), keys.map(attr), order, child)
+    val order = (spec.ver +: spec.tieBreak).map(c => SortOrder(attr(c), Descending))
+    val winSpec = WindowSpecDefinition(spec.keys.map(attr), order, UnspecifiedFrame)
+    val rn = Alias(WindowExpression(RowNumber(), winSpec), "__rn")()
+    val win = Window(Seq(rn), spec.keys.map(attr), order, child)
     Project(child.output, Filter(EqualTo(rn.toAttribute, Literal(1)), win))
   }
+}
+
+/** SURVEY §4 polish #1, automatic form: with
+  * `spark.graft.autoFinal=true`, every LEAF relation whose schema matches
+  * exactly ONE registered versioned-table spec is rewritten to its
+  * latest-row-per-key view during analysis — ClickHouse's
+  * `final = 1` session setting, where every ReplacingMergeTree read is
+  * implicitly FINAL, without call sites spelling the hint.
+  *
+  * Off by default: raw-append call sites (ingest counters, compaction
+  * audits, partition-layout checks) must keep reading appends, so the
+  * automatic rewrite is an opt-in session mode, not engine default.
+  * Conservative in auto mode: zero or ambiguous schema matches skip the
+  * leaf silently (the explicit hint is where loud failure belongs — an
+  * auto mode that throws on every non-versioned scan would be unusable).
+  * A TreeNodeTag marks rewritten leaves so the analyzer's fixpoint loop
+  * does not re-wrap the same scan. */
+object AutoFinalResolution extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LeafNode
+  import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+
+  val ConfKey = "spark.graft.autoFinal"
+  private val rewritten = TreeNodeTag[Boolean]("graft.autoFinal.done")
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(ConfKey, "false").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.resolveOperatorsUp {
+      case leaf: LeafNode
+          if leaf.resolved && leaf.getTagValue(rewritten).isEmpty =>
+        FinalRewrite.specsMatching(leaf) match {
+          case Seq((_, spec)) =>
+            leaf.setTagValue(rewritten, true)
+            FinalRewrite.latestPlan(leaf, spec)
+          case _ => leaf
+        }
+    }
 }
 
 /** Session-extension registration: `SparkSession.builder()
@@ -152,6 +203,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => HeightBucketPruning)
     e.injectResolutionRule(_ => FinalHintResolution)
+    e.injectResolutionRule(_ => AutoFinalResolution)
   }
 }
 

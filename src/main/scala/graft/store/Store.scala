@@ -91,16 +91,26 @@ object Store {
     "type_wasm" -> Seq("tx_hash"),
     "type_message" -> Seq("tx_hash"))
 
-  /** ReplacingMergeTree-versioned tables: dedup keys + version column —
-    * the registry the FINAL query hint
+  /** Dedup spec of one ReplacingMergeTree-versioned table: dedup keys,
+    * version column, and the deterministic tie-break columns `latest()`
+    * call sites pass — carried here so the FINAL hint's window is
+    * plan-identical to the explicit read (failed_blocks ties on
+    * (block_height, last_retry_at) are broken by id, mirroring the
+    * reference ORDER BY (block_height, id)). */
+  final case class VersionedSpec(keys: Seq[String], ver: String,
+                                 tieBreak: Seq[String] = Nil) {
+    def allCols: Seq[String] = (keys :+ ver) ++ tieBreak
+  }
+
+  /** ReplacingMergeTree-versioned tables: the registry the FINAL query hint
     * ([[graft.plans.FinalHintResolution]]) resolves against by schema
     * inference (ref models.js ORDER BY/ver pairs; same specs every
     * `latest()` call site passes explicitly). */
-  val versionedTables: Map[String, (Seq[String], String)] = Map(
-    "blocks" -> ((Seq("height"), "created_at")),
-    "index_state" -> ((Seq("index_name"), "updated_at")),
-    "work_queue" -> ((Seq("id"), "updated_at")),
-    "failed_blocks" -> ((Seq("block_height"), "last_retry_at")))
+  val versionedTables: Map[String, VersionedSpec] = Map(
+    "blocks" -> VersionedSpec(Seq("height"), "created_at"),
+    "index_state" -> VersionedSpec(Seq("index_name"), "updated_at"),
+    "work_queue" -> VersionedSpec(Seq("id"), "updated_at"),
+    "failed_blocks" -> VersionedSpec(Seq("block_height"), "last_retry_at", Seq("id")))
 
   /** Background-merge analogue (the job ClickHouse's MergeTree does
     * asynchronously): rewrite a versioned table to its latest() view,

@@ -364,6 +364,11 @@ class DedupSpec extends SparkTestBase {
     val empty = Seq(Seq.empty[String]).toDF("ws")
       .select(Dedup.simhash16(col("ws"))).collect()(0).getLong(0)
     assert(empty === 0xFFFFL)
+    // null words array folds to 0L (the fold-form contract) — banding on
+    // the signature must never see a NULL key
+    val nullSig = Seq(Tuple1(null: Seq[String])).toDF("ws")
+      .select(Dedup.simhash16(col("ws"))).collect()(0)
+    assert(!nullSig.isNullAt(0) && nullSig.getLong(0) === 0L)
   }
 
   test("incremental near-dup from the persisted band store: equal result, store is scanned") {
@@ -555,5 +560,22 @@ class DedupSpec extends SparkTestBase {
       !graft.functions.GraftExpressions.bloom_might_contain(col("fp"), bf))
       .count()
     assert(misses === 0L)
+  }
+
+  test("bloomNewDocs: null text on either side matches the anti-join twin") {
+    // null corpus text must not NPE the filter build; null batch text rows
+    // never equi-match in the twin, so they must come out "new" here too.
+    val corpus = (Seq((0L, "shared doc"), (1L, null)) ++
+      (2 until 50).map(i => (i.toLong, s"corpus doc $i"))).toDF("doc_id", "text")
+    val batch = Seq((100L, "shared doc"), (101L, null), (102L, "fresh doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomNewDocs(batch, corpus, "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    val ref = batch.join(corpus.select(md5(col("text")).as("h")),
+        md5(batch("text")) === col("h"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq === ref.toSeq)
+    assert(got.map(_._1).toSeq === Seq(101L, 102L))
   }
 }

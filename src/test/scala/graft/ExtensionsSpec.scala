@@ -126,4 +126,72 @@ class ExtensionsSpec extends SparkTestBase {
     val e2 = intercept[Exception](amb.hint("FINAL").collect())
     assert(e2.getMessage.contains("ambiguous"))
   }
+
+  test("FINAL hint: version ties broken by the registry tie-break (failed_blocks id)") {
+    // failed_blocks shape: two rows share (block_height, last_retry_at);
+    // the spec's tieBreak Seq("id") must pick the max id deterministically,
+    // exactly like the explicit Store.latest(tieBreak = Seq("id")) read.
+    val df = Seq(
+      (10L, 500L, 1L, "first"), (10L, 500L, 2L, "second"),
+      (11L, 400L, 3L, "only")).toDF("block_height", "last_retry_at", "id", "err")
+    val viaHint = df.hint("FINAL").orderBy("block_height")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val viaApi = Store.latest(df, Seq("block_height"), "last_retry_at",
+        tieBreak = Seq("id")).orderBy("block_height")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(viaHint.toSeq === viaApi.toSeq)
+    assert(viaHint.toSeq === Seq((10L, 2L, "second"), (11L, 3L, "only")))
+  }
+
+  test("autoFinal conf: unhinted reads of versioned schemas rewrite to latest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_autofinal").toString
+    Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("height", "created_at", "payload").write.mode("overwrite").parquet(dir)
+    // off (default): raw append rows visible
+    assert(spark.read.parquet(dir).count() === 3L)
+    spark.conf.set(graft.plans.AutoFinalResolution.ConfKey, "true")
+    try {
+      val auto = spark.read.parquet(dir)
+      // the latest-view window is injected for the unhinted read
+      assert(auto.queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.nonEmpty)
+      val got = auto.orderBy("height").collect()
+        .map(r => (r.getLong(0), r.getString(2)))
+      assert(got.toSeq === Seq((1L, "b"), (2L, "c")))
+      // ambiguous / unknown schemas are skipped silently in auto mode
+      val amb = Seq((1L, 2L, 3L, 4L)).toDF("height", "created_at", "id", "updated_at")
+      assert(amb.count() === 1L)
+      assert(Seq((1L, "x")).toDF("some_id", "v").count() === 1L)
+    } finally spark.conf.unset(graft.plans.AutoFinalResolution.ConfKey)
+    assert(spark.read.parquet(dir).count() === 3L)
+  }
+
+  test("sorted kernels: nullable output survives non-nullable inputs under strict codegen") {
+    // sort_array(collect_list(..)) yields nullable=false array columns; the
+    // kernels' null branch (null SLOT -> null) must still compile — declare
+    // nullable=true and run with codegen fallback disabled so a generated-
+    // code compile error fails the test instead of silently interpreting.
+    val nl = org.apache.spark.sql.catalyst.expressions.Literal(null)
+    val exprs = Seq(
+      graft.functions.SortedIntersectCount(nl, nl),
+      graft.functions.SortedIntersectCountLong(nl, nl),
+      graft.functions.SortedContains(nl, nl),
+      graft.functions.SortedContainsLong(nl, nl))
+    exprs.foreach(e => assert(e.nullable, e.prettyName))
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val grouped = Seq((1, 10L), (1, 20L), (2, 10L), (2, 30L)).toDF("g", "v")
+        .groupBy("g").agg(sort_array(collect_list(col("v"))).as("vs"))
+      val joined = grouped.as("a").crossJoin(grouped.as("b"))
+        .select(
+          GraftExpressions.sorted_intersect_count_long(col("a.vs"), col("b.vs")).as("c"),
+          GraftExpressions.sorted_contains_long(col("a.vs"), lit(10L)).as("m"))
+        .orderBy(col("c"))
+      val rows = joined.collect()
+      assert(rows.length === 4)
+      assert(rows.map(_.getInt(0)).toSeq === Seq(1, 1, 2, 2))
+      assert(rows.forall(_.getBoolean(1)))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }
