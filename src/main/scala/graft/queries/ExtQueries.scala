@@ -563,8 +563,12 @@ object ExtQueries {
       // recall route at marginal J where LSH banding is structurally weak
       // (PLANS.md round-7 cap table) — at gate scale this emits EVERY pair
       // with J >= 0.2, which the capped-LSH x_near_dup cannot promise.
+      // served from the persisted shingle store: shingling + dictionary
+      // encode are paid once per (data, config) and shared with
+      // x_containment_pairs / x_source_overlap (the ingest-time artifact
+      // at scale); result-identical to the inline Dedup.prefixJoinPairs.
       (s: SparkSession, d: String) =>
-        Dedup.prefixJoinPairs(t(s, d, "documents"), "text", "doc_id",
+        Dedup.prefixJoinPairsFromStore(s, d, "doc_id", "text",
           threshold = 0.2)
           .orderBy("a_id", "b_id"),
       Some(s"$ShingleCte, ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh), " +
@@ -702,8 +706,10 @@ object ExtQueries {
       // Spark side prefix-filters the contained side (lossless on the
       // capped universe); the oracle verifies ALL token-sharing pairs
       // directly — slower but same answer, which is the point.
+      // shares the persisted shingle store with x_prefix_pairs (capped
+      // universe = ids below the cap count; same dense order)
       (s: SparkSession, d: String) =>
-        Dedup.containmentPairs(t(s, d, "documents"), "text", "doc_id",
+        Dedup.containmentPairsFromStore(s, d, "doc_id", "text",
           shingleK = 3, threshold = 0.5)
           .orderBy("a_id", "b_id"),
       Some(s"$ShingleCte, dd AS (SELECT DISTINCT doc_id, s FROM u), " +
@@ -1262,7 +1268,7 @@ object ExtQueries {
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
         Dedup.sourceOverlapFromPairs(
-          Dedup.prefixJoinPairs(docs, "text", "doc_id", threshold = 0.2),
+          Dedup.prefixJoinPairsFromStore(s, d, "doc_id", "text", threshold = 0.2),
           docs, "doc_id", "source")
           .orderBy("source_a", "source_b")
       },

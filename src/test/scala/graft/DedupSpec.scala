@@ -222,6 +222,36 @@ class DedupSpec extends SparkTestBase {
     } finally { corpus.unpersist(); () }
   }
 
+  test("shingle store: store-backed pair joins equal the inline forms; artifact built once") {
+    val inlineDocs = graft.queries.Td.t(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame, cols: (String, String, String)) =
+      df.orderBy(cols._1, cols._2).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+    val storePath = Dedup.shingleStorePathFor(spark, sf0001, "doc_id", "text")
+    // both tables materialized behind the readiness marker
+    assert(new java.io.File(s"$storePath/_GRAFT_READY").exists())
+    assert(spark.read.parquet(s"$storePath/isets").columns.toSet === Set("doc_id", "tids"))
+    assert(spark.read.parquet(s"$storePath/freq").columns.toSet === Set("__tid", "__f"))
+    // prefix: store == inline, at two thresholds
+    for (t <- Seq(0.2, 0.5)) {
+      val viaStore = pairs(Dedup.prefixJoinPairsFromStore(
+        spark, sf0001, "doc_id", "text", threshold = t), ("a_id", "b_id", "jaccard"))
+      val viaInline = pairs(Dedup.prefixJoinPairs(
+        inlineDocs, "text", "doc_id", threshold = t), ("a_id", "b_id", "jaccard"))
+      assert(viaStore === viaInline, s"prefix t=$t")
+    }
+    // containment: store == inline
+    val cStore = pairs(Dedup.containmentPairsFromStore(
+      spark, sf0001, "doc_id", "text", threshold = 0.5), ("a_id", "b_id", "containment"))
+    val cInline = pairs(Dedup.containmentPairs(
+      inlineDocs, "text", "doc_id", threshold = 0.5), ("a_id", "b_id", "containment"))
+    assert(cStore === cInline)
+    // same (data, config) key resolves to the same artifact — built once
+    assert(Dedup.shingleStorePathFor(spark, sf0001, "doc_id", "text") === storePath)
+  }
+
   test("source overlap: exact-fp pair arithmetic and pairs-based matrix agree with hand counts") {
     import spark.implicits._
     // "boiler" appears 3x in src A, 2x in src B; "uniq" rows are singletons

@@ -136,6 +136,12 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("Window"), s"$q grew a window:\n${p.take(1500)}")
       assert(!p.contains("CartesianProduct"), q)
       assert(p.contains("sorted_intersect_count_long"), s"$q verify not native")
+      // round-9: served from the persisted shingle store — every file scan
+      // reads the artifact, never the raw documents (the shingle/frequency/
+      // dictionary build must not reappear in the per-query plan)
+      assert(p.contains("shingle_store"), s"$q not reading the shingle store")
+      assert(!p.contains("documents.parquet"),
+        s"$q re-reads raw documents:\n${p.take(1500)}")
     }
   }
 
