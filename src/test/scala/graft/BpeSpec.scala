@@ -41,6 +41,31 @@ class BpeSpec extends SparkTestBase {
     assert(got.nonEmpty && got.head._2.nonEmpty)
   }
 
+  test("train: driver-side rounds match the reference on corpus text, 1000 merges are cheap") {
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+      .select("text").limit(120)
+    val words = docs.collect().flatMap(_.getString(0).split(" ")).toSeq
+    // merge-for-merge equivalence at depth (50 rounds exercises multi-char
+    // symbols and count-decay ties well past the classic example)
+    assert(Bpe.train(docs, "text", nMerges = 50) === refTrain(words, 50))
+    // the full-vocabulary scale: after the single corpus agg, 1000 merge
+    // rounds are driver-local — wall-clock seconds, not 1000 Spark jobs
+    // (generous bound: this VM has bursty CPU steal)
+    // deep-vocabulary scale: the 31-word synthetic corpus saturates (every
+    // word fuses to one symbol) well before 1000 merges, so train a big
+    // SYNTHETIC vocabulary driver-side to exercise 1000 real rounds
+    val rng = new scala.util.Random(42)
+    val synth = Array.tabulate(20000) { i =>
+      (Seq.fill(6 + rng.nextInt(10))(('a' + rng.nextInt(26)).toChar).mkString,
+        1L + rng.nextInt(50))
+    }
+    val t0 = System.nanoTime()
+    val deep = Bpe.trainFromVocab(synth, 1000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(deep.length === 1000)
+    assert(secs < 30.0, s"1000-merge training took ${secs}s")
+  }
+
   test("early stop when no pair repeats; tokenizeWord applies merges in order") {
     val docs = Seq("ab cd").toDF("text")
     // each word appears once; every pair count is 1 < 2 -> zero merges
