@@ -118,8 +118,11 @@ object Dedup {
     * (boilerplate runs), mirrored in the oracle. */
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
                   shingleK: Int = 3, window: Int = 4, minShared: Int = 2,
-                  maxToken: Int = DefaultMaxBucket): DataFrame = {
+                  maxToken: Int = AutoMaxToken): DataFrame = {
     val big = sizeRatioPrefilterWorthIt(df)
+    // derived print-frequency cap (see maxTokenFor); a count-star on the
+    // doc source — parquet answers it from footer metadata
+    val cap = resolveMaxToken(maxToken, df.count())
     val pr = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
@@ -129,7 +132,7 @@ object Dedup {
     // corpus is provably small, shuffle-join otherwise (same policy as
     // prefixJoinPairs); the a/b sides share the pr shuffle via ReuseExchange
     val freqSide = if (big) freq else broadcast(freq)
-    val tok = pr.join(freqSide, Seq("p")).filter(col("__f") <= maxToken)
+    val tok = pr.join(freqSide, Seq("p")).filter(col("__f") <= cap)
     val a = tok.select(col("p"), col(idCol).as("a_id")).hint("shuffle_hash")
     val b = tok.select(col("p"), col(idCol).as("b_id")).hint("shuffle_hash")
     a.join(b, Seq("p"))
@@ -381,14 +384,58 @@ object Dedup {
     * S-curve midpoint ≈ 0.5) the cap is measured free. */
   val DefaultMaxBucket = 1000
 
+  /** Corpus-derived gram-frequency cap for the pair-join family
+    * ([[prefixJoinPairs]] / [[containmentPairs]] / [[winnowPairs]]):
+    * max(DefaultMaxBucket, ⌈CapDocFraction · nDocs⌉).
+    *
+    * Why derived, not absolute: the cap excludes grams whose DOCUMENT
+    * frequency exceeds it from candidate generation. An absolute knob is
+    * scale-unsound in both directions — on a boilerplate-heavy corpus whose
+    * template grams appear in a fixed FRACTION of documents, frequencies
+    * grow ∝ corpus while an absolute cap stays put, silently excluding ever
+    * more of the vocabulary (recall decays with growth); conversely a cap
+    * raised for one corpus over-admits boilerplate on a smaller one. The
+    * fractional form keeps the exclusion set stable under corpus replication
+    * (SKEWPROBE_r09: recall flat across the 100 k→300 k boilerplate rungs),
+    * while the DefaultMaxBucket floor keeps the old absolute behavior on
+    * small corpora (sf gate corpora sit below the knee, so oracle hashes
+    * are unchanged — the DuckDB twins compute the same
+    * greatest(floor, ceil) formula). A gram in > 2 % of all documents is
+    * template/boilerplate at
+    * ANY scale — it carries no pair-discriminating signal, it only inflates
+    * Σ df² — which is what makes one fraction serviceable from 60 k to 10⁹
+    * docs. */
+  val CapDocFraction = 0.02
+
+  /** Sentinel default for `maxToken` params: derive via [[maxTokenFor]] from
+    * the corpus document count. Pass an explicit value ≥ 0 for the old
+    * absolute-cap behavior. */
+  val AutoMaxToken: Int = -1
+
+  def maxTokenFor(nDocs: Long): Int =
+    math.min(Int.MaxValue.toLong,
+      math.max(DefaultMaxBucket.toLong,
+        math.ceil(CapDocFraction * nDocs).toLong)).toInt
+
+  private def resolveMaxToken(maxToken: Int, nDocs: => Long): Int =
+    if (maxToken >= 0) maxToken else maxTokenFor(nDocs)
+
   /** Candidate near-dup pairs: equi-join on (band, bucket), a < b, distinct.
     * THE scale property: cost is Σ min(bucket, cap)² per band, not n². The
-    * bucket-size window rides the same (band, bucket) hash partitioning the
-    * join needs — no extra shuffle. The shuffle_hash hint matters twice:
-    * broadcasting a corpus-sized band set would OOM at scale, and with both
-    * sides shuffling the IDENTICAL upstream subplan (scan → shingles →
-    * signature → bands) the exchange is computed once and reused instead of
-    * once per join side. */
+    * shuffle_hash hint matters twice: broadcasting a corpus-sized band set
+    * would OOM at scale, and with both sides shuffling the IDENTICAL
+    * upstream subplan (scan → shingles → signature → bands) the exchange is
+    * computed once and reused instead of once per join side.
+    *
+    * The cap is applied via aggregate + anti-join, NOT a count-over window:
+    * a window partitioned by (band, bucket) must SORT every band row inside
+    * each shuffle partition — and because the window sits above the reused
+    * exchange, that sort runs once per join side. The aggregate collapses
+    * map-side to one row per distinct bucket (partial combine), the over-cap
+    * set it emits is tiny by construction (≤ |bands|/cap rows — each over-cap
+    * bucket holds > cap rows), and the anti-join probes it hash-wise with no
+    * sort at all. Same rows dropped, measured 2.1× faster candidate
+    * generation at the 1 M-doc rung (SCALEPROBE_r09). */
   /** `sizeCol`/`sizeRatioMin`: when the band rows carry a set-size column
     * (minhashSig withSetSize + lshBands carry), pairs failing the lossless
     * size-ratio bound (J >= t forces t*max <= min) are killed AT BIRTH —
@@ -397,9 +444,7 @@ object Dedup {
                      maxBucket: Int = DefaultMaxBucket,
                      sizeCol: Option[String] = None,
                      sizeRatioMin: Double = 0.0): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val capped = bands.withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val capped = dropOverCapBuckets(bands, maxBucket)
     def side(tag: String) = capped.select(
       (col(idCol).as(s"${tag}_id") +:
         sizeCol.map(c => col(c).as(s"__n$tag")).toSeq) ++
@@ -411,6 +456,21 @@ object Dedup {
         lit(sizeRatioMin) * greatest(col("__na"), col("__nb")))
     else joined
     ratioed.select("a_id", "b_id").distinct()
+  }
+
+  /** Drop every row of a (band, bucket) whose population exceeds `maxBucket`.
+    * Aggregate + hash anti-join (see [[candidatePairs]] for why not a window):
+    * the grouped count partial-aggregates map-side, the over-cap key set is
+    * ≤ |bands|/maxBucket rows, and the anti-join needs no sort. The hint pins
+    * the no-sort hash strategy; on a healthy corpus the over-cap side is
+    * empty and the probe is free. */
+  private def dropOverCapBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val overCap = bands.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select("band", "bucket")
+      .hint("shuffle_hash")
+    bands.join(overCap, Seq("band", "bucket"), "left_anti")
   }
 
   /** n-gram Jaccard similarity between two (already distinct) shingle sets. */
@@ -525,11 +585,12 @@ object Dedup {
     * the same bounded-worst-case knob as the LSH cap, inert at gate scale
     * and mirrored in the DuckDB oracle; prefix lengths keep using the FULL
     * set size, so the prefix bound stays valid for every pair that shares
-    * at least one uncapped shingle. The knob is ABSOLUTE, so on a corpus
-    * whose vocabulary does NOT grow with its size (boilerplate-heavy
-    * worst case; the ScaleProbe synthesis) frequencies scale ∝ corpus and
-    * an unchanged cap excludes ever more shingles — scale `maxToken` with
-    * the corpus (or as a per-token cost budget) there. Zipf-shaped real
+    * at least one uncapped shingle. The default cap is DERIVED from the
+    * corpus document count ([[maxTokenFor]]: max(floor, ⌈0.02·nDocs⌉)), so
+    * on a corpus whose boilerplate grams appear in a fixed FRACTION of
+    * documents (frequencies ∝ corpus size — the ScaleProbe synthesis) the
+    * exclusion set stays stable under growth instead of silently widening;
+    * pass an explicit `maxToken` for an absolute budget. Zipf-shaped real
     * corpora grow vocabulary with size, keeping prefixes in the rare tail
     * at any scale — the AllPairs operating regime.
     *
@@ -539,14 +600,17 @@ object Dedup {
     * prefix join below. */
   def prefixJoinPairs(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 3, threshold: Double = 0.2,
-                      maxToken: Int = DefaultMaxBucket): DataFrame = {
+                      maxToken: Int = AutoMaxToken): DataFrame = {
     val big = sizeRatioPrefilterWorthIt(df)
     val enc = buildIdSets(df, textCol, idCol, shingleK, big)
     // Ids are dense in (f, s) order, so the maxToken cap (global frequency
-    // bound — same knob/caveats as before, mirrored in the oracle) keeps
-    // exactly the ids below the capped-vocabulary count: ONE long compare,
-    // and every capped id sorts before every uncapped one.
-    val nCapped: Long = enc.freq.filter(col("__f") <= maxToken).count()
+    // bound, derived from the INPUT row count by default — see maxTokenFor,
+    // mirrored in the oracle as count(*) over the docs table; parquet
+    // answers count-star from footer metadata) keeps exactly the ids below
+    // the capped-vocabulary count: ONE long compare, and every capped id
+    // sorts before every uncapped one.
+    val cap = resolveMaxToken(maxToken, df.count())
+    val nCapped: Long = enc.freq.filter(col("__f") <= cap).count()
     prefixPairsFromIdSets(enc.isets, idCol, threshold, nCapped, big)
   }
 
@@ -697,10 +761,11 @@ object Dedup {
     * in the sorted id array. */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, threshold: Double = 0.5,
-                       maxToken: Int = DefaultMaxBucket): DataFrame = {
+                       maxToken: Int = AutoMaxToken): DataFrame = {
     val big = sizeRatioPrefilterWorthIt(df)
     val enc = buildIdSets(df, textCol, idCol, shingleK, big)
-    val nCapped: Long = enc.freq.filter(col("__f") <= maxToken).count()
+    val cap = resolveMaxToken(maxToken, df.count())
+    val nCapped: Long = enc.freq.filter(col("__f") <= cap).count()
     containmentPairsFromIdSets(enc.isets, idCol, threshold, nCapped, big)
   }
 
@@ -774,15 +839,14 @@ object Dedup {
       idCol, numHashes, bandSize)
     // Degenerate-bucket cap on the COMBINED (new + old) bucket population —
     // banding is per-doc, so this equals the batch path's cap over the
-    // unioned corpus (which is exactly what the oracle computes). The union
-    // shuffles once on (band, bucket); both join sides filter from the same
-    // windowed subplan, so the exchange is reused, not recomputed.
+    // unioned corpus (which is exactly what the oracle computes). Aggregate +
+    // anti-join, not a window (see candidatePairs): both join sides filter
+    // from the same capped subplan, and its exchange is reused, not
+    // recomputed.
     val unionBands = newBands
       .select(col(idCol), col("band"), col("bucket"), lit(true).as("__new"))
       .union(oldBands.select(col(idCol), col("band"), col("bucket"), lit(false).as("__new")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val capped = unionBands.withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val capped = dropOverCapBuckets(unionBands, maxBucket)
     // Materialized once (default): probed by both verify joins AND the
     // old-side candidate prune — without this the new-batch LSH replans 3x.
     // Tests pass materializeCands=false to keep the full lineage visible
@@ -1020,12 +1084,16 @@ object Dedup {
   def prefixJoinPairsFromStore(spark: org.apache.spark.sql.SparkSession,
                                dir: String, idCol: String, textCol: String,
                                shingleK: Int = 3, threshold: Double = 0.2,
-                               maxToken: Int = DefaultMaxBucket,
+                               maxToken: Int = AutoMaxToken,
                                warehouse: Option[String] = None): DataFrame = {
     val path = shingleStorePathFor(spark, dir, idCol, textCol, shingleK, warehouse)
     val isets = spark.read.parquet(s"$path/isets")
+    // doc count from the SOURCE table (same basis as the inline form and
+    // the oracle's count(*)) — a parquet footer-metadata count
+    val cap = resolveMaxToken(maxToken,
+      spark.read.parquet(s"$dir/documents.parquet").count())
     val nCapped = spark.read.parquet(s"$path/freq")
-      .filter(col("__f") <= maxToken).count()
+      .filter(col("__f") <= cap).count()
     prefixPairsFromIdSets(isets, idCol, threshold, nCapped,
       big = sizeRatioPrefilterWorthIt(isets))
   }
@@ -1035,12 +1103,14 @@ object Dedup {
   def containmentPairsFromStore(spark: org.apache.spark.sql.SparkSession,
                                 dir: String, idCol: String, textCol: String,
                                 shingleK: Int = 3, threshold: Double = 0.5,
-                                maxToken: Int = DefaultMaxBucket,
+                                maxToken: Int = AutoMaxToken,
                                 warehouse: Option[String] = None): DataFrame = {
     val path = shingleStorePathFor(spark, dir, idCol, textCol, shingleK, warehouse)
     val isets = spark.read.parquet(s"$path/isets")
+    val cap = resolveMaxToken(maxToken,
+      spark.read.parquet(s"$dir/documents.parquet").count())
     val nCapped = spark.read.parquet(s"$path/freq")
-      .filter(col("__f") <= maxToken).count()
+      .filter(col("__f") <= cap).count()
     containmentPairsFromIdSets(isets, idCol, threshold, nCapped,
       big = sizeRatioPrefilterWorthIt(isets))
   }

@@ -21,6 +21,16 @@ object ExtQueries {
   private val Docs = "read_parquet('{{SF}}/documents.parquet')"
   private val Embs = "read_parquet('{{SF}}/embeddings.parquet')"
 
+  /** DuckDB twin of Dedup.maxTokenFor's derived gram-frequency cap:
+    * greatest(floor, ceil(fraction * nDocs)). The fraction is CAST to
+    * DOUBLE so both engines compute the same IEEE product before ceil —
+    * DuckDB's bare 0.02 literal is DECIMAL and its exact arithmetic can
+    * land on the other side of an integer boundary than the double. */
+  private val CapSql =
+    s"(SELECT greatest(CAST(${Dedup.DefaultMaxBucket} AS BIGINT), " +
+      s"CAST(ceil(CAST(${Dedup.CapDocFraction} AS DOUBLE) * count(*)) AS BIGINT)) " +
+      s"FROM $Docs)"
+
   /** Shared DuckDB CTE: word k-shingles of documents. */
   private def shingleCteOf(k: Int): String =
     s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
@@ -576,7 +586,7 @@ object ExtQueries {
         "freq AS (SELECT s, count(*) AS f FROM tok GROUP BY s), " +
         "ranked AS (SELECT tok.doc_id, tok.n, tok.s, " +
         "row_number() OVER (PARTITION BY tok.doc_id ORDER BY freq.f, tok.s) AS rn " +
-        s"FROM tok JOIN freq USING (s) WHERE freq.f <= ${Dedup.DefaultMaxBucket}), " +
+        s"FROM tok JOIN freq USING (s) WHERE freq.f <= $CapSql), " +
         "pre AS (SELECT doc_id, n, s FROM ranked " +
         "WHERE rn <= n - CAST(ceil(0.2 * n) AS BIGINT) + 1), " +
         "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id " +
@@ -714,7 +724,7 @@ object ExtQueries {
           .orderBy("a_id", "b_id"),
       Some(s"$ShingleCte, dd AS (SELECT DISTINCT doc_id, s FROM u), " +
         "f AS (SELECT s, count(*) AS fr FROM dd GROUP BY s), " +
-        s"tok AS (SELECT doc_id, s FROM dd JOIN f USING (s) WHERE fr <= ${Dedup.DefaultMaxBucket}), " +
+        s"tok AS (SELECT doc_id, s FROM dd JOIN f USING (s) WHERE fr <= $CapSql), " +
         "n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id), " +
         "i AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS inter " +
         "FROM tok x JOIN tok y ON x.s = y.s AND x.doc_id <> y.doc_id GROUP BY 1, 2) " +
@@ -1079,7 +1089,7 @@ object ExtQueries {
         "THEN [list_min(hs)] ELSE [list_min(hs[i:i+3]) " +
         "for i in generate_series(1, len(hs) - 3)] END)) AS p FROM h), " +
         "f AS (SELECT p, count(*) AS fr FROM wn GROUP BY p), " +
-        s"tk AS (SELECT doc_id, p FROM wn JOIN f USING (p) WHERE fr <= ${Dedup.DefaultMaxBucket}) " +
+        s"tk AS (SELECT doc_id, p FROM wn JOIN f USING (p) WHERE fr <= $CapSql) " +
         "SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS n_shared " +
         "FROM tk x JOIN tk y ON x.p = y.p AND x.doc_id < y.doc_id " +
         "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY a_id, b_id")),
@@ -1275,7 +1285,7 @@ object ExtQueries {
       Some(s"$ShingleCte, ds AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh), " +
         "dd AS (SELECT DISTINCT doc_id, s FROM u), " +
         "f AS (SELECT s, count(*) AS fr FROM dd GROUP BY s), " +
-        s"tokc AS (SELECT doc_id, s FROM dd JOIN f USING (s) WHERE fr <= ${Dedup.DefaultMaxBucket}), " +
+        s"tokc AS (SELECT doc_id, s FROM dd JOIN f USING (s) WHERE fr <= $CapSql), " +
         "cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id " +
         "FROM tokc x JOIN tokc y ON x.s = y.s AND x.doc_id < y.doc_id), " +
         "p AS (SELECT a_id, b_id FROM cand " +

@@ -140,6 +140,37 @@ class DedupSpec extends SparkTestBase {
     assert(full === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
   }
 
+  test("maxTokenFor: floor below the knee, fractional above, explicit wins") {
+    // below the knee the DefaultMaxBucket floor rules (gate corpora live
+    // here — derived == old absolute cap, so oracle hashes are unchanged)
+    assert(Dedup.maxTokenFor(0) === Dedup.DefaultMaxBucket)
+    assert(Dedup.maxTokenFor(5000) === Dedup.DefaultMaxBucket)
+    assert(Dedup.maxTokenFor(50000) === Dedup.DefaultMaxBucket)
+    // above it the cap scales with the corpus: stable exclusion under
+    // replication (the boilerplate-heavy worst case)
+    assert(Dedup.maxTokenFor(50001) === 1001)
+    assert(Dedup.maxTokenFor(100000) === 2000)
+    assert(Dedup.maxTokenFor(1000000) === 20000)
+  }
+
+  test("derived maxToken: explicit absolute cap still excludes boilerplate grams") {
+    import spark.implicits._
+    // "c1 c2 c3" is a shared boilerplate run across every doc; with the
+    // derived cap (floor = 1000 on 4 docs: inert) the shared gram is pair
+    // evidence, with an explicit tiny cap it is excluded and no pair forms
+    val hand = Seq(
+      (1L, "c1 c2 c3 alpha beta"),
+      (2L, "c1 c2 c3 gamma delta"),
+      (3L, "c1 c2 c3 epsilon zeta"),
+      (4L, "c1 c2 c3 eta theta")).toDF("doc_id", "text")
+    val auto = Dedup.prefixJoinPairs(hand, "text", "doc_id", threshold = 0.2)
+      .count()
+    assert(auto > 0) // the shared shingle counts under the inert floor
+    val strict = Dedup.prefixJoinPairs(hand, "text", "doc_id", threshold = 0.2,
+      maxToken = 1).count()
+    assert(strict === 0L) // every shared gram is over the absolute cap
+  }
+
   test("near-dup end-to-end: jaccard-verified pairs at threshold") {
     val got = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
