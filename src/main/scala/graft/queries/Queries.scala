@@ -947,7 +947,27 @@ object Queries {
         "'[{\"attr_index\":0,\"key\":\"action\",\"value\":\"' || o_orderpriority || " +
         "'\",\"indexed\":true}]' AS attrs_kv, " +
         "'{\"action\":[\"' || o_orderpriority || '\"]}' AS attrs_map, " +
-        "1 AS attr_count FROM orders ORDER BY height")))
+        "1 AS attr_count FROM orders ORDER BY height")),
+
+    ("flat_stream_mv", // §2.10 — the flatten run as a REAL multi-batch file
+      // stream through the exactly-once path: envelopes staged as 4
+      // height-range JSON chunks, fed one per micro-batch, each batch
+      // writing all 10 tables + 3 MV deltas keyed by batch id with dynamic
+      // partition overwrite; the harness then RE-DELIVERS the final batch
+      // (foreachBatch's at-least-once failure mode) before the MV is read.
+      // Matching the batch oracle proves the redelivery was absorbed —
+      // an appended duplicate would double every sum.
+      (s: SparkSession, d: String) => {
+        val wh = graft.streaming.StreamingIngest
+          .flattenFileRun(s, syntheticEnvelopes(s, d), chunks = 4)
+        Mvs.readMv(s.read.parquet(s"$wh/mv_daily_block_stats")
+            .drop("ingest_batch"), Seq("date"))
+          .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))
+          .orderBy("date")
+      },
+      Some("SELECT strftime(o_orderdate, '%Y-%m-%d') AS date, count(*) AS blocks_count, " +
+        "count(*) AS total_txs, CAST(0 AS BIGINT) AS total_events " +
+        "FROM orders GROUP BY 1 ORDER BY date")))
 
   // ------------------------------------------------------------------------
   // §2.7 — set operations (EXCEPT/INTERSECT DISTINCT semantics)

@@ -59,6 +59,134 @@ object StreamingIngest {
         coalesce(sum(size(col("txs"))), lit(0L)).as("txs"))
   }
 
+  /** Exactly-once ingest stream: same dataflow as [[start]], but every
+    * micro-batch writes through [[ingestBatchExactlyOnce]] keyed by its
+    * batch id, so a batch REDELIVERED after a failure (foreachBatch's
+    * at-least-once contract: crash after a partial write, before the
+    * checkpoint commit) replaces its own output instead of appending a
+    * second copy. */
+  def startExactlyOnce(spark: SparkSession, inputDir: String, warehouse: String,
+                       checkpointDir: String,
+                       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    var reader = spark.readStream.schema(Schemas.envelope)
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    reader.json(inputDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatchExactlyOnce(warehouse, batch, batchId)
+      }
+      .start()
+  }
+
+  /** Idempotent one-micro-batch ingest — the exactly-once building block.
+    *
+    * `foreachBatch` + plain parquet `append` (the [[ingestBatch]] path) is
+    * at-least-once: the sink append and the checkpoint offset commit are two
+    * non-atomic steps, so a crash between them replays the batch and doubles
+    * its rows. The standard Spark remedy is to make the batch write
+    * IDEMPOTENT in `batchId`: every output table carries `ingest_batch` as
+    * its LEADING partition directory and the write runs in dynamic
+    * partition-overwrite mode, so delivery N+1 of batch K overwrites
+    * exactly the `ingest_batch=K` directories delivery N created — and
+    * nothing else (concurrent/later batches live in their own partitions;
+    * a file-source batch is pinned by checkpointed offsets, so redelivered
+    * content is identical by construction). Readers are untouched:
+    * `ingest_batch` is one more prunable partition column under the same
+    * table paths, dropped by name like `height_bucket`.
+    *
+    * At 100 TB this costs one directory level (batch count is bounded by
+    * trigger cadence, not data volume) and buys crash-safe exactly-once on
+    * any filesystem with atomic task commit — no distributed transaction,
+    * mirroring the reference's idempotent ReplacingMergeTree re-insert
+    * (`/root/reference/src/core/worker.js:216-236` re-runs are absorbed by
+    * the engine; here they are absorbed by the partition overwrite). */
+  def ingestBatchExactlyOnce(warehouse: String, envelopes: DataFrame,
+                             batchId: Long): Unit = {
+    val spark = envelopes.sparkSession
+    val prev = try Some(spark.conf.get("spark.sql.sources.partitionOverwriteMode"))
+               catch { case _: Exception => None }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val env = envelopes.cache()
+      try {
+        val tables = Flatten(env)
+        tables.all.foreach { case (name, df) =>
+          val out = df
+            .withColumn("height_bucket", Fns.heightBucket(col("height")))
+            .withColumn("ingest_batch", lit(batchId))
+            .sortWithinPartitions(col("ingest_batch"), col("height_bucket"),
+              col("height"))
+          var w = out.write.mode("overwrite")
+          Store.bloomColsFor.getOrElse(name, Nil).foreach { c =>
+            w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          }
+          w.partitionBy("ingest_batch", "height_bucket").parquet(s"$warehouse/$name")
+        }
+        val blocks = tables.blocks.cache()
+        try {
+          def mv(df: DataFrame, name: String): Unit =
+            df.withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite").partitionBy("ingest_batch")
+              .parquet(s"$warehouse/$name")
+          mv(Mvs.dailyBlockStatsDelta(blocks), "mv_daily_block_stats")
+          mv(Mvs.dailyTxStatsDelta(tables.txs, blocks), "mv_daily_tx_stats")
+          mv(Mvs.eventTypeStatsDelta(tables.txEvents, blocks), "mv_event_type_stats")
+        } finally { blocks.unpersist(); () }
+      } finally { env.unpersist(); () }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** File-stream harness for the FULL 10-table flatten (the streaming twin
+    * of the batch flatten gates): stage `envelopes` as `chunks` height-range
+    * JSON files, feed them to a running [[startExactlyOnce]] stream one file
+    * per micro-batch (rename-into-watched-dir, drained between arrivals, the
+    * [[StreamingDedup.firstSeenWinsFileRun]] pattern), and — when
+    * `replayLastBatch` — PLANT a redelivery by re-running the final batch
+    * through [[ingestBatchExactlyOnce]] with the same batch id after the
+    * stream stops, proving the overwrite absorbs it. Returns the warehouse
+    * directory. */
+  def flattenFileRun(spark: SparkSession, envelopes: DataFrame, chunks: Int = 4,
+                     replayLastBatch: Boolean = true): String = {
+    import org.apache.hadoop.fs.Path
+    val stage = java.nio.file.Files.createTempDirectory("graft_sflat").toString
+    val chunkDir = s"$stage/chunks"; val inDir = s"$stage/in"
+    val wh = s"$stage/wh"; val ckpt = s"$stage/ckpt"
+
+    envelopes
+      .repartitionByRange(chunks, col("height"))
+      .write.mode("overwrite").json(chunkDir)
+
+    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(new Path(chunkDir)).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    fs.mkdirs(new Path(inDir))
+
+    val q = startExactlyOnce(spark, inDir, wh, ckpt,
+      trigger = Trigger.ProcessingTime("0 seconds"), maxFilesPerTrigger = Some(1))
+    try {
+      parts.zipWithIndex.foreach { case (part, i) =>
+        fs.rename(part, new Path(inDir, f"chunk-$i%05d.json"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    if (replayLastBatch && parts.nonEmpty) {
+      val lastId = parts.length - 1L
+      val redelivered = spark.read.schema(Schemas.envelope)
+        .json(s"$inDir/chunk-${"%05d".format(parts.length - 1)}.json")
+      ingestBatchExactlyOnce(wh, redelivered, lastId)
+    }
+    wh
+  }
+
   /** One micro-batch: flatten once (cached), append all tables bucketed by
     * height, append MV partial aggregates for the affected dates. */
   def ingestBatch(warehouse: String, envelopes: DataFrame): Unit = {

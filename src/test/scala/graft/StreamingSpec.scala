@@ -100,6 +100,88 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("exactly-once ingest: redelivered batch is absorbed per-table, new batch lands") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_eowh").toString
+    import spark.implicits._
+    def env(heights: Seq[Long]) = spark.read.schema(graft.schema.Schemas.envelope)
+      .json(heights.map(h =>
+        s"""{"height":$h,"time":"2025-07-0${1 + (h % 2)}T00:00:00Z","app_hash":"A$h","txs":["dGVzdA=="],"txs_results":[{"code":0,"gas_wanted":"10","gas_used":"${h * 10}","data":"","log":"","events":[{"type":"${if (h % 2 == 0) "message" else "wasm"}","attributes":[{"key":"k","value":"v$h","index":true}]}]}],"finalize_block_events":[{"type":"fin","attributes":[{"key":"fk","value":"fv","index":false}]}]}""").toDS)
+
+    val allTables = Seq("blocks", "txs", "tx_events", "tx_event_attrs_json",
+      "type_wasm", "type_wasm_attrs", "type_message", "type_message_attrs",
+      "block_events", "block_event_attrs")
+    def counts(): Map[String, Long] =
+      allTables.map(t => t -> spark.read.parquet(s"$wh/$t").count()).toMap
+
+    StreamingIngest.ingestBatchExactlyOnce(wh, env(Seq(1, 2)), batchId = 0L)
+    val after0 = counts()
+    assert(after0("blocks") === 2 && after0("txs") === 2)
+    assert(after0("type_wasm") === 1 && after0("type_message") === 1)
+    assert(after0("block_events") === 2 && after0("block_event_attrs") === 2)
+
+    // planted redelivery of batch 0: every table must be byte-for-count
+    // identical — the dynamic partition overwrite replaces ingest_batch=0
+    StreamingIngest.ingestBatchExactlyOnce(wh, env(Seq(1, 2)), batchId = 0L)
+    assert(counts() === after0, "redelivered batch must not change any table")
+
+    // a NEW batch id appends next to it (its own partitions)
+    StreamingIngest.ingestBatchExactlyOnce(wh, env(Seq(3)), batchId = 1L)
+    val after1 = counts()
+    assert(after1("blocks") === 3 && after1("txs") === 3)
+
+    // MV read (partials summed, redelivery absorbed) agrees with recompute
+    // over base tables for MV1 and MV3
+    val mv1 = Mvs.readMv(spark.read.parquet(s"$wh/mv_daily_block_stats")
+        .drop("ingest_batch"), Seq("date"))
+      .orderBy("date").collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("blocks_count")).toSeq
+    val re1 = Mvs.dailyBlockStatsRecompute(spark.read.parquet(s"$wh/blocks"))
+      .orderBy("date").collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("blocks_count")).toSeq
+    assert(mv1 === re1)
+    val mv3 = Mvs.readMv(spark.read.parquet(s"$wh/mv_event_type_stats")
+        .drop("ingest_batch"), Seq("date", "type"))
+      .orderBy("date", "type").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getAs[Long]("event_count"))).toSeq
+    val re3 = Mvs.eventTypeStatsRecompute(
+      spark.read.parquet(s"$wh/tx_events"), spark.read.parquet(s"$wh/blocks"))
+      .orderBy("date", "type").collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getAs[Long]("event_count"))).toSeq
+    assert(mv3 === re3)
+  }
+
+  test("flattenFileRun: multi-batch stream + planted redelivery reproduces batch flatten") {
+    import spark.implicits._
+    val heights = (1L to 12L)
+    val envDf = spark.read.schema(graft.schema.Schemas.envelope)
+      .json(heights.map(h =>
+        s"""{"height":$h,"time":"2025-08-0${1 + (h % 3)}T00:00:00Z","app_hash":"A$h","txs":["dGVzdA=="],"txs_results":[{"code":${h % 2},"gas_wanted":"7","gas_used":"${h}","data":"","log":"","events":[{"type":"transfer","attributes":[{"key":"amt","value":"$h","index":true}]}]}],"finalize_block_events":[]}""").toDS)
+
+    val wh = StreamingIngest.flattenFileRun(spark, envDf, chunks = 3)
+
+    // streamed tables == batch flatten of the same envelopes, per table
+    val streamed = graft.ingest.Flatten(envDf)
+    val blocks = spark.read.parquet(s"$wh/blocks")
+    assert(blocks.count() === 12)
+    assert(blocks.select("height").distinct().count() === 12,
+      "planted redelivery must not duplicate heights")
+    assert(spark.read.parquet(s"$wh/txs").count() === streamed.txs.count())
+    assert(spark.read.parquet(s"$wh/tx_events").count() === streamed.txEvents.count())
+
+    // MV2 read through the partials equals the batch recompute
+    val mv2 = Mvs.readDailyTxStats(
+      spark.read.parquet(s"$wh/mv_daily_tx_stats").drop("ingest_batch"))
+      .orderBy("date").collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("tx_count"),
+        r.getAs[Long]("total_gas_used")))
+    val re2 = Mvs.dailyTxStatsRecompute(
+      spark.read.parquet(s"$wh/txs"), blocks)
+      .orderBy("date").collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Long]("tx_count"),
+        r.getAs[Long]("total_gas_used")))
+    assert(mv2.toSeq === re2.toSeq)
+  }
+
   test("MV1/MV3 recompute vs incremental agree after multiple batches") {
     val wh = java.nio.file.Files.createTempDirectory("graft_swh2").toString
     import spark.implicits._
