@@ -137,6 +137,10 @@ object Dedup {
     val b = tok.select(col("p"), col(idCol).as("b_id")).hint("shuffle_hash")
     a.join(b, Seq("p"))
       .filter(col("a_id") < col("b_id"))
+      // candidate-sized group population — same under-partitioning hazard
+      // as the other pair-count aggregations (see pairAggPartitions)
+      .repartition(pairAggPartitions(df.sparkSession),
+        col("a_id"), col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -455,7 +459,14 @@ object Dedup {
       joined.filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(sizeRatioMin) * greatest(col("__na"), col("__nb")))
     else joined
-    ratioed.select("a_id", "b_id").distinct()
+    // candidate-sized dedup: same under-partitioning hazard as the token-
+    // join count aggregations (see pairAggPartitions) — at 1 M docs the
+    // band join emits ~10⁸ rows into a 32-partition distinct whose hash
+    // state spill-sorts; widen this one exchange
+    ratioed.select("a_id", "b_id")
+      .repartition(pairAggPartitions(bands.sparkSession),
+        col("a_id"), col("b_id"))
+      .distinct()
   }
 
   /** Drop every row of a (band, bucket) whose population exceeds `maxBucket`.
@@ -490,6 +501,16 @@ object Dedup {
     * Par.ensure reads — no extra work). Unknown stats read as the huge
     * default estimate ⇒ prefilter ON, the right bias at scale. */
   val SizeRatioPrefilterMinBytes: Long = 4L << 20
+
+  /** Partition count for the pair-count aggregations of the token-join
+    * family: candidate-pair populations run ~2 orders of magnitude above
+    * scan row counts (Σf² vs Σf), so the session's scan-sized shuffle
+    * partitioning under-partitions exactly this one exchange into
+    * spill-sorting its hash state. 8× the session setting keeps the same
+    * relative sizing a real cluster would get from thousands of shuffle
+    * partitions. */
+  private[ext] def pairAggPartitions(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions * 8
 
   private[ext] def sizeRatioPrefilterWorthIt(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.stats.sizeInBytes >= BigInt(
@@ -660,54 +681,264 @@ object Dedup {
     IdSetEncoding(isets, freq, dict)
   }
 
-  /** The symmetric AllPairs join over pre-encoded id sets: prefix slice →
-    * integer equi-join with the lossless size bound → long-merge Jaccard
-    * verify. `isets` is (idCol, tids) with tids sorted dense ids over the
-    * full universe; `nCapped` is the capped-vocabulary count (ids <
-    * nCapped are exactly the grams with global frequency ≤ the cap). */
+  /** Budget (posting-list entries) under which the pair-count families take
+    * the BROADCAST-INDEX probe instead of the token-join shuffle: the
+    * classic AllPairs inner loop (Bayardo et al., WWW 2007 §3) — each
+    * partition scans its docs against an in-memory inverted index over the
+    * capped vocabulary, counting partners in a local hash map, so the Σf²
+    * candidate traffic never touches a shuffle (measured 86 s → seconds on
+    * the 50 k-doc saturated-vocabulary sf1 probe, where Σf² ≈ 5·10⁸ rows).
+    * ~16 B/entry ⇒ ≤ ~256 MB broadcast at the default — standard broadcast-
+    * join economics. Above the budget (a 100 TB corpus' postings are
+    * corpus-sized) the declarative shuffle form is the correct shape and is
+    * kept bit-identical (DedupSpec forces both paths onto the same fixtures
+    * via the test override). */
+  val ProbeIndexMaxPostings: Long = 16L << 20
+
+  private def probeIndexMaxPostings: Long =
+    sys.props.get("graft.test.probeIndexMaxPostings").map(_.toLong)
+      .getOrElse(ProbeIndexMaxPostings)
+
+  /** Broadcast-index pair counting: returns rows
+    * (a_id, b_id, __c, __na, __nb, __ua, __ub) for every unordered doc pair
+    * sharing ≥ 1 capped gram that passes the caller's filters — exactly the
+    * population the declarative join + count aggregation produces, computed
+    * partition-locally against a driver-built CSR index. `containment`
+    * selects which lossless pre-filter bounds the emit (the same ε-lenient
+    * arithmetic as the declarative forms; the exact filters downstream
+    * decide membership either way). */
+  private def probeCountedPairs(docs: DataFrame, idCol: String,
+                                threshold: Double,
+                                containment: Boolean): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // CSR postings over the dense capped vocabulary + a doc-stats map —
+    // both bounded by the postings budget that gated this path
+    val postRows = docs
+      .select(explode(col("__ct")).as("t"), col(idCol).cast("long").as("i"),
+        col("__n"), size(col("__ut")).as("__u"))
+      .as[(Long, Long, Int, Int)].collect()
+    val nTok = (postRows.iterator.map(_._1).foldLeft(-1L)(math.max) + 1).toInt
+    val counts = new Array[Int](nTok + 1)
+    postRows.foreach(r => counts(r._1.toInt + 1) += 1)
+    var k = 0
+    while (k < nTok) { counts(k + 1) += counts(k); k += 1 }
+    val offsets = counts.clone()
+    val pid = new Array[Long](postRows.length)
+    val pnu = new Array[Long](postRows.length) // packed (n << 32) | u
+    val fill = new Array[Int](nTok)
+    postRows.foreach { case (t, i, n, u) =>
+      val slot = offsets(t.toInt) + fill(t.toInt)
+      pid(slot) = i; pnu(slot) = (n.toLong << 32) | (u.toLong & 0xffffffffL)
+      fill(t.toInt) += 1
+    }
+    val bc = spark.sparkContext.broadcast((offsets, pid, pnu))
+    val t = threshold
+    docs.select(col(idCol).cast("long"), col("__n"), size(col("__ut")),
+        col("__ct"))
+      .as[(Long, Int, Int, Array[Long])]
+      .mapPartitions { it =>
+        val (off, ids, nus) = bc.value
+        val m = new PairCountMap
+        it.flatMap { case (id, na, ua, ct) =>
+          m.reset()
+          var i = 0
+          while (i < ct.length) {
+            val tok = ct(i).toInt
+            var s = off(tok); val e = off(tok + 1)
+            while (s < e) {
+              val p = ids(s)
+              // each unordered pair is counted by its SMALLER id's probe
+              if (p > id) m.bump(p, nus(s))
+              s += 1
+            }
+            i += 1
+          }
+          val out = Seq.newBuilder[(Long, Long, Long, Int, Int, Int, Int)]
+          m.foreach { (b, nb, ub, c) =>
+            val keep =
+              if (containment) c.toDouble >= (t - 1e-6) * math.min(na, nb)
+              else math.min(na, nb).toDouble >= t * math.max(na, nb) &&
+                (c + math.min(ua, ub)).toDouble * (1.0 + t) >=
+                  t * (na + nb).toDouble - 1e-9
+            if (keep) out += ((id, b, c.toLong, na, nb, ua, ub))
+          }
+          out.result() // survivors only; the map is reused by the next doc
+        }
+      }
+      .toDF("a_id", "b_id", "__c", "__na", "__nb", "__ua", "__ub")
+  }
+
+  /** Primitive open-addressing partner-count map for the AllPairs probe
+    * inner loop (Σf² `bump` calls — a boxed map here dominates the whole
+    * join). Key = partner doc id; value packs the partner's (n, u) stats
+    * and the running count into one long (20 bits each — 10⁶ distinct
+    * grams per doc is far above any document). Epoch stamps make reset()
+    * O(1); the touched list makes iteration survivor-sized. Partner ids
+    * are strictly greater than the probing id, so Long.MinValue can never
+    * be a live key — the empty-slot sentinel is safe. */
+  private final class PairCountMap {
+    private var cap = 1 << 13
+    private var mask = cap - 1
+    private var keys = Array.fill(cap)(Long.MinValue)
+    private var vals = new Array[Long](cap)
+    private var touched = new Array[Int](cap)
+    private var n = 0
+    def reset(): Unit = { // clear only the slots this doc used
+      var i = 0
+      while (i < n) { keys(touched(i)) = Long.MinValue; i += 1 }
+      n = 0
+    }
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val on = n
+      val ot = touched
+      cap <<= 1; mask = cap - 1
+      keys = Array.fill(cap)(Long.MinValue)
+      vals = new Array[Long](cap)
+      touched = new Array[Int](cap)
+      n = 0
+      var i = 0
+      while (i < on) {
+        val slot = ot(i)
+        insert(ok(slot), ov(slot)); i += 1
+      }
+    }
+    private def insert(k: Long, v: Long): Unit = {
+      var s = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (keys(s) != Long.MinValue) s = (s + 1) & mask
+      keys(s) = k; vals(s) = v; touched(n) = s; n += 1
+    }
+    def bump(k: Long, nu: Long): Unit = {
+      var s = (scala.util.hashing.byteswap64(k) & mask).toInt
+      while (true) {
+        val ks = keys(s)
+        if (ks == k) { vals(s) += 1L; return }
+        if (ks == Long.MinValue) {
+          // pack partner stats + count: n(20) | u(20) | c(20)
+          keys(s) = k
+          vals(s) = ((nu >>> 32) << 40) | ((nu & 0xfffffL) << 20) | 1L
+          touched(n) = s; n += 1
+          if (n * 10 > cap * 7) grow()
+          return
+        }
+        s = (s + 1) & mask
+      }
+    }
+    def foreach(f: (Long, Int, Int, Int) => Unit): Unit = {
+      var i = 0
+      while (i < n) {
+        val s = touched(i); val v = vals(s)
+        f(keys(s), (v >>> 40).toInt, ((v >>> 20) & 0xfffffL).toInt,
+          (v & 0xfffffL).toInt)
+        i += 1
+      }
+    }
+  }
+
+  /** Route choice for the pair-count families: the broadcast-index probe
+    * needs long ids (hash-map keys) and postings within the broadcast
+    * budget; postings count is one cheap job over the checkpointed sets. */
+  private def usePairProbe(docs: DataFrame, idCol: String): Boolean = {
+    if (docs.schema(idCol).dataType != org.apache.spark.sql.types.LongType)
+      return false
+    val r = docs.agg(coalesce(sum(size(col("__ct"))), lit(0L)),
+      coalesce(max(col("__n")), lit(0))).first()
+    // the probe packs per-doc gram counts into 20 bits (PairCountMap);
+    // a ≥2²⁰-gram document routes to the shuffle path instead
+    r.getLong(0) <= probeIndexMaxPostings && r.getInt(1) < (1 << 20)
+  }
+
+  /** The symmetric set-similarity join over pre-encoded id sets — the
+    * COUNT-FILTER form of AllPairs (the overlap/count filter of the SSJoin
+    * literature — Chaudhuri et al. 2006 §4; PPJoin's positional bound is a
+    * weaker per-match special case): equi-join every CAPPED gram of both
+    * sides, aggregate the common-gram count per pair, and keep only pairs
+    * whose count can still reach J ≥ t before any per-pair set work.
+    *
+    * Result-identical to the classic prefix-slice + distinct + full-set
+    * verify it replaces: ids are dense in ascending (frequency, gram)
+    * order, so the SMALLEST common gram of any pair sharing a capped gram
+    * is itself capped and (by the prefix theorem) inside both prefixes —
+    * the candidate set {pairs sharing ≥ 1 capped gram} is the same, and
+    * the exact Jaccard filter decides membership in both forms.
+    *
+    * Why this form wins at scale: prefix slicing at marginal thresholds
+    * barely trims (t = 0.2 keeps ~80 % of each set), and on a vocabulary-
+    * saturated corpus nearly every candidate survives to the verify — the
+    * sf1 probe (50 k docs, Zipf-flat 29 k-gram vocabulary) measured 268 M
+    * distinct candidates feeding the array verify, which dominated the
+    * 130 s runtime. The count filter prunes the same population to 527 k
+    * pairs (508×) inside the aggregation, BEFORE any array moves: J ≥ t
+    * forces |A∩B| ≥ t/(1+t)·(|A|+|B|), and |A∩B| ≤ c + min(uₐ, u_b)
+    * where c is the counted capped overlap and u the per-doc count of
+    * UNCAPPED grams. The verify then completes the exact intersection from
+    * the uncapped SUFFIX arrays alone (tids is sorted, capped ids first,
+    * so the uncapped tail is a slice): |A∩B| = c + |suffixₐ ∩ suffix_b|,
+    * with suffixes bounded by the handful of grams above the frequency
+    * cap — never the full sets. One Σf² token join (inherent to any
+    * lossless join on this universe), one count aggregation, then
+    * output-sized work. */
   private def prefixPairsFromIdSets(isets: DataFrame, idCol: String,
                                     threshold: Double, nCapped: Long,
                                     big: Boolean): DataFrame = {
-    val withN = isets.select(col(idCol), col("tids"),
-      size(col("tids")).as("__n"))
-    // prefix = the first |A| − ⌈t·|A|⌉ + 1 CAPPED grams in global order:
-    // front slice of the sorted id array (positions ARE capped ranks), then
-    // drop any uncapped ids the slice picked up on short-capped docs. Both
-    // engines compute the same IEEE t·n product, so the ceil agrees
-    // bit-for-bit; prefix lengths keep using the FULL set size (__n), so
-    // the bound stays valid for every pair sharing an uncapped shingle.
-    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
-    val pre = withN
-      .select(col(idCol), col("__n"),
-        explode(slice(col("tids"), lit(1), prefLen)).as("__tid"))
-      .filter(col("__tid") < nCapped)
-    def side(tag: String) = pre.select(col(idCol).as(s"${tag}_id"),
-      col("__n").as(s"__n$tag"), col("__tid")).hint("shuffle_hash")
-    // the size-ratio bound is applied INSIDE the join (where sizes already
-    // ride the prefix rows); the distinct then shuffles bare id pairs —
-    // sizes are re-read as size(tids) at the verify, since the id arrays
-    // ARE the full sets. |A∪B| = |A|+|B|−|A∩B| arithmetically — the sets
-    // are distinct, so this is exact, no array_union allocation.
-    val cands = side("a").join(side("b"), Seq("__tid"))
+    // split each sorted full-universe array at the capped boundary: capped
+    // (rare) ids are exactly the array FRONT < nCapped
+    val docs = isets
+      .select(col(idCol), size(col("tids")).as("__n"),
+        filter(col("tids"), t => t < nCapped).as("__ct"), col("tids"))
+      .select(col(idCol), col("__n"), col("__ct"),
+        slice(col("tids"), size(col("__ct")) + 1, col("__n")).as("__ut"))
+    val ctok = docs.select(col(idCol), col("__n"), size(col("__ut")).as("__u"),
+      explode(col("__ct")).as("__tid"))
+    def side(tag: String) = ctok.select(col(idCol).as(s"${tag}_id"),
+      col("__n").as(s"__n$tag"), col("__u").as(s"__u$tag"), col("__tid"))
+      .hint("shuffle_hash")
+    // join on EVERY capped gram (no prefix slice — the count below needs
+    // the full capped overlap); the size-ratio bound still kills undersized
+    // pairs inside the join, before the aggregation shuffle
+    val counted = if (usePairProbe(docs, idCol))
+      probeCountedPairs(docs, idCol, threshold, containment = false)
+    else side("a").join(side("b"), Seq("__tid"))
       .filter(col("a_id") < col("b_id"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(threshold) * greatest(col("__na"), col("__nb")))
-      .select("a_id", "b_id").distinct()
-    // when the corpus is small, broadcast the id sets: the candidate pairs
-    // then never shuffle array payloads — each pair row carries only ids
-    // and probes the hashed sets in place. At scale the stats read big and
-    // this degrades gracefully to the shuffled join.
-    def setsSide(tag: String) = {
-      val s = isets.select(col(idCol).as(s"${tag}_id"), col("tids").as(s"t$tag"))
+      // pair-grouped count. The group population is candidate-sized (~6 %
+      // of n² on the sf1 probe: 300 M groups from 50 k docs), far above the
+      // session's scan-sized shuffle partitioning — at 32 partitions the
+      // per-partition hash state (~10 M groups) spills and the spill sort
+      // dominates (measured 214 s vs 67 s for the same aggregation in a
+      // columnar engine). Widen THIS exchange only; the explicit hash
+      // repartitioning on the group keys satisfies the aggregate's
+      // required distribution, so no second shuffle appears. Doc stats
+      // ride as GROUP KEYS (functionally dependent on the pair), not
+      // min() buffers — count is the only aggregation state.
+      .repartition(pairAggPartitions(isets.sparkSession),
+        col("a_id"), col("b_id"))
+      .groupBy(col("a_id"), col("b_id"),
+        col("__na"), col("__nb"), col("__ua"), col("__ub"))
+      .agg(count(lit(1)).as("__c"))
+      // lossless overlap bound (ε-lenient so IEEE rounding can only ADD
+      // survivors; the exact Jaccard filter below decides):
+      // J ≥ t ⟺ I·(1+t) ≥ t·(|A|+|B|), and I ≤ __c + min(uₐ, u_b)
+      .filter((col("__c") + least(col("__ua"), col("__ub"))).cast("double") *
+        lit(1.0 + threshold) >=
+        lit(threshold) * (col("__na") + col("__nb")).cast("double") - lit(1e-9))
+    // complete the exact intersection from the tiny uncapped suffixes; the
+    // arrays are distinct and share no capped ids, so I = __c + |∩ suffix|
+    // EXACTLY, and |A∪B| = |A|+|B|−I arithmetically — same IEEE division
+    // as the full-set verify (and the oracle), bit-for-bit.
+    def uside(tag: String) = {
+      val s = docs.select(col(idCol).as(s"${tag}_id"), col("__ut").as(s"ut$tag"))
       if (big) s else broadcast(s)
     }
-    val inter = graft.functions.GraftExpressions
-      .sorted_intersect_count_long(col("ta"), col("tb")).cast("double")
-    cands
-      .join(setsSide("a"), Seq("a_id"))
-      .join(setsSide("b"), Seq("b_id"))
+    val interU = graft.functions.GraftExpressions
+      .sorted_intersect_count_long(col("uta"), col("utb")).cast("double")
+    counted
+      .join(uside("a"), Seq("a_id"))
+      .join(uside("b"), Seq("b_id"))
+      .withColumn("__i", col("__c").cast("double") + interU)
       .withColumn("jaccard",
-        inter / ((size(col("ta")) + size(col("tb"))).cast("double") - inter))
+        col("__i") / ((col("__na") + col("__nb")).cast("double") - col("__i")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -780,35 +1011,51 @@ object Dedup {
   private def containmentPairsFromIdSets(fullSets: DataFrame, idCol: String,
                                          threshold: Double, nCapped: Long,
                                          big: Boolean): DataFrame = {
+    // COUNT-FILTER form (see prefixPairsFromIdSets): the similarity
+    // universe here is the capped vocabulary itself, so the per-pair
+    // common-gram count IS the exact intersection — no verify join at all.
+    // One UNORDERED token join (half the ordered prefix×index emit),
+    // counted, then both orientations read off the same row:
+    // C(a→b) = c/|A|, C(b→a) = c/|B|. Result-identical to the ordered
+    // prefix-filter + distinct + long-merge verify it replaces: both
+    // compute {(a,b) : a≠b, A∩B ≠ ∅ on the capped universe,
+    // round(|A∩B|/|A|, 6) ≥ t} — the Chaudhuri prefix was lossless over
+    // exactly that candidate set, and the old size bound |B| ≥ ⌈t·|A|⌉ is
+    // implied by C ≥ t.
     val isets = fullSets
       .select(col(idCol),
         filter(col("tids"), t => t < nCapped).as("tids"))
       .withColumn("__n", size(col("tids")))
       .filter(col("__n") > 0)
-    val prefLen = (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")
-    val pref = isets
-      .select(col(idCol).as("a_id"), col("__n").as("__na"),
-        explode(slice(col("tids"), lit(1), prefLen)).as("__tid"))
-      .hint("shuffle_hash")
-    val index = isets
-      .select(col(idCol).as("b_id"), col("__n").as("__nb"),
-        explode(col("tids")).as("__tid"))
-      .hint("shuffle_hash")
-    val cands = pref.join(index, Seq("__tid"))
-      .filter(col("a_id") =!= col("b_id"))
-      .filter(col("__nb") >= ceil(lit(threshold) * col("__na")))
-      .select("a_id", "b_id").distinct() // |A| re-read as size(ta) at verify
-    // verify on the capped sorted id sets — native long merge, no allocs
-    def side(tag: String) = {
-      val s = isets.select(col(idCol).as(s"${tag}_id"), col("tids").as(s"t$tag"))
-      if (big) s else broadcast(s)
-    }
-    val inter = graft.functions.GraftExpressions
-      .sorted_intersect_count_long(col("ta"), col("tb")).cast("double")
-    cands
-      .join(side("a"), Seq("a_id"))
-      .join(side("b"), Seq("b_id"))
-      .withColumn("containment", round(inter / size(col("ta")).cast("double"), 6))
+    // probe shape: the capped sets ARE the universe — empty uncapped tails
+    val docsP = isets.select(col(idCol), col("__n"), col("tids").as("__ct"),
+      expr("CAST(array() AS ARRAY<BIGINT>)").as("__ut"))
+    val ctok = isets.select(col(idCol), col("__n"), explode(col("tids")).as("__tid"))
+    def side(tag: String) = ctok.select(col(idCol).as(s"${tag}_id"),
+      col("__n").as(s"__n$tag"), col("__tid")).hint("shuffle_hash")
+    val counted = if (usePairProbe(docsP, idCol))
+      probeCountedPairs(docsP, idCol, threshold, containment = true)
+        .select("a_id", "b_id", "__na", "__nb", "__c")
+    else side("a").join(side("b"), Seq("__tid"))
+      .filter(col("a_id") < col("b_id"))
+      // candidate-sized group population — widen this exchange only, stats
+      // as group keys (see prefixPairsFromIdSets for the numbers)
+      .repartition(pairAggPartitions(fullSets.sparkSession),
+        col("a_id"), col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("__c"))
+      // ε-lenient lossless bound before expanding orientations: some
+      // orientation passes only if c ≥ t·min(|A|,|B|) (up to the 6-decimal
+      // round, absorbed by the ε); the rounded exact filter decides below
+      .filter(col("__c").cast("double") >=
+        (lit(threshold) - lit(1e-6)) *
+          least(col("__na"), col("__nb")).cast("double"))
+    counted
+      .select(col("__c"), explode(array(
+        struct(col("a_id").as("x"), col("b_id").as("y"), col("__na").as("n")),
+        struct(col("b_id").as("x"), col("a_id").as("y"), col("__nb").as("n")))).as("o"))
+      .select(col("o.x").as("a_id"), col("o.y").as("b_id"),
+        round(col("__c").cast("double") / col("o.n").cast("double"), 6).as("containment"))
       .filter(col("containment") >= threshold)
       .select("a_id", "b_id", "containment")
   }
@@ -1232,4 +1479,96 @@ object Dedup {
 
   /** Hamming distance between two small signatures (for simhash pairing). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Top-`limit` closest SimHash pairs via SIGNATURE COLLAPSE — result-
+    * identical to banding every document's 16-bit signature into its two
+    * bytes, self-joining documents on (band, byte), ranking the candidate
+    * pairs by exact hamming and taking the top `limit` by
+    * (hamming, a_id, b_id) — but never materializing the doc-level join.
+    *
+    * Why: the doc-level band join is quadratic in each band bucket. A
+    * 16-bit signature space has only 65 536 values and 256 byte-keys per
+    * band, so at n documents the average bucket holds n/256 docs and the
+    * join emits Θ(n²/256) rows — 2.8 B rows at 600 k docs (measured 96 s at
+    * the sf1 probe). But the band relation between two docs depends ONLY on
+    * their signatures, and the pair order (hamming, a_id, b_id) ranks all
+    * pairs of one signature-pair contiguously. So:
+    *
+    *  1. collapse docs to signatures (≤ 65 536 groups), keeping each
+    *     signature's count and its `limit`+1 smallest doc ids — enough to
+    *     reconstruct any signature-pair's `limit` smallest doc pairs: the
+    *     k-th smallest (min,max)-lexicographic pair over two id sets uses
+    *     only ids among the k+1 smallest of each side (any pair built on a
+    *     deeper id is lex-beaten by ≥ k+1 pairs substituting a smaller id);
+    *  2. band-join SIGNATURES on (band, byte) — ≤ 2·256·(256²/2) ≈ 16.7 M
+    *     signature pairs REGARDLESS of corpus size, tiny rows, broadcast
+    *     build side;
+    *  3. rank signature pairs by (hamming, minimal doc pair) and keep the
+    *     top `limit`: every doc pair belongs to exactly one signature pair,
+    *     so a signature pair outside this top-`limit` is lex-beaten by ≥
+    *     `limit` distinct minimal pairs and can contribute nothing;
+    *  4. expand only those ≤ `limit` signature pairs into doc pairs
+    *     (≤ `limit`·(`limit`+1)² rows) and take the global top `limit`.
+    *
+    * One corpus-sized shuffle (the per-signature window), then constant-
+    * bounded work — O(n) at any scale. Reference behavior: simhash
+    * near-dup ranking per SURVEY §2 x_simhash_pairs. */
+  def simhashBandTopPairs(df: DataFrame, textCol: String, idCol: String,
+                          limit: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = Par.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"), simhash16(split(col(textCol), " ")).as("sh"))
+    // limit+1 smallest ids per signature via a window (NOT collect_list over
+    // the whole group: a saturated signature would buffer a corpus-sized
+    // array in one aggregation state); counts ride the same shuffle.
+    val w = Window.partitionBy("sh").orderBy("id")
+    val sigTop = sigs
+      .select(col("sh"), col("id"), row_number().over(w).as("__rn"),
+        count(lit(1)).over(Window.partitionBy("sh")).as("cnt"))
+      .filter(col("__rn") <= limit + 1)
+      .groupBy("sh", "cnt")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .localCheckpoint() // ≤ 65 536 rows; cuts the corpus scan from reruns
+    val bands = sigTop.select(col("sh"), element_at(col("ids"), 1).as("id0"),
+      explode(array(
+        struct(lit(0).as("band"), col("sh").bitwiseAND(lit(255L)).as("key")),
+        struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
+      .select(col("sh"), col("id0"), col("b.band").as("band"), col("b.key").as("key"))
+    // cross signature pairs sharing a band; minimal doc pair of a CROSS
+    // signature pair is (least, greatest) of the two per-signature minima
+    // (ids are globally unique, each side's best partner is the other's
+    // minimum). distinct() collapses the both-bands-match duplication —
+    // every carried column is a function of (sh_a, sh_b).
+    val cross = bands.as("x")
+      .join(broadcast(bands.as("y")),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.sh") < col("y.sh"))
+      .select(col("x.sh").as("sh_a"), col("y.sh").as("sh_b"),
+        hamming(col("x.sh"), col("y.sh")).cast("long").as("hamming"),
+        least(col("x.id0"), col("y.id0")).as("m1"),
+        greatest(col("x.id0"), col("y.id0")).as("m2"))
+      .distinct()
+    // a signature with ≥ 2 docs pairs with itself (both bands equal);
+    // hamming 0, minimal pair = its two smallest ids
+    val selfs = sigTop.filter(col("cnt") >= 2)
+      .select(col("sh").as("sh_a"), col("sh").as("sh_b"),
+        lit(0L).as("hamming"),
+        element_at(col("ids"), 1).as("m1"), element_at(col("ids"), 2).as("m2"))
+    val topSigPairs = cross.unionByName(selfs)
+      .orderBy("hamming", "m1", "m2").limit(limit)
+    // expand the surviving signature pairs only; u ≠ v orientation-collapsed
+    // to (least, greatest), so self pairs dedupe via the distinct()
+    topSigPairs
+      .join(broadcast(sigTop.select(col("sh").as("sh_a"), col("ids").as("ia"))), Seq("sh_a"))
+      .join(broadcast(sigTop.select(col("sh").as("sh_b"), col("ids").as("ib"))), Seq("sh_b"))
+      .select(col("hamming"), explode(col("ia")).as("u"), col("ib"))
+      .select(col("hamming"), col("u"), explode(col("ib")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a_id"),
+        greatest(col("u"), col("v")).as("b_id"), col("hamming"))
+      .distinct()
+      .orderBy("hamming", "a_id", "b_id")
+      .limit(limit)
+      .select("a_id", "b_id", "hamming")
+  }
 }

@@ -512,30 +512,17 @@ object ExtQueries {
         s"FROM $Docs) t ORDER BY doc_id")),
 
     ("x_simhash_pairs", // SimHash pairing: band the 16-bit signature into
-      // its two bytes, candidates = pairs sharing either band (an equi-join,
-      // Σ band-bucket² cost — guaranteed complete for hamming <= 1 by
-      // pigeonhole), ranked by exact hamming. Top-20 closest, deterministic.
-      (s: SparkSession, d: String) => {
-        val sh = graft.ext.Par.ensure(t(s, d, "documents").select("doc_id", "text"))
-          .select(col("doc_id"), Dedup.simhash16(split(col("text"), " ")).as("sh"))
-        val banded = sh.select(col("doc_id"), col("sh"),
-          explode(array(
-            struct(lit(0).as("band"), col("sh").bitwiseAND(lit(255L)).as("key")),
-            struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
-          .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.key").as("key"))
-        // shuffle_hash (not broadcast): both sides then shuffle the IDENTICAL
-        // banded subplan on (band, key), so ReuseExchange computes the
-        // 16-pass simhash once instead of once per join side
-        banded.as("x").hint("shuffle_hash")
-          .join(banded.as("y").hint("shuffle_hash"),
-            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-            Dedup.hamming(col("x.sh"), col("y.sh")).cast("long").as("hamming"))
-          .distinct()
-          .orderBy("hamming", "a_id", "b_id")
-          .limit(20)
-      },
+      // its two bytes, candidates = pairs sharing either band (guaranteed
+      // complete for hamming <= 1 by pigeonhole), ranked by exact hamming.
+      // Top-20 closest, deterministic. Computed by SIGNATURE COLLAPSE
+      // (Dedup.simhashBandTopPairs): the doc-level band join is Θ(n²/256)
+      // — 2.8 B rows at the 600 k-doc sf1 probe — while the collapsed form
+      // joins ≤ 65 536 signatures and expands only the ≤ 20 signature
+      // pairs that can reach the global top-20. Result-identical to the
+      // doc-level join (DedupSpec equivalence) and to the DuckDB oracle.
+      (s: SparkSession, d: String) =>
+        Dedup.simhashBandTopPairs(
+          t(s, d, "documents").select("doc_id", "text"), "text", "doc_id", 20),
       Some("WITH sh AS (SELECT doc_id, CAST(" +
         (1 to 16).map(simhashTermSql).mkString(" + ") +
         " AS BIGINT) AS sh FROM (SELECT doc_id, string_split(text, ' ') AS ws " +

@@ -349,6 +349,39 @@ class DedupSpec extends SparkTestBase {
     assert(sh.forall(v => v >= 0 && v < 65536))
   }
 
+  test("simhashBandTopPairs: signature collapse equals the doc-level band join") {
+    // real corpus slice + planted signature collisions (verbatim repeats →
+    // equal signatures → self signature-pairs; the collapse's self/cross
+    // split and the 21-id truncation both get exercised)
+    val base = graft.queries.Td.t(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = base.limit(30)
+      .select(col("doc_id") + lit(1000000L), col("text"))
+      .toDF("doc_id", "text")
+    val corpus = base.unionByName(planted).localCheckpoint()
+    // brute-force ground truth: band every doc, self-join, rank by hamming
+    val sh = corpus
+      .select(col("doc_id"), Dedup.simhash16(split(col("text"), " ")).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array(
+        struct(lit(0).as("band"), col("sh").bitwiseAND(lit(255L)).as("key")),
+        struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.key").as("key"))
+    for (lim <- Seq(5, 20, 100)) {
+      val want = banded.as("x")
+        .join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          Dedup.hamming(col("x.sh"), col("y.sh")).cast("long").as("hamming"))
+        .distinct().orderBy("hamming", "a_id", "b_id").limit(lim)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val got = Dedup.simhashBandTopPairs(corpus, "text", "doc_id", lim)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === want, s"limit=$lim")
+    }
+  }
+
   test("hamming column helper") {
     val got = Seq((0xFFL, 0x0FL)).toDF("a", "b")
       .select(Dedup.hamming(col("a"), col("b"))).collect()(0).getInt(0)
@@ -591,6 +624,27 @@ class DedupSpec extends SparkTestBase {
       val big = results()
       small.keys.foreach(k => assert(big(k) === small(k), s"op $k"))
     } finally System.clearProperty("graft.test.sizeRatioPrefilterMinBytes")
+  }
+
+  test("token-join shuffle path equals the broadcast-index probe path") {
+    // prefix/containment take the AllPairs broadcast-index probe when the
+    // capped postings fit the budget; a 100 TB corpus takes the token-join
+    // shuffle + count aggregation. Force the shuffle path onto the fixture
+    // corpus (budget 0 = postings never fit) and assert value-level
+    // equality including the similarity columns.
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+    def results(): Map[String, Seq[(Long, Long, Double)]] = Map(
+      "prefix" -> Dedup.prefixJoinPairs(docs, "text", "doc_id", threshold = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted,
+      "contain" -> Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted)
+    val probed = results()
+    assert(probed("prefix").nonEmpty) // non-vacuous
+    System.setProperty("graft.test.probeIndexMaxPostings", "0")
+    try {
+      val shuffled = results()
+      probed.keys.foreach(k => assert(shuffled(k) === probed(k), s"op $k"))
+    } finally System.clearProperty("graft.test.probeIndexMaxPostings")
   }
 
   test("bloomNewDocs: exact at any fpp — equals the plain anti-join") {

@@ -135,7 +135,13 @@ class PlanSpec extends SparkTestBase {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q grew a window:\n${p.take(1500)}")
       assert(!p.contains("CartesianProduct"), q)
-      assert(p.contains("sorted_intersect_count_long"), s"$q verify not native")
+      // round-9 count-filter form: the per-pair overlap comes from the
+      // broadcast-index probe (MapPartitions over the encoded sets — the
+      // path chosen at fixture scale) or from a count aggregate over the
+      // token join (the at-scale shuffle path) — never a distinct + full-
+      // array verify
+      assert(p.contains("MapPartitions") || p.contains("count(1)"),
+        s"$q lost the pair-count stage:\n${p.take(1500)}")
       // round-9: served from the persisted shingle store — every file scan
       // reads the artifact, never the raw documents (the shingle/frequency/
       // dictionary build must not reappear in the per-query plan)
@@ -143,6 +149,12 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("documents.parquet"),
         s"$q re-reads raw documents:\n${p.take(1500)}")
     }
+    // prefix join completes the intersection from the uncapped suffixes via
+    // the native long-merge kernel; containment is exact by count alone
+    assert(plan("x_prefix_pairs").contains("sorted_intersect_count_long"),
+      "x_prefix_pairs suffix completion not native")
+    assert(!plan("x_containment_pairs").contains("sorted_intersect_count_long"),
+      "x_containment_pairs should need no array verify (count is exact)")
   }
 
   test("x_bloom_new_docs: bloom probe evaluated in the scan filter, no shuffle before it") {
