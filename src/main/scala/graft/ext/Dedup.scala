@@ -133,18 +133,53 @@ object Dedup {
     // prefixJoinPairs); the a/b sides share the pr shuffle via ReuseExchange
     val freqSide = if (big) freq else broadcast(freq)
     val tok = pr.join(freqSide, Seq("p")).filter(col("__f") <= cap)
-    val a = tok.select(col("p"), col(idCol).as("a_id")).hint("shuffle_hash")
-    val b = tok.select(col("p"), col(idCol).as("b_id")).hint("shuffle_hash")
-    a.join(b, Seq("p"))
-      .filter(col("a_id") < col("b_id"))
-      // candidate-sized group population — same under-partitioning hazard
-      // as the other pair-count aggregations (see pairAggPartitions)
-      .repartition(pairAggPartitions(df.sparkSession),
-        col("a_id"), col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-      .select("a_id", "b_id", "n_shared")
+      .localCheckpoint() // probed twice below (dict + encode) or as a/b sides
+    // prints are per-doc DISTINCT (winnowedPrints array_distincts), so the
+    // shared-print count is a plain set-intersection count — the same
+    // broadcast-index probe as the prefix family applies when the capped
+    // print postings fit the budget; dense ids come from a throwaway
+    // distinct + zipWithIndex dictionary (any dense numbering works — the
+    // probe only counts, order is irrelevant)
+    lazy val docsP = {
+      val spark = df.sparkSession
+      val dict = {
+        val rdd = tok.select(col("p")).distinct().rdd.zipWithIndex
+          .map { case (r, i) => org.apache.spark.sql.Row(r.getLong(0), i) }
+        spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("p",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__tid",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      }
+      tok.join(if (big) dict else broadcast(dict), Seq("p"))
+        .groupBy(col(idCol))
+        .agg(collect_list(col("__tid")).as("__ct"))
+        .select(col(idCol), size(col("__ct")).as("__n"), col("__ct"),
+          expr("CAST(array() AS ARRAY<BIGINT>)").as("__ut"))
+    }
+    // cheap gate first (one count on the checkpointed token table) so the
+    // at-scale path never pays the dictionary encode just to be told no
+    val probeOk =
+      df.schema(idCol).dataType == org.apache.spark.sql.types.LongType &&
+        tok.count() <= probeIndexMaxPostings
+    if (probeOk && usePairProbe(docsP, idCol))
+      probeCountedPairs(docsP, idCol, threshold = 0.0, containment = true,
+        minCount = minShared)
+        .select(col("a_id"), col("b_id"), col("__c").as("n_shared"))
+    else {
+      val a = tok.select(col("p"), col(idCol).as("a_id")).hint("shuffle_hash")
+      val b = tok.select(col("p"), col(idCol).as("b_id")).hint("shuffle_hash")
+      a.join(b, Seq("p"))
+        .filter(col("a_id") < col("b_id"))
+        // candidate-sized group population — same under-partitioning hazard
+        // as the other pair-count aggregations (see pairAggPartitions)
+        .repartition(pairAggPartitions(df.sparkSession),
+          col("a_id"), col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .select("a_id", "b_id", "n_shared")
+    }
   }
 
   /** NEAR-dup flavor of the overlap matrix: aggregate an (a_id, b_id) pair
@@ -709,7 +744,8 @@ object Dedup {
     * decide membership either way). */
   private def probeCountedPairs(docs: DataFrame, idCol: String,
                                 threshold: Double,
-                                containment: Boolean): DataFrame = {
+                                containment: Boolean,
+                                minCount: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // CSR postings over the dense capped vocabulary + a doc-stats map —
@@ -756,11 +792,11 @@ object Dedup {
           }
           val out = Seq.newBuilder[(Long, Long, Long, Int, Int, Int, Int)]
           m.foreach { (b, nb, ub, c) =>
-            val keep =
-              if (containment) c.toDouble >= (t - 1e-6) * math.min(na, nb)
+            val keep = c >= minCount &&
+              (if (containment) c.toDouble >= (t - 1e-6) * math.min(na, nb)
               else math.min(na, nb).toDouble >= t * math.max(na, nb) &&
                 (c + math.min(ua, ub)).toDouble * (1.0 + t) >=
-                  t * (na + nb).toDouble - 1e-9
+                  t * (na + nb).toDouble - 1e-9)
             if (keep) out += ((id, b, c.toLong, na, nb, ua, ub))
           }
           out.result() // survivors only; the map is reused by the next doc

@@ -637,7 +637,9 @@ class DedupSpec extends SparkTestBase {
       "prefix" -> Dedup.prefixJoinPairs(docs, "text", "doc_id", threshold = 0.2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted,
       "contain" -> Dedup.containmentPairs(docs, "text", "doc_id", threshold = 0.5)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted,
+      "winnow" -> Dedup.winnowPairs(docs, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble)).toSeq.sorted)
     val probed = results()
     assert(probed("prefix").nonEmpty) // non-vacuous
     System.setProperty("graft.test.probeIndexMaxPostings", "0")
