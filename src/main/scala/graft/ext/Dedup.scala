@@ -494,14 +494,16 @@ object Dedup {
       joined.filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(sizeRatioMin) * greatest(col("__na"), col("__nb")))
     else joined
-    // candidate-sized dedup: same under-partitioning hazard as the token-
-    // join count aggregations (see pairAggPartitions) — at 1 M docs the
-    // band join emits ~10⁸ rows into a 32-partition distinct whose hash
-    // state spill-sorts; widen this one exchange
-    ratioed.select("a_id", "b_id")
-      .repartition(pairAggPartitions(bands.sparkSession),
-        col("a_id"), col("b_id"))
-      .distinct()
+    // plain distinct, NOT a widened repartition + distinct: unlike the
+    // pair-COUNT aggregations (where groups ≈ rows and partial aggregation
+    // is worthless — see pairAggPartitions), the band join emits each
+    // candidate once per colliding band, so the distinct's map-side partial
+    // aggregate collapses that multiplicity before the shuffle; and the
+    // final hash state (~10⁷ bare pairs over the session partitioning)
+    // never spills. An explicit pre-repartition here shuffles the RAW
+    // band-join emission — measured as a multi-GB straggler stage at the
+    // 1 M-doc probe before this note.
+    ratioed.select("a_id", "b_id").distinct()
   }
 
   /** Drop every row of a (band, bucket) whose population exceeds `maxBucket`.
