@@ -64,7 +64,14 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, r)
     }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+    // per-op progress to stderr: a multi-hour stall is attributable to a
+    // NAMED op without a thread dump (learned the hard way this round)
+    val results = new scala.collection.mutable.LinkedHashMap[String, (Double, Long)] {
+      override def addOne(kv: (String, (Double, Long))): this.type = {
+        System.err.println(f"[probe] ${kv._1} ${kv._2._1}%.2f s rows=${kv._2._2}")
+        super.addOne(kv)
+      }
+    }
 
     // SPARK_GRAFT_PROBE_SKIP=cap,prefix skips named expensive blocks so a
     // targeted question (e.g. segment-dedup growth at 200 k) doesn't pay the
