@@ -151,6 +151,23 @@ object AnnProbe {
     }
     val rPq = pqIds.count(bruteIds.contains).toDouble / k
 
+    // residual IVF-PQ rung (the FAISS coarse+fine shape): codes quantize the
+    // within-list residual, the query probes pruned partitions, and the
+    // tie-inclusive rerank keeps whole ADC-tied cells — the duplicate-cluster
+    // regime this corpus maximizes (copies of a vector share a code word).
+    val (tRTrain, resCbs) = time {
+      Similarity.pqResidualCodebooksFor(spark, dir, cents)
+    }
+    val (tRBuild, resIdx) = time {
+      Similarity.ivfPqIndexPathFor(spark, dir, cents, resCbs)
+    }
+    val (tRQuery, resIds) = time {
+      Similarity.ivfPqTopK(spark, resIdx, "vec_id", "embedding", q, k,
+        cents, resCbs, nProbe = 2, rerank = 50)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val rRes = resIds.count(bruteIds.contains).toDouble / k
+
     println(s"""{"metric":"ann_probe","n_vecs":$nVecs,"n_lists":$nLists,"k":$k,""" +
       s""""brute_sec":${f"$tBrute%.2f"},"train_sec":${f"$tTrain%.2f"},""" +
       s""""build_sec":${f"$tBuild%.2f"},"probe_sec":${f"$tProbe%.2f"},""" +
@@ -162,7 +179,9 @@ object AnnProbe {
       s""""lsh_h1_sec":${f"$tLsh1%.2f"},"lsh_h1_recall":$rLsh1,""" +
       s""""lsh_h2_sec":${f"$tLsh2%.2f"},"lsh_h2_recall":$rLsh2,""" +
       s""""pq_train_sec":${f"$tPqTrain%.2f"},"pq_encode_sec":${f"$tPqEncode%.2f"},""" +
-      s""""pq_query_sec":${f"$tPq%.2f"},"pq_recall":$rPq,"sf":"$sfDir"}""")
+      s""""pq_query_sec":${f"$tPq%.2f"},"pq_recall":$rPq,""" +
+      s""""ivfpq_train_sec":${f"$tRTrain%.2f"},"ivfpq_build_sec":${f"$tRBuild%.2f"},""" +
+      s""""ivfpq_query_sec":${f"$tRQuery%.2f"},"ivfpq_recall":$rRes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

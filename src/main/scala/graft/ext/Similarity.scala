@@ -403,6 +403,28 @@ object Similarity {
     }: _*)
   }
 
+  /** TIE-INCLUSIVE rerank cut: the top-`rerank` candidates by (adc, id)
+    * PLUS everything tied at the boundary adc value. A plain LIMIT cuts
+    * INSIDE an ADC tie by id — and ADC ties are structural, not rare: a
+    * duplicate cluster (identical or near-identical vectors, the common
+    * case in a crawled corpus) shares one code, so its whole population
+    * ties and the id cut silently drops true neighbors (the 1M AnnProbe
+    * measured recall 0/10 exactly this way). RANK-not-ROW_NUMBER semantics
+    * make `rerank` a floor, never a blindfold: the boundary value comes
+    * from a TakeOrdered pass (rerank rows to the driver — bounded), the
+    * filter re-scans only the codes column, and the exact re-rank decides.
+    * Cost grows only when a tie is genuinely wide — and then the extra
+    * candidates are precisely the ones correctness needs. */
+  private def tieInclusive(scored: DataFrame, rerank: Int): DataFrame = {
+    // the rerank-th smallest adc is tie-order-independent, so the
+    // TakeOrdered needs no id tie-break
+    val th = scored.select(col("adc"))
+      .orderBy(col("adc").asc).limit(rerank)
+      .agg(max("adc")).first()
+    if (th.isNullAt(0)) scored
+    else scored.filter(col("adc") <= th.getDouble(0))
+  }
+
   /** The query's ADC lookup tables: distance from each query subvector to
     * each sub-centroid — m·ksub doubles, driver-computed. */
   private def adcLuts(codebooks: Array[Array[Array[Double]]],
@@ -436,10 +458,9 @@ object Similarity {
                 rerank: Int = 50): DataFrame = {
     val q = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
     val luts = adcLuts(codebooks, q)
-    val cands = em.withColumn("__codes", pqEncode(col(vecCol), codebooks))
+    val scored = em.withColumn("__codes", pqEncode(col(vecCol), codebooks))
       .withColumn("adc", round(adcCol(luts, col("__codes")), 6))
-      .orderBy(col("adc").asc, col(idCol))
-      .limit(rerank)
+    val cands = tieInclusive(scored, rerank)
     cands.crossJoin(broadcast(queryVec))
       .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
       .select(col(idCol), col("adc"), col("cos"))
@@ -466,10 +487,8 @@ object Similarity {
                   rerank: Int = 50): DataFrame = {
     val q = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
     val luts = adcLuts(codebooks, q)
-    val cands = codes
-      .withColumn("adc", round(adcCol(luts, col("codes")), 6))
-      .orderBy(col("adc").asc, col(idCol))
-      .limit(rerank)
+    val cands = tieInclusive(
+        codes.withColumn("adc", round(adcCol(luts, col("codes")), 6)), rerank)
       .select(col(idCol), col("adc"))
     em.join(broadcast(cands), Seq(idCol))
       .crossJoin(broadcast(queryVec))
@@ -490,20 +509,73 @@ object Similarity {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("sub", "code")
 
+  /** RESIDUAL PQ codebooks — the IVF-PQ coarse+fine design of Jégou et al.
+    * (PAMI 2011 §IV) as productionized in FAISS IndexIVFPQ: each subspace's
+    * k-means trains on RESIDUALS (vec − its nearest IVF centroid) over the
+    * same bounded ordered sample. Why residuals instead of raw vectors: a
+    * flat code quantizes ABSOLUTE position, so a duplicate cluster (many
+    * near-identical vectors — the common case in a crawled corpus) collapses
+    * to ONE code and ADC cannot rank inside it; the 1M AnnProbe measured
+    * recall 0/10 in exactly that regime (500 jittered copies per base
+    * vector, rerank 50 ≪ the 500-way ADC tie). The residual's dynamic range
+    * is within-list variation — jitter-scale — so the same ksub resolves
+    * intra-cluster differences and compressed-domain ranking survives.
+    * Deterministic and cached like [[pqCodebooksFor]]; keyed also by the
+    * coarse centroids (residuals depend on them). */
+  def pqResidualCodebooksFor(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, centroids: Array[Array[Double]],
+                             m: Int = 8, ksub: Int = 16, iters: Int = 10,
+                             sampleN: Int = 4096): Array[Array[Array[Double]]] =
+    pqCache.getOrElseUpdate(
+      s"$dir#res#${centroidFingerprint(centroids)}#$m#$ksub#$iters#$sampleN", {
+        val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding").orderBy("vec_id").limit(sampleN).collect()
+        val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+        require(vecs(0).length % m == 0,
+          s"dim ${vecs(0).length} not divisible into $m subspaces")
+        val res = vecs.map { v =>
+          var best = 0; var bd = Double.MaxValue; var j = 0
+          while (j < centroids.length) {
+            val d = sqdist(v, centroids(j))
+            if (d < bd) { bd = d; best = j }
+            j += 1
+          }
+          val c = centroids(best)
+          Array.tabulate(v.length)(i => v(i) - c(i))
+        }
+        val subdim = vecs(0).length / m
+        Array.tabulate(m)(s =>
+          kmeansLocal(res.map(_.slice(s * subdim, (s + 1) * subdim)), ksub, iters))
+      })
+
+  /** The residual of a vector against its assigned list's centroid, as one
+    * column expression (ARRAY<DOUBLE> — stays in the double arithmetic the
+    * encode kernel and the DuckDB oracle share; no float round-trip). */
+  private def residualCol(vec: Column, listCol: Column,
+                          centroids: Array[Array[Double]]): Column =
+    zip_with(vec,
+      element_at(typedLit(centroids.map(_.toSeq).toSeq), listCol + 1),
+      (x, c) => x.cast("double") - c)
+
   /** Combined IVF-PQ index (the FAISS production shape) in ONE parquet
-    * table: rows carry (id, codes, vector), PARTITIONED BY the IVF list.
-    * Partition pruning keeps unprobed lists unopened; parquet column
-    * projection keeps the VECTOR column unread during the ADC candidate
-    * stage — the candidate scan costs probed-lists × 8 bytes/row. Only the
-    * `rerank` winners' vectors are materialized (broadcast semi-join back
-    * into the probed partitions, vector column projected there only). */
+    * table: rows carry (id, codes, vector), PARTITIONED BY the IVF list,
+    * with codes = PQ(vec − centroid[list]) — RESIDUAL-encoded against the
+    * row's own coarse centroid ([[pqResidualCodebooksFor]] trains the
+    * matching codebooks). Partition pruning keeps unprobed lists unopened;
+    * parquet column projection keeps the VECTOR column unread during the
+    * ADC candidate stage — the candidate scan costs probed-lists × 8
+    * bytes/row. Only the `rerank` winners' vectors are materialized
+    * (broadcast semi-join back into the probed partitions, vector column
+    * projected there only). */
   def ivfPqWriteIndex(em: DataFrame, idCol: String, vecCol: String,
                       centroids: Array[Array[Double]],
                       codebooks: Array[Array[Array[Double]]],
                       path: String): Unit =
-    em.select(col(idCol), pqEncode(col(vecCol), codebooks).as("codes"),
-        col(vecCol))
-      .withColumn("list", ivfAssign(col(vecCol), centroids))
+    em.withColumn("list", ivfAssign(col(vecCol), centroids))
+      .select(col(idCol),
+        pqEncode(residualCol(col(vecCol), col("list"), centroids), codebooks)
+          .as("codes"),
+        col(vecCol), col("list"))
       .write.mode("overwrite").partitionBy("list").parquet(path)
 
   /** Build-once location for the combined index, keyed like [[indexPathFor]]
@@ -517,7 +589,11 @@ object Similarity {
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         excludeId: Option[Long] = Some(0L),
                         warehouse: Option[String] = None): String = {
-    val key = s"$dir#$idCol#$vecCol#$excludeId#${centroidFingerprint(centroids)}" +
+    // "#res1" versions the ENCODING scheme (residual codes since round 9):
+    // a persisted-warehouse artifact written by the flat-code era must not
+    // be read back as residual codes
+    val key = s"$dir#$idCol#$vecCol#$excludeId#res1" +
+      s"#${centroidFingerprint(centroids)}" +
       s"#${centroidFingerprint(codebooks.flatten)}" +
       s"#${Dedup.dataFingerprint(spark, s"$dir/embeddings.parquet")}#$warehouse"
     ivfPqIndexCache.getOrElseUpdate(key, {
@@ -542,10 +618,14 @@ object Similarity {
 
   /** Query the combined index: driver-side centroid argmin → literal
     * `list IN (...)` prunes partitions; ADC over the codes column cuts to
-    * `rerank` candidates; exact cosine re-ranks just those. With
-    * rerank ≥ probed-partition row count this equals ivfTopKIndexed
-    * bit-for-bit (spec-asserted) — `rerank` below that trades the PQ
-    * quantization error for an ~32× lighter candidate scan. */
+    * `rerank` candidates; exact cosine re-ranks just those. Codes are
+    * residuals against each row's own list centroid, so the LUTs are
+    * per-probed-list (distance from the QUERY's residual against that same
+    * centroid to each sub-centroid — nProbe small literal tables, a CASE
+    * over the partition column picks a row's table). With rerank ≥
+    * probed-partition row count this equals ivfTopKIndexed bit-for-bit
+    * (spec-asserted) — `rerank` below that trades the PQ quantization
+    * error for an ~32× lighter candidate scan. */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
                 idCol: String, vecCol: String, queryVec: DataFrame, k: Int,
                 centroids: Array[Array[Double]],
@@ -554,14 +634,21 @@ object Similarity {
     val qv = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
     val probeLists = centroids.zipWithIndex
       .map { case (c, i) => (sqdist(qv, c), i) }
-      .sortBy(identity).take(nProbe).map(_._2.asInstanceOf[Any])
-    val luts = adcLuts(codebooks, qv)
+      .sortBy(identity).take(nProbe).map(_._2)
+    val lutByList = probeLists.map { l =>
+      val c = centroids(l)
+      l -> adcLuts(codebooks, Array.tabulate(qv.length)(i => qv(i) - c(i)))
+    }
+    val adc = lutByList.tail.foldLeft(
+      when(col("list") === lutByList.head._1,
+        adcCol(lutByList.head._2, col("codes")))) { case (acc, (l, lut)) =>
+      acc.when(col("list") === l, adcCol(lut, col("codes")))
+    }
     val pruned = spark.read.parquet(path)
-      .filter(col("list").isin(probeLists: _*))
-    val cands = pruned.select(col(idCol), col("codes"))
-      .withColumn("adc", round(adcCol(luts, col("codes")), 6))
-      .orderBy(col("adc").asc, col(idCol))
-      .limit(rerank)
+      .filter(col("list").isin(probeLists.map(_.asInstanceOf[Any]): _*))
+    val cands = tieInclusive(
+        pruned.select(col(idCol), col("codes"), col("list"))
+          .withColumn("adc", round(adc, 6)), rerank)
       .select(col(idCol), col("adc"))
     pruned.select(col(idCol), col(vecCol))
       .join(broadcast(cands), Seq(idCol))

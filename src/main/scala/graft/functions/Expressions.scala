@@ -639,13 +639,16 @@ case class SortedContainsLong(left: Expression, right: Expression)
   * with the generated DuckDB oracle): per-centroid distance is the
   * LEFT-TO-RIGHT fold of (x−c)² in index order on doubles; ties break to
   * the LOWEST code (strict < keeps the first). */
-final class PqEncoder(val codebooks: Array[Array[Array[Double]]])
+final class PqEncoder(val codebooks: Array[Array[Array[Double]]],
+                      val isDouble: Boolean = false)
     extends Serializable {
   private val m = codebooks.length
   private val subdim = codebooks(0)(0).length
 
   /** codes of one vector, or null if the vector is too short / has a null
-    * slot (mirrors the HOF form's null propagation). */
+    * slot (mirrors the HOF form's null propagation). Input elements are
+    * FLOAT (raw embeddings) or DOUBLE (residuals — already the product of
+    * double arithmetic, so no float round-trip is introduced). */
   def encode(v: org.apache.spark.sql.catalyst.util.ArrayData):
       org.apache.spark.sql.catalyst.util.ArrayData = {
     if (v.numElements() < m * subdim) return null
@@ -663,7 +666,9 @@ final class PqEncoder(val codebooks: Array[Array[Array[Double]]])
         var d = 0.0
         var k = 0
         while (k < subdim) {
-          val diff = v.getFloat(base + k).toDouble - c(k)
+          val x = if (isDouble) v.getDouble(base + k)
+                  else v.getFloat(base + k).toDouble
+          val diff = x - c(k)
           d += diff * diff
           k += 1
         }
@@ -690,9 +695,11 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      org.apache.spark.sql.types.FloatType |
+      org.apache.spark.sql.types.DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires ARRAY<FLOAT> input, got ${other.catalogString}")
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got ${other.catalogString}")
   }
   override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
     org.apache.spark.sql.types.IntegerType, containsNull = false)
@@ -700,7 +707,12 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
   override def prettyName: String = "pq_encode"
 
   private lazy val encoder =
-    new PqEncoder(codebooks.map(_.map(_.toArray).toArray).toArray)
+    new PqEncoder(codebooks.map(_.map(_.toArray).toArray).toArray,
+      isDouble = child.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      })
 
   override protected def nullSafeEval(v: Any): Any =
     encoder.encode(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])

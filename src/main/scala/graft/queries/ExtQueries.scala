@@ -320,7 +320,10 @@ object ExtQueries {
     s"WITH q AS (SELECT embedding AS qv FROM $Embs WHERE vec_id = 0), " +
       s"b AS (SELECT vec_id, embedding, $cols FROM $Embs WHERE vec_id <> 0), " +
       s"a AS (SELECT vec_id, embedding, round($adc, 6) AS adc FROM b), " +
-      "cand AS (SELECT vec_id, embedding, adc FROM a ORDER BY adc, vec_id LIMIT 50) " +
+      // tie-inclusive rerank cut (RANK-not-ROW_NUMBER — Similarity
+      // .tieInclusive): everything tied at the 50th adc value survives
+      "cand AS (SELECT vec_id, embedding, adc FROM a WHERE adc <= " +
+      "(SELECT max(adc) FROM (SELECT adc FROM a ORDER BY adc LIMIT 50))) " +
       s"SELECT vec_id, adc, round($CosExpr, 6) AS cos FROM cand, q " +
       "ORDER BY cos DESC, vec_id LIMIT 10"
   }
@@ -331,7 +334,7 @@ object ExtQueries {
     * artifact-bearing oracles. */
   def ivfPqOracleSql(spark: SparkSession, sfDir: String): String = {
     val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
-    val cbs = graft.ext.Similarity.pqCodebooksFor(spark, sfDir)
+    val cbs = graft.ext.Similarity.pqResidualCodebooksFor(spark, sfDir, cents)
     val subdim = cbs(0)(0).length
     val q = t(spark, sfDir, "embeddings")
       .filter(col("vec_id") === 0).select("embedding")
@@ -339,9 +342,15 @@ object ExtQueries {
     val probeLists = cents.zipWithIndex
       .map { case (c, i) => (graft.ext.Similarity.sqdist(q, c), i) }
       .sortBy(identity).take(2).map(_._2)
-    val luts = cbs.zipWithIndex.map { case (cb, s) =>
-      cb.map(c => graft.ext.Similarity.sqdist(
-        q.slice(s * subdim, (s + 1) * subdim), c))
+    // per-list LUTs from the QUERY's residual against that list's centroid
+    // (exactly Similarity.ivfPqTopK's lutByList)
+    val lutByList = probeLists.map { l =>
+      val c = cents(l)
+      val qr = Array.tabulate(q.length)(i => q(i) - c(i))
+      l -> cbs.zipWithIndex.map { case (cb, s) =>
+        cb.map(cc => graft.ext.Similarity.sqdist(
+          qr.slice(s * subdim, (s + 1) * subdim), cc))
+      }
     }
     def distSql(vec: String, c: Array[Double]): String = {
       val lit = c.map(_.toString).mkString("[", ",", "]")
@@ -352,18 +361,41 @@ object ExtQueries {
     val listSql = cents.zipWithIndex
       .map { case (c, i) => s"{'d': ${distSql("embedding", c)}, 'l': $i}" }
       .mkString("list_sort([", ", ", "])[1].l")
-    val codes = pqCodeSql(spark, sfDir, "embedding")
-    val cols = codes.zipWithIndex
-      .map { case (c, s) => s"$c AS c$s" }.mkString(", ")
-    val adc = luts.zipWithIndex.map { case (lut, s) =>
-      s"(${lut.map(_.toString).mkString("[", ",", "]")})[c$s + 1]"
-    }.mkString(" + ")
+    // residual code per (list, subspace): ((CAST(x AS DOUBLE) − cl[i]) −
+    // c[i])² — the same left-to-right association as the Spark side's
+    // zip_with residual followed by the kernel's (res − c)²
+    def resCodeSql(l: Int, s: Int): String = {
+      val cl = cents(l)
+      cbs(s).zipWithIndex.map { case (c, j) =>
+        val d = (0 until subdim).map { i =>
+          val idx = s * subdim + i + 1 // 1-based SQL index
+          val term = s"((CAST(embedding[$idx] AS DOUBLE) - (${cl(idx - 1)})) - " +
+            s"(${c(i)}))"
+          s"$term * $term"
+        }.mkString("list_sum([", ", ", "])")
+        s"{'d': $d, 'c': $j}"
+      }.mkString("list_sort([", ", ", "])[1].c")
+    }
+    val codeCols = cbs.indices.map { s =>
+      val cases = probeLists.map(l => s"WHEN list = $l THEN ${resCodeSql(l, s)}")
+        .mkString(" ")
+      s"CASE $cases END AS c$s"
+    }.mkString(", ")
+    val adc = lutByList.map { case (l, luts) =>
+      val sum = luts.zipWithIndex.map { case (lut, s) =>
+        s"(${lut.map(_.toString).mkString("[", ",", "]")})[c$s + 1]"
+      }.mkString(" + ")
+      s"WHEN list = $l THEN $sum"
+    }.mkString("CASE ", " ", " END")
     s"WITH q AS (SELECT embedding AS qv FROM $Embs WHERE vec_id = 0), " +
-      s"b AS (SELECT vec_id, embedding, $cols, $listSql AS list " +
+      s"b AS (SELECT vec_id, embedding, $listSql AS list " +
       s"FROM $Embs WHERE vec_id <> 0), " +
-      s"pr AS (SELECT vec_id, embedding, round($adc, 6) AS adc FROM b " +
+      s"pc AS (SELECT vec_id, embedding, list, $codeCols FROM b " +
       s"WHERE list IN (${probeLists.mkString(", ")})), " +
-      "cand AS (SELECT vec_id, embedding, adc FROM pr ORDER BY adc, vec_id LIMIT 50) " +
+      s"pr AS (SELECT vec_id, embedding, round($adc, 6) AS adc FROM pc), " +
+      // tie-inclusive rerank cut — see pqAdcOracleSql
+      "cand AS (SELECT vec_id, embedding, adc FROM pr WHERE adc <= " +
+      "(SELECT max(adc) FROM (SELECT adc FROM pr ORDER BY adc LIMIT 50))) " +
       s"SELECT vec_id, adc, round($CosExpr, 6) AS cos FROM cand, q " +
       "ORDER BY cos DESC, vec_id LIMIT 10"
   }
@@ -748,12 +780,15 @@ object ExtQueries {
       // partitioned table: literal probe-list IN prunes partitions, the ADC
       // candidate stage projects only (id, codes) — parquet column pruning
       // keeps the vector column unread — and just the top-50 fetch vectors
-      // for the exact re-rank. Dynamic centroid+codebook+LUT oracle.
+      // for the exact re-rank. Codes are RESIDUAL-encoded against each
+      // row's coarse centroid (pqResidualCodebooksFor) so duplicate
+      // clusters stay rankable in the compressed domain (the 1M AnnProbe's
+      // flat-code tie collapse). Dynamic centroid+codebook+LUT oracle.
       (s: SparkSession, d: String) => {
         val em = t(s, d, "embeddings")
         val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
         val cents = Similarity.centroidsFor(s, d)
-        val cbs = Similarity.pqCodebooksFor(s, d)
+        val cbs = Similarity.pqResidualCodebooksFor(s, d, cents)
         val idx = Similarity.ivfPqIndexPathFor(s, d, cents, cbs)
         Similarity.ivfPqTopK(s, idx, "vec_id", "embedding", q, k = 10,
           cents, cbs, nProbe = 2, rerank = 50)

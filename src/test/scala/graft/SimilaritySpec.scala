@@ -350,7 +350,7 @@ class SimilaritySpec extends SparkTestBase {
   test("IVF-PQ: pruned partitions, unread vector column in the ADC stage, lossless at full rerank") {
     import org.apache.spark.sql.functions.col
     val cents = Similarity.centroidsFor(spark, sf0001)
-    val cbs = Similarity.pqCodebooksFor(spark, sf0001)
+    val cbs = Similarity.pqResidualCodebooksFor(spark, sf0001, cents)
     val idx = Similarity.ivfPqIndexPathFor(spark, sf0001, cents, cbs)
     val em = Td.t(spark, sf0001, "embeddings")
     val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -376,6 +376,99 @@ class SimilaritySpec extends SparkTestBase {
         q, k = 10, cents, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(full === exact)
+  }
+
+  test("IVF-PQ residual codes rank INSIDE a duplicate cluster where flat codes tie-collapse") {
+    import org.apache.spark.sql.functions.col
+    // 4 well-separated bases x 100 jittered copies, jitter magnitude growing
+    // with the copy index j and per-(b,j,i) decorrelated directions; ids
+    // ANTI-correlated with j, so a tie-break by id inside a tied code cell
+    // picks the WORST copies first. Flat codes quantize ABSOLUTE position:
+    // every copy of a base shares one code, the tie population is the WHOLE
+    // cluster (unbounded at corpus scale), and the id tie-break buries the
+    // true neighbors — recall collapses (the 1M AnnProbe regime). Residual
+    // codes shrink the tie population from cluster-sized to CODE-CELL-sized
+    // (bounded by quantization, shrinks with ksub): the same rerank budget
+    // then spans the low-jitter cells and recall survives. Query = the
+    // clean base-0 vector (held out of the corpus).
+    val dim = 16
+    def sign(b: Int, j: Int, i: Int): Double =
+      if ((((b * 131 + j * 313 + i * 719) * 2654435761L >>> 13) & 1L) == 0L)
+        1.0 else -1.0
+    val rows = for (b <- 0 until 4; j <- 1 to 100) yield {
+      val v = Array.tabulate(dim)(i =>
+        (if (i == b) 10.0 else 0.0) + j * 0.001 * sign(b, j, i))
+      ((100L - j) * 4 + b, v.map(_.toFloat).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_respq").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val em = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = Seq(Tuple1(Array.tabulate(dim)(i => if (i == 0) 10.0f else 0.0f).toSeq))
+      .toDF("qv")
+    val truth = em.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .select(col("vec_id"), Similarity.cosine(col("embedding"), col("qv")).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSet
+    val cents = Similarity.centroidsFor(spark, dir, nLists = 4)
+    val flatCbs = Similarity.pqCodebooksFor(spark, dir)
+    val resCbs = Similarity.pqResidualCodebooksFor(spark, dir, cents)
+    val idx = Similarity.ivfPqIndexPathFor(spark, dir, cents, resCbs,
+      excludeId = None)
+    val resGot = Similarity.ivfPqTopK(spark, idx, "vec_id", "embedding", q,
+        k = 5, cents, resCbs, nProbe = 2, rerank = 50)
+      .collect().map(_.getLong(0)).toSet
+    val resRecall = (resGot & truth).size
+    assert(resRecall >= 4, s"residual recall $resRecall/5 (got $resGot vs $truth)")
+    // the mechanism: residual codes DISCRIMINATE inside the duplicate
+    // cluster — base 0's copies spread across many code words (cells sized
+    // by within-list variation), so no single cell's tie can swallow the
+    // rerank budget the way a whole-cluster flat tie does
+    val distinctResCodes = spark.read.parquet(idx)
+      .filter(col("vec_id") % 4 === 0)
+      .select(col("codes").cast("string")).distinct().count()
+    assert(distinctResCodes > 10,
+      s"expected many distinct residual code words in the cluster, got $distinctResCodes")
+    val flatRecall = (Similarity.pqTopKAdc(em, "vec_id", "embedding", q,
+        k = 5, flatCbs, rerank = 50)
+      .collect().map(_.getLong(0)).toSet & truth).size
+    assert(flatRecall >= 4, // tie-inclusive rerank rescues even flat codes
+      s"tie-inclusive flat recall $flatRecall/5")
+  }
+
+  test("tie-inclusive rerank: a true neighbor tied at the cut boundary is never dropped") {
+    import org.apache.spark.sql.functions.col
+    // 100 IDENTICAL decoys (one code, one adc — a structural tie) with LOW
+    // ids, plus one true nearest neighbor w inside the same code cell with
+    // the HIGHEST id. A plain LIMIT-50 cut by (adc, id) keeps 50 decoys and
+    // drops w; the RANK-semantics cut keeps the whole tied cell, and the
+    // exact re-rank surfaces w first.
+    val dim = 16
+    val dup = Array.tabulate(dim)(i => if (i < 8) 8.0f else 1.0f)
+    val w = Array.tabulate(dim)(i => dup(i) + (if (i >= 8) 0.02f else 0.01f))
+    val qArr = Array.tabulate(dim)(i => dup(i) + (if (i >= 8) 0.03f else 0.015f))
+    import spark.implicits._
+    val em = ((1 to 100).map(i => (i.toLong, dup.toSeq)) :+ (500L, w.toSeq))
+      .toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(qArr.toSeq)).toDF("qv")
+    // codebooks train on a SEPARATE wide-spread corpus (the production
+    // situation: a global sample can't adapt a cell to every micro-cluster),
+    // so dup and w — 0.02 apart inside cells ~1 unit wide — share one code
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiecut").toString
+    (0 until 256).map(t => (t.toLong,
+        Array.tabulate(dim)(i => (((t * 31 + i * 17) % 97) / 6.0).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cbs = Similarity.pqCodebooksFor(spark, dir)
+    // same code cell => same adc: the premise of the tie
+    val codes = em.select(Similarity.pqEncode(col("embedding"), cbs).cast("string"))
+      .distinct().count()
+    assert(codes === 1L, s"fixture must collapse to one code word, got $codes")
+    val top = Similarity.pqTopKAdc(em, "vec_id", "embedding", q,
+        k = 3, cbs, rerank = 50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.head === 500L, s"true neighbor beyond the id cut must win: $top")
   }
 
   test("semDedup: keep-first within a cluster; cross-cluster pairs never compared") {
