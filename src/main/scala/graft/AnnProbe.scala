@@ -151,6 +151,17 @@ object AnnProbe {
     }
     val rPq = pqIds.count(bruteIds.contains).toDouble / k
 
+    // the rerank dial under duplication: a duplicate cluster spans 1-2 code
+    // cells with NO intra-cluster ADC signal (cells size to inter-cluster
+    // distances), so recall requires rerank >= duplicate multiplicity —
+    // here 2x the copy count, still ~0.1% of the corpus reranked exactly
+    val dupRerank = (2 * copies).toInt.max(50)
+    val (tPqD, pqDIds) = time {
+      Similarity.pqTopKCoded(coded, corpus, "vec_id", "embedding", q, k, cbs,
+        rerank = dupRerank).collect().map(_.getLong(0)).toSeq
+    }
+    val rPqD = pqDIds.count(bruteIds.contains).toDouble / k
+
     // residual IVF-PQ rung (the FAISS coarse+fine shape): codes quantize the
     // within-list residual, the query probes pruned partitions, and the
     // tie-inclusive rerank keeps whole ADC-tied cells — the duplicate-cluster
@@ -167,6 +178,12 @@ object AnnProbe {
         .collect().map(_.getLong(0)).toSeq
     }
     val rRes = resIds.count(bruteIds.contains).toDouble / k
+    val (tRQueryD, resDIds) = time {
+      Similarity.ivfPqTopK(spark, resIdx, "vec_id", "embedding", q, k,
+        cents, resCbs, nProbe = 2, rerank = dupRerank)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val rResD = resDIds.count(bruteIds.contains).toDouble / k
 
     println(s"""{"metric":"ann_probe","n_vecs":$nVecs,"n_lists":$nLists,"k":$k,""" +
       s""""brute_sec":${f"$tBrute%.2f"},"train_sec":${f"$tTrain%.2f"},""" +
@@ -180,8 +197,12 @@ object AnnProbe {
       s""""lsh_h2_sec":${f"$tLsh2%.2f"},"lsh_h2_recall":$rLsh2,""" +
       s""""pq_train_sec":${f"$tPqTrain%.2f"},"pq_encode_sec":${f"$tPqEncode%.2f"},""" +
       s""""pq_query_sec":${f"$tPq%.2f"},"pq_recall":$rPq,""" +
+      s""""pq_dup_rerank":$dupRerank,"pq_dup_query_sec":${f"$tPqD%.2f"},""" +
+      s""""pq_dup_recall":$rPqD,""" +
       s""""ivfpq_train_sec":${f"$tRTrain%.2f"},"ivfpq_build_sec":${f"$tRBuild%.2f"},""" +
-      s""""ivfpq_query_sec":${f"$tRQuery%.2f"},"ivfpq_recall":$rRes,"sf":"$sfDir"}""")
+      s""""ivfpq_query_sec":${f"$tRQuery%.2f"},"ivfpq_recall":$rRes,""" +
+      s""""ivfpq_dup_query_sec":${f"$tRQueryD%.2f"},"ivfpq_dup_recall":$rResD,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -113,6 +113,26 @@ object Similarity {
     * and queries only probe. No RNG: init = the first k sample vectors, ties
     * in assignment break to the lowest list id, an emptied list keeps its
     * previous centroid. */
+  /** The shared bounded training sample: `sampleN` vectors in DETERMINISTIC
+    * HASH-SPREAD order (md5 of the id, id tiebreak) — stable across runs
+    * and partitionings like the old ordered-by-id sample, but UNBIASED
+    * under id-adjacent duplication. Why this matters, measured: the 1M
+    * AnnProbe corpus replicates each base vector 500× at adjacent ids, so
+    * `ORDER BY vec_id LIMIT 4096` covered 8 of 2000 base vectors (0.4 %);
+    * quantizers trained on that sample carve cells at JITTER scale, ADC
+    * ranking degenerates to quantization noise, and PQ recall measured
+    * 0/10. A crawl corpus has exactly this shape (duplicates cluster in
+    * ingest order). The hash order covers ~every duplicate group, cells
+    * size to INTER-cluster distances, duplicate clusters collapse to exact
+    * ADC ties — and the tie-inclusive rerank then keeps them whole. */
+  private def sampleVectors(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, sampleN: Int): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(sampleN).collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
 
@@ -120,10 +140,7 @@ object Similarity {
                    nLists: Int = 8, iters: Int = 10,
                    sampleN: Int = 4096): Array[Array[Double]] =
     centroidCache.getOrElseUpdate(s"$dir#$nLists#$iters#$sampleN", {
-      val rows = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select("vec_id", "embedding").orderBy("vec_id").limit(sampleN).collect()
-      val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
-      kmeansLocal(vecs, nLists, iters)
+      kmeansLocal(sampleVectors(spark, dir, sampleN), nLists, iters)
     })
 
   private[graft] def sqdist(a: Array[Double], c: Array[Double]): Double = {
@@ -370,9 +387,7 @@ object Similarity {
                      m: Int = 8, ksub: Int = 16, iters: Int = 10,
                      sampleN: Int = 4096): Array[Array[Array[Double]]] =
     pqCache.getOrElseUpdate(s"$dir#$m#$ksub#$iters#$sampleN", {
-      val rows = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select("vec_id", "embedding").orderBy("vec_id").limit(sampleN).collect()
-      val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      val vecs = sampleVectors(spark, dir, sampleN)
       require(vecs(0).length % m == 0,
         s"dim ${vecs(0).length} not divisible into $m subspaces")
       val subdim = vecs(0).length / m
@@ -528,9 +543,7 @@ object Similarity {
                              sampleN: Int = 4096): Array[Array[Array[Double]]] =
     pqCache.getOrElseUpdate(
       s"$dir#res#${centroidFingerprint(centroids)}#$m#$ksub#$iters#$sampleN", {
-        val rows = spark.read.parquet(s"$dir/embeddings.parquet")
-          .select("vec_id", "embedding").orderBy("vec_id").limit(sampleN).collect()
-        val vecs = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+        val vecs = sampleVectors(spark, dir, sampleN)
         require(vecs(0).length % m == 0,
           s"dim ${vecs(0).length} not divisible into $m subspaces")
         val res = vecs.map { v =>
