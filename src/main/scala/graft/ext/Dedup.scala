@@ -123,25 +123,50 @@ object Dedup {
     // derived print-frequency cap (see maxTokenFor); a count-star on the
     // doc source — parquet answers it from footer metadata
     val cap = resolveMaxToken(maxToken, df.count())
+    // ONE corpus winnowing pass: the route decision below needs the print
+    // frequency stats (a driver action) before the query itself runs, so an
+    // un-materialized pr would shingle the corpus twice. Prints are ~8 B ×
+    // ~n_words/window per doc — two orders below the text — so the local
+    // checkpoint is the cheap side of that trade at any scale.
     val pr = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
         explode(TextFns.winnowedPrints(col("__ws"), shingleK, window)).as("p"))
+      .localCheckpoint()
     val freq = pr.groupBy("p").agg(count(lit(1)).as("__f"))
+    // route on MEASURED candidate volume, not corpus size: the probe's
+    // fixed overhead (dictionary distinct+zipWithIndex, checkpoint, index
+    // build) only pays off when the token join would enumerate far more
+    // candidate pairs than it has postings — Σf² vs Σf over the capped
+    // prints, one tiny aggregation on the vocabulary-sized freq table
+    // (measured: ratio 7 at sf0.1 where the shuffle join wins, 2 622 at
+    // sf1 where the probe halves the query)
+    val capped = freq.filter(col("__f") <= cap)
+    val st = capped.agg(
+      coalesce(sum(col("__f")), lit(0L)),
+      coalesce(sum(col("__f") * col("__f")), lit(0L))).first()
+    val postings = st.getLong(0)
+    val gainRatio = sys.props.get("graft.test.probeGainRatio")
+      .map(_.toLong).getOrElse(64L)
+    val probeWorthIt = postings <= probeIndexMaxPostings &&
+      st.getLong(1) > postings * gainRatio
     // print-frequency table ∝ distinct prints: broadcast only when the
     // corpus is provably small, shuffle-join otherwise (same policy as
     // prefixJoinPairs); the a/b sides share the pr shuffle via ReuseExchange
     val freqSide = if (big) freq else broadcast(freq)
-    val tok = pr.join(freqSide, Seq("p")).filter(col("__f") <= cap)
-      .localCheckpoint() // probed twice below (dict + encode) or as a/b sides
+    // checkpointed only on the PROBE route (dict + encode + postings probe
+    // re-read it); the shuffle route's a/b sides share one exchange via
+    // ReuseExchange, where an eager checkpoint is pure overhead
+    def tokRaw = pr.join(freqSide, Seq("p")).filter(col("__f") <= cap)
     // prints are per-doc DISTINCT (winnowedPrints array_distincts), so the
     // shared-print count is a plain set-intersection count — the same
     // broadcast-index probe as the prefix family applies when the capped
     // print postings fit the budget; dense ids come from a throwaway
     // distinct + zipWithIndex dictionary (any dense numbering works — the
     // probe only counts, order is irrelevant)
-    lazy val docsP = {
+    def docsP = {
       val spark = df.sparkSession
+      val tok = tokRaw.localCheckpoint()
       val dict = {
         val rdd = tok.select(col("p")).distinct().rdd.zipWithIndex
           .map { case (r, i) => org.apache.spark.sql.Row(r.getLong(0), i) }
@@ -157,18 +182,17 @@ object Dedup {
         .select(col(idCol), size(col("__ct")).as("__n"), col("__ct"),
           expr("CAST(array() AS ARRAY<BIGINT>)").as("__ut"))
     }
-    // cheap gate first (one count on the checkpointed token table) so the
-    // at-scale path never pays the dictionary encode just to be told no
     val probeOk =
       df.schema(idCol).dataType == org.apache.spark.sql.types.LongType &&
-        tok.count() <= probeIndexMaxPostings
-    if (probeOk && usePairProbe(docsP, idCol))
-      probeCountedPairs(docsP, idCol, threshold = 0.0, containment = true,
+        probeWorthIt
+    lazy val docsPv = docsP
+    if (probeOk && usePairProbe(docsPv, idCol))
+      probeCountedPairs(docsPv, idCol, threshold = 0.0, containment = true,
         minCount = minShared)
         .select(col("a_id"), col("b_id"), col("__c").as("n_shared"))
     else {
-      val a = tok.select(col("p"), col(idCol).as("a_id")).hint("shuffle_hash")
-      val b = tok.select(col("p"), col(idCol).as("b_id")).hint("shuffle_hash")
+      val a = tokRaw.select(col("p"), col(idCol).as("a_id")).hint("shuffle_hash")
+      val b = tokRaw.select(col("p"), col(idCol).as("b_id")).hint("shuffle_hash")
       a.join(b, Seq("p"))
         .filter(col("a_id") < col("b_id"))
         // candidate-sized group population — same under-partitioning hazard

@@ -664,13 +664,19 @@ class DedupSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted,
       "winnow" -> Dedup.winnowPairs(docs, "text", "doc_id")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toDouble)).toSeq.sorted)
-    val probed = results()
-    assert(probed("prefix").nonEmpty) // non-vacuous
-    System.setProperty("graft.test.probeIndexMaxPostings", "0")
+    // winnow's volume gate (Σf²/postings) routes the small fixture to the
+    // shuffle path on its own — zero the ratio so the first run provably
+    // takes the probe on all three ops
+    System.setProperty("graft.test.probeGainRatio", "0")
     try {
-      val shuffled = results()
-      probed.keys.foreach(k => assert(shuffled(k) === probed(k), s"op $k"))
-    } finally System.clearProperty("graft.test.probeIndexMaxPostings")
+      val probed = results()
+      assert(probed("prefix").nonEmpty) // non-vacuous
+      System.setProperty("graft.test.probeIndexMaxPostings", "0")
+      try {
+        val shuffled = results()
+        probed.keys.foreach(k => assert(shuffled(k) === probed(k), s"op $k"))
+      } finally System.clearProperty("graft.test.probeIndexMaxPostings")
+    } finally System.clearProperty("graft.test.probeGainRatio")
   }
 
   test("bloomNewDocs: exact at any fpp — equals the plain anti-join") {
