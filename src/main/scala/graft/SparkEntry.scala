@@ -36,6 +36,7 @@ object SparkEntry {
       "x_cluster_sample" -> ExtQueries.clusterSampleOracleSql(spark, sfDir),
       "x_pq_codes" -> ExtQueries.pqCodesOracleSql(spark, sfDir),
       "x_ann_pq" -> ExtQueries.pqAdcOracleSql(spark, sfDir),
-      "x_ann_ivfpq" -> ExtQueries.ivfPqOracleSql(spark, sfDir))
+      "x_ann_ivfpq" -> ExtQueries.ivfPqOracleSql(spark, sfDir),
+      "x_lm_score" -> ExtQueries.lmOracleSql(spark, sfDir))
   }
 }

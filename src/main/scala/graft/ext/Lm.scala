@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model quality filtering (Wenzek et al. 2020,
+  * arXiv:1911.00359 §3: documents are scored by the perplexity of a KenLM
+  * n-gram model trained on a clean reference corpus, and high-perplexity —
+  * unnatural — text is dropped). Re-expressed for the engine contract:
+  *
+  *  - the MODEL is a bounded driver-side artifact (like the IVF centroids):
+  *    bigram + unigram counts from a deterministic hash-spread sample of
+  *    reference documents, pruned to the top-K entries, with add-one
+  *    smoothed conditional log-probs PRE-QUANTIZED to integer milli-nats
+  *    (`round(1000·ln p)`) at train time — so scoring is pure INTEGER
+  *    arithmetic and the DuckDB oracle consumes the *same* integers
+  *    (the x_quality_lr pattern: exact cross-engine compare, the
+  *    transcendental left on the driver where it runs once);
+  *  - SCORING is a zero-shuffle column expression: one ordered fold over
+  *    the token array with two map-literal lookups per bigram
+  *    (bigram hit → per-w1 unseen-bigram fallback → out-of-vocab floor).
+  *    The maps ride the plan as single MapType literals (no join, no
+  *    broadcast table), exactly how a fastText/KenLM filter deploys — the
+  *    model is a constant of the job;
+  *  - the keep/drop decision compares total milli-nats against a
+  *    per-bigram mean threshold in integers; true perplexity
+  *    `exp(−lp/1000/n)` is a consumer-side display transform.
+  *
+  * Scale shape: scoring is embarrassingly parallel over documents and
+  * vocab-bounded in memory; training reads `sampleDocs` documents once.
+  */
+object Lm {
+
+  /** A trained bigram LM, quantized for engine-exact scoring.
+    * `bigramMilli(w1 + " " + w2)` = round(1000·ln((c(w1,w2)+1)/(c(w1)+V)));
+    * `uniFallbackMilli(w1)` = the same for an UNSEEN bigram after w1
+    * (numerator 1); `floorMilli` = round(1000·ln(1/V)) for unknown w1. */
+  final case class BigramLm(bigramMilli: Map[String, Long],
+                            uniFallbackMilli: Map[String, Long],
+                            floorMilli: Long, vocab: Int)
+
+  private val lmCache =
+    scala.collection.concurrent.TrieMap.empty[String, BigramLm]
+
+  /** Train-once cached artifact per (dataset dir, config): counts from a
+    * deterministic md5-ordered document sample (duplication-unbiased — the
+    * Similarity.sampleVectors rationale), top-`topBigrams` bigrams by
+    * (count desc, key asc) and the unigram counts of every retained w1. */
+  def bigramLmFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  sampleDocs: Int = 512, topBigrams: Int = 8192,
+                  topUnigrams: Int = 2048): BigramLm =
+    lmCache.getOrElseUpdate(
+      s"$dir#$textCol#$idCol#$sampleDocs#$topBigrams#$topUnigrams", {
+        val texts = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col(idCol), col(textCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))
+          .limit(sampleDocs).collect().map(_.getString(1))
+        val uni = scala.collection.mutable.Map.empty[String, Long]
+        val big = scala.collection.mutable.Map.empty[String, Long]
+        texts.foreach { t =>
+          val ws = t.split(" ")
+          var i = 0
+          while (i < ws.length) {
+            uni(ws(i)) = uni.getOrElse(ws(i), 0L) + 1L
+            if (i + 1 < ws.length) {
+              val b = ws(i) + " " + ws(i + 1)
+              big(b) = big.getOrElse(b, 0L) + 1L
+            }
+            i += 1
+          }
+        }
+        val topUni = uni.toSeq.sortBy { case (w, c) => (-c, w) }
+          .take(topUnigrams).toMap
+        val v = topUni.size + 1 // +1: the OOV word class
+        def lp(num: Long, den: Long): Long =
+          math.round(1000.0 * math.log(num.toDouble / den.toDouble))
+        val bigs = big.toSeq.sortBy { case (b, c) => (-c, b) }
+          .take(topBigrams)
+          .map { case (b, c) =>
+            val w1 = b.substring(0, b.indexOf(' '))
+            b -> lp(c + 1L, uni(w1) + v)
+          }.toMap
+        val fallback = topUni.map { case (w, c) => w -> lp(1L, c + v) }
+        BigramLm(bigs, fallback, lp(1L, v.toLong), v)
+      })
+
+  /** Per-document LM score: `(idCol, n_bigrams, lp_milli, keep)` where
+    * `lp_milli` is the integer total of per-bigram milli-nat log-probs
+    * (ordered fold — though integer addition makes order moot) and `keep`
+    * compares the per-bigram mean against `keepMeanMilli` (default −9 000:
+    * mean log-prob above −9 nats ≈ perplexity below ~8 100). Zero
+    * shuffles; both lookup tables are MapType literals in the plan. */
+  def scoreMilli(docs: DataFrame, textCol: String, idCol: String,
+                 lm: BigramLm, keepMeanMilli: Long = -9000L): DataFrame = {
+    val bigLit = typedLit(lm.bigramMilli)
+    val uniLit = typedLit(lm.uniFallbackMilli)
+    val ws = split(col(textCol), " ")
+    val idxs = when(size(ws) >= 2, sequence(lit(1), size(ws) - 1))
+      .otherwise(array().cast("array<int>"))
+    val lpCol = aggregate(idxs, lit(0L), (acc, i) => acc + coalesce(
+      element_at(bigLit,
+        concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))),
+      element_at(uniLit, element_at(ws, i)),
+      lit(lm.floorMilli)))
+    docs.select(col(idCol),
+        greatest(size(ws) - 1, lit(0)).cast("long").as("n_bigrams"),
+        lpCol.as("lp_milli"))
+      .withColumn("keep",
+        (col("lp_milli") >= col("n_bigrams") * lit(keepMeanMilli)).cast("int"))
+  }
+}

@@ -216,6 +216,32 @@ object ExtQueries {
   /** DuckDB twin of Similarity.semDedup: same centroid-literal assignment as
     * [[ivfOracleSql]], then the within-list keep-first prune on the rounded
     * cosine. Generated at Verify dump time (centroids are data-derived). */
+  /** x_lm_score oracle: the SAME driver-quantized integer milli-nat tables
+    * as SQL VALUES literals, joined per exploded bigram — integer sums on
+    * both engines, hash-exact by construction. */
+  def lmOracleSql(spark: SparkSession, sfDir: String): String = {
+    val lm = graft.ext.Lm.bigramLmFor(spark, sfDir)
+    def esc(s: String): String = s.replace("'", "''")
+    def valuesOf(m: Map[String, Long]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('${esc(k)}', $v)" }.mkString(", ")
+    s"WITH lm(b, lp) AS (SELECT * FROM (VALUES ${valuesOf(lm.bigramMilli)})), " +
+      s"uni(w, lp) AS (SELECT * FROM (VALUES ${valuesOf(lm.uniFallbackMilli)})), " +
+      s"tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
+      "bg AS (SELECT doc_id, unnest([{'b': ws[i] || ' ' || ws[i+1], " +
+      "'w1': ws[i]} for i in generate_series(1, len(ws) - 1)]) AS u FROM tok), " +
+      "sc AS (SELECT bg.doc_id, " +
+      s"coalesce(lm.lp, uni.lp, ${lm.floorMilli}) AS lp " +
+      "FROM bg LEFT JOIN lm ON u.b = lm.b LEFT JOIN uni ON u.w1 = uni.w), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(lp) AS BIGINT) AS lp FROM sc GROUP BY 1) " +
+      "SELECT t.doc_id, coalesce(agg.n, 0) AS n_bigrams, " +
+      "coalesce(agg.lp, 0) AS lp_milli, " +
+      "CAST(CASE WHEN coalesce(agg.lp, 0) >= coalesce(agg.n, 0) * -9000 " +
+      "THEN 1 ELSE 0 END AS INT) AS keep " +
+      "FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
+  }
+
   def semDedupOracleSql(spark: SparkSession, sfDir: String): String = {
     val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
     def distSql(vec: String, c: Array[Double]): String = {
@@ -985,6 +1011,22 @@ object ExtQueries {
           "for w in string_split(text, ' ')]) >= 0 THEN 1 ELSE 0 END AS INT) AS keep " +
           s"FROM $Docs ORDER BY doc_id"
       }),
+
+    ("x_lm_score", // CCNet/KenLM-style LM quality filter (Wenzek et al.
+      // 2020): documents scored by a reference-trained bigram LM. The model
+      // is a driver-side artifact (hash-spread 512-doc sample, top-8192
+      // bigrams, add-one smoothing) with log-probs pre-quantized to integer
+      // milli-nats, so the per-doc score is an exact integer sum both
+      // engines reproduce bit-for-bit (the x_quality_lr pattern); scoring
+      // is a zero-shuffle fold with MapType-literal lookups. keep compares
+      // the per-bigram mean against -9 nats; perplexity = exp(-lp/1000/n)
+      // is a consumer-side display transform. Dynamic oracle: the same
+      // quantized tables as SQL literals (SparkEntry.dynamicOracleSql).
+      (s: SparkSession, d: String) =>
+        graft.ext.Lm.scoreMilli(t(s, d, "documents"), "text", "doc_id",
+          graft.ext.Lm.bigramLmFor(s, d))
+          .orderBy("doc_id"),
+      None),
 
     ("x_ngram_novelty", // fraction of a doc's DISTINCT 3-grams first seen in
       // THIS doc (corpus-wide min doc_id owns a gram) — ~1 fresh prose, ~0

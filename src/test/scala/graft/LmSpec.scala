@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Lm
+
+class LmSpec extends SparkTestBase {
+
+  private def mkCorpus(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bigram LM: expression score equals an independent driver-side fold") {
+    val rows = Seq[(Long, String)](
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (3L, "dogs chase the cat"),
+      (4L, "completely novel words here zzz"),
+      (5L, "the"), // single token: 0 bigrams
+      (6L, ""))
+    val dir = mkCorpus(rows)
+    val lm = Lm.bigramLmFor(spark, dir, sampleDocs = 6,
+      topBigrams = 100, topUnigrams = 100)
+    val got = Lm.scoreMilli(spark.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+
+    // independent reference fold: plain Scala over the artifact maps
+    def ref(text: String): (Long, Long) = {
+      val ws = text.split(" ")
+      if (ws.length < 2) (0L, 0L)
+      else {
+        val lp = (0 until ws.length - 1).map { i =>
+          lm.bigramMilli.getOrElse(ws(i) + " " + ws(i + 1),
+            lm.uniFallbackMilli.getOrElse(ws(i), lm.floorMilli))
+        }.sum
+        (ws.length - 1L, lp)
+      }
+    }
+    rows.foreach { case (id, text) =>
+      val (n, lp) = ref(text)
+      val row = got.find(_._1 == id).get
+      assert(row._2 === n, s"doc $id n_bigrams")
+      assert(row._3 === lp, s"doc $id lp_milli")
+      assert(row._4 === (if (lp >= n * -9000L) 1 else 0), s"doc $id keep")
+    }
+    // seen-corpus docs must outscore the novel-word doc per bigram
+    val mean = got.map(r => r._1 -> (if (r._2 == 0) 0.0 else r._3.toDouble / r._2)).toMap
+    assert(mean(1L) > mean(4L) && mean(2L) > mean(4L))
+  }
+
+  test("bigram LM: artifact deterministic and cached; quantization matches formula") {
+    val dir = mkCorpus(Seq((1L, "a b a b c"), (2L, "a b c a b")))
+    val lm1 = Lm.bigramLmFor(spark, dir, sampleDocs = 2,
+      topBigrams = 10, topUnigrams = 10)
+    val lm2 = Lm.bigramLmFor(spark, dir, sampleDocs = 2,
+      topBigrams = 10, topUnigrams = 10)
+    assert(lm1 eq lm2) // cache hit
+    // hand check: c(a)=4, c(b)=4, c(c)=2 over both docs; V = 3 + 1 = 4.
+    // c("a b") = 4 -> lp = round(1000 * ln((4+1)/(4+4)))
+    assert(lm1.vocab === 4)
+    assert(lm1.bigramMilli("a b") ===
+      math.round(1000.0 * math.log(5.0 / 8.0)))
+    assert(lm1.uniFallbackMilli("c") ===
+      math.round(1000.0 * math.log(1.0 / 6.0)))
+    assert(lm1.floorMilli === math.round(1000.0 * math.log(1.0 / 4.0)))
+  }
+}
