@@ -86,13 +86,29 @@ object Lm {
       })
 
   /** Per-document LM score: `(idCol, n_bigrams, lp_milli, keep)` where
-    * `lp_milli` is the integer total of per-bigram milli-nat log-probs
-    * (ordered fold — though integer addition makes order moot) and `keep`
-    * compares the per-bigram mean against `keepMeanMilli` (default −9 000:
-    * mean log-prob above −9 nats ≈ perplexity below ~8 100). Zero
-    * shuffles; both lookup tables are MapType literals in the plan. */
+    * `lp_milli` is the integer total of per-bigram milli-nat log-probs and
+    * `keep` compares the per-bigram mean against `keepMeanMilli` (default
+    * −9 000: mean log-prob above −9 nats ≈ perplexity below ~8 100). Zero
+    * shuffles; one native-kernel pass per row with HASHED model lookups
+    * (`LmScoreMilli` — the MapType-literal fold form is a linear key scan
+    * per lookup, measured 23× slower; kept below as the spec reference). */
   def scoreMilli(docs: DataFrame, textCol: String, idCol: String,
-                 lm: BigramLm, keepMeanMilli: Long = -9000L): DataFrame = {
+                 lm: BigramLm, keepMeanMilli: Long = -9000L): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.GraftExpressions.lm_score_milli(
+          split(col(textCol), " "),
+          lm.bigramMilli, lm.uniFallbackMilli, lm.floorMilli).as("__s"))
+      .select(col(idCol),
+        col("__s.n_bigrams").as("n_bigrams"),
+        col("__s.lp_milli").as("lp_milli"))
+      .withColumn("keep",
+        (col("lp_milli") >= col("n_bigrams") * lit(keepMeanMilli)).cast("int"))
+
+  /** The declarative aggregate-fold form — the independently-derived
+    * reference the native kernel is spec-asserted against (LmSpec). */
+  private[graft] def scoreMilliFold(docs: DataFrame, textCol: String,
+                                    idCol: String, lm: BigramLm,
+                                    keepMeanMilli: Long = -9000L): DataFrame = {
     val bigLit = typedLit(lm.bigramMilli)
     val uniLit = typedLit(lm.uniFallbackMilli)
     val ws = split(col(textCol), " ")

@@ -634,6 +634,89 @@ case class SortedContainsLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Serializable scoring kernel for [[LmScoreMilli]]: hashed lookup tables
+  * (the MapType-literal `element_at` is a LINEAR key scan per lookup —
+  * measured 7.7 s for 10 k docs × 8 k-entry model at sf0.1; this kernel is
+  * one HashMap probe per bigram). Keys are held as UTF8String so probes
+  * compare bytes without decoding. */
+final class LmScorer(val bigram: Map[String, Long], val uni: Map[String, Long],
+                     val floor: Long) extends Serializable {
+  @transient private lazy val bigM = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](bigram.size * 2)
+    bigram.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+  @transient private lazy val uniM = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](uni.size * 2)
+    uni.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+  private val space = UTF8String.fromString(" ")
+
+  /** (n_bigrams, lp_milli) of one tokenized document, or null on a null
+    * token slot (mirrors the fold form's null propagation). */
+  def score(ws: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = ws.numElements()
+    var lp = 0L
+    var i = 0
+    while (i < n - 1) {
+      if (ws.isNullAt(i) || ws.isNullAt(i + 1)) return null
+      val w1 = ws.getUTF8String(i)
+      val b = UTF8String.concat(w1, space, ws.getUTF8String(i + 1))
+      val hit = bigM.get(b)
+      lp += (if (hit ne null) hit.longValue
+             else {
+               val fb = uniM.get(w1)
+               if (fb ne null) fb.longValue else floor
+             })
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](math.max(n - 1, 0).toLong, lp))
+  }
+}
+
+/** Per-document bigram-LM score as ONE native expression: token array →
+  * struct(n_bigrams, lp_milli) in a single pass with hashed model lookups.
+  * Integer-exact (same quantized milli-nat tables as the DuckDB oracle);
+  * code-identical to the aggregate-fold reference form (LmSpec). */
+case class LmScoreMilli(child: Expression, bigram: Map[String, Long],
+                        uni: Map[String, Long], floor: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_bigrams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("lp_milli", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "lm_score_milli"
+
+  private lazy val scorer = new LmScorer(bigram, uni, floor)
+
+  override protected def nullSafeEval(v: Any): Any =
+    scorer.score(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("lmScorer", scorer, classOf[LmScorer].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("lmRow")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $tmp = $sc.score($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LmScoreMilli =
+    copy(child = newChild)
+}
+
 /** Serializable product-quantization encode kernel for [[PqEncode]]:
   * per-subspace nearest-sub-centroid codes. Arithmetic contract (shared
   * with the generated DuckDB oracle): per-centroid distance is the
@@ -776,6 +859,10 @@ object GraftExpressions {
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
     column(PqEncode(expression(vec),
       codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+
+  def lm_score_milli(words: Column, bigram: Map[String, Long],
+                     uni: Map[String, Long], floor: Long): Column =
+    column(LmScoreMilli(expression(words), bigram, uni, floor))
 
   /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {

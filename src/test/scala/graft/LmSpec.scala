@@ -51,6 +51,13 @@ class LmSpec extends SparkTestBase {
     // seen-corpus docs must outscore the novel-word doc per bigram
     val mean = got.map(r => r._1 -> (if (r._2 == 0) 0.0 else r._3.toDouble / r._2)).toMap
     assert(mean(1L) > mean(4L) && mean(2L) > mean(4L))
+
+    // native kernel == declarative fold form, row for row
+    val foldGot = Lm.scoreMilliFold(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq === foldGot.toSeq)
   }
 
   test("bigram LM: artifact deterministic and cached; quantization matches formula") {
