@@ -775,24 +775,44 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     // CSR postings over the dense capped vocabulary + a doc-stats map —
-    // both bounded by the postings budget that gated this path
-    val postRows = docs
+    // both bounded by the postings budget that gated this path. Streamed
+    // into PRIMITIVE arrays via toLocalIterator: a collect() of 16 M boxed
+    // Tuple4s is ~100 B/entry (≈1.6 GB transient at the budget — 6× the
+    // index itself); the builders hold ~24 B/entry and boxes die young.
+    val postDs = docs
       .select(explode(col("__ct")).as("t"), col(idCol).cast("long").as("i"),
         col("__n"), size(col("__ut")).as("__u"))
-      .as[(Long, Long, Int, Int)].collect()
-    val nTok = (postRows.iterator.map(_._1).foldLeft(-1L)(math.max) + 1).toInt
+      .as[(Long, Long, Int, Int)]
+    val tB = new scala.collection.mutable.ArrayBuilder.ofLong
+    val iB = new scala.collection.mutable.ArrayBuilder.ofLong
+    val nuB = new scala.collection.mutable.ArrayBuilder.ofLong
+    postDs.toLocalIterator().forEachRemaining { r =>
+      tB += r._1; iB += r._2
+      nuB += (r._3.toLong << 32) | (r._4.toLong & 0xffffffffL)
+    }
+    val tArr = tB.result(); val iArr = iB.result(); val nuArr = nuB.result()
+    var nTok = 0
+    var p = 0
+    while (p < tArr.length) {
+      if (tArr(p) + 1 > nTok) nTok = (tArr(p) + 1).toInt
+      p += 1
+    }
     val counts = new Array[Int](nTok + 1)
-    postRows.foreach(r => counts(r._1.toInt + 1) += 1)
+    p = 0
+    while (p < tArr.length) { counts(tArr(p).toInt + 1) += 1; p += 1 }
     var k = 0
     while (k < nTok) { counts(k + 1) += counts(k); k += 1 }
     val offsets = counts.clone()
-    val pid = new Array[Long](postRows.length)
-    val pnu = new Array[Long](postRows.length) // packed (n << 32) | u
+    val pid = new Array[Long](tArr.length)
+    val pnu = new Array[Long](tArr.length) // packed (n << 32) | u
     val fill = new Array[Int](nTok)
-    postRows.foreach { case (t, i, n, u) =>
-      val slot = offsets(t.toInt) + fill(t.toInt)
-      pid(slot) = i; pnu(slot) = (n.toLong << 32) | (u.toLong & 0xffffffffL)
-      fill(t.toInt) += 1
+    p = 0
+    while (p < tArr.length) {
+      val ti = tArr(p).toInt
+      val slot = offsets(ti) + fill(ti)
+      pid(slot) = iArr(p); pnu(slot) = nuArr(p)
+      fill(ti) += 1
+      p += 1
     }
     val bc = spark.sparkContext.broadcast((offsets, pid, pnu))
     val t = threshold

@@ -432,8 +432,13 @@ object Similarity {
     * candidates are precisely the ones correctness needs. */
   private def tieInclusive(scored: DataFrame, rerank: Int): DataFrame = {
     // the rerank-th smallest adc is tie-order-independent, so the
-    // TakeOrdered needs no id tie-break
+    // TakeOrdered needs no id tie-break. NULL adc rows (malformed/short
+    // vectors fail the encode) are excluded BEFORE the limit window: Spark
+    // sorts NULLs first, so they would consume rerank slots and shrink the
+    // boundary below the true rerank-th value — and the <= filter drops
+    // them regardless, so they must not count against the budget.
     val th = scored.select(col("adc"))
+      .where(col("adc").isNotNull)
       .orderBy(col("adc").asc).limit(rerank)
       .agg(max("adc")).first()
     if (th.isNullAt(0)) scored

@@ -653,23 +653,29 @@ final class LmScorer(val bigram: Map[String, Long], val uni: Map[String, Long],
   }
   private val space = UTF8String.fromString(" ")
 
-  /** (n_bigrams, lp_milli) of one tokenized document, or null on a null
-    * token slot (mirrors the fold form's null propagation). */
+  /** (n_bigrams, lp_milli) of one tokenized document. A null token SLOT
+    * scores the floor for its bigrams — exactly the fold form's semantics,
+    * where the null key misses both map lookups and the coalesce lands on
+    * the floor literal (split() never emits null slots, but the contract
+    * must agree wherever the input comes from). */
   def score(ws: org.apache.spark.sql.catalyst.util.ArrayData):
       org.apache.spark.sql.catalyst.InternalRow = {
     val n = ws.numElements()
     var lp = 0L
     var i = 0
     while (i < n - 1) {
-      if (ws.isNullAt(i) || ws.isNullAt(i + 1)) return null
-      val w1 = ws.getUTF8String(i)
-      val b = UTF8String.concat(w1, space, ws.getUTF8String(i + 1))
-      val hit = bigM.get(b)
-      lp += (if (hit ne null) hit.longValue
-             else {
-               val fb = uniM.get(w1)
-               if (fb ne null) fb.longValue else floor
-             })
+      if (ws.isNullAt(i)) lp += floor // null w1: both lookups miss in the fold
+      else {
+        val w1 = ws.getUTF8String(i)
+        // null w2 nulls the bigram key in the fold — miss, then w1 fallback
+        val hit = if (ws.isNullAt(i + 1)) null
+                  else bigM.get(UTF8String.concat(w1, space, ws.getUTF8String(i + 1)))
+        lp += (if (hit ne null) hit.longValue
+               else {
+                 val fb = uniM.get(w1)
+                 if (fb ne null) fb.longValue else floor
+               })
+      }
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

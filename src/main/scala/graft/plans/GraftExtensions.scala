@@ -134,11 +134,17 @@ object FinalHintResolution extends Rule[LogicalPlan] {
 object FinalRewrite {
   import org.apache.spark.sql.catalyst.plans.logical.{Project, Window}
 
-  /** Registry entries whose key/version/tie-break columns all appear in the
-    * plan's output — the schema-inference step both FINAL forms share. */
+  /** Registry entries whose KEY and VERSION columns all appear in the
+    * plan's output — the schema-inference step both FINAL forms share.
+    * Tie-break columns deliberately do NOT gate the match: a projection
+    * that pruned `id` off failed_blocks is still a versioned read and must
+    * keep resolving; [[latestPlan]] applies whatever tie-breaks survive
+    * the projection (full-schema reads — the common case — stay
+    * plan-identical to Store.latest(tieBreak)). */
   def specsMatching(plan: LogicalPlan): Seq[(String, graft.store.Store.VersionedSpec)] =
     graft.store.Store.versionedTables.toSeq.filter {
-      case (_, spec) => spec.allCols.forall(c => plan.output.exists(_.name == c))
+      case (_, spec) =>
+        (spec.keys :+ spec.ver).forall(c => plan.output.exists(_.name == c))
     }
 
   /** row_number() over (partition by keys order by ver desc, tieBreak desc)
@@ -148,7 +154,10 @@ object FinalRewrite {
   def latestPlan(child: LogicalPlan,
                  spec: graft.store.Store.VersionedSpec): LogicalPlan = {
     def attr(n: String) = child.output.find(_.name == n).get
-    val order = (spec.ver +: spec.tieBreak).map(c => SortOrder(attr(c), Descending))
+    // tie-breaks the projection kept; a read that pruned them accepts the
+    // corresponding nondeterminism under exact version ties (its choice)
+    val tb = spec.tieBreak.filter(c => child.output.exists(_.name == c))
+    val order = (spec.ver +: tb).map(c => SortOrder(attr(c), Descending))
     val winSpec = WindowSpecDefinition(spec.keys.map(attr), order, UnspecifiedFrame)
     val rn = Alias(WindowExpression(RowNumber(), winSpec), "__rn")()
     val win = Window(Seq(rn), spec.keys.map(attr), order, child)

@@ -222,11 +222,16 @@ object ExtQueries {
   def lmOracleSql(spark: SparkSession, sfDir: String): String = {
     val lm = graft.ext.Lm.bigramLmFor(spark, sfDir)
     def esc(s: String): String = s.replace("'", "''")
-    def valuesOf(m: Map[String, Long]): String =
-      m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"('${esc(k)}', $v)" }.mkString(", ")
-    s"WITH lm(b, lp) AS (SELECT * FROM (VALUES ${valuesOf(lm.bigramMilli)})), " +
-      s"uni(w, lp) AS (SELECT * FROM (VALUES ${valuesOf(lm.uniFallbackMilli)})), " +
+    // an empty model table (degenerate reference corpus) must still parse:
+    // an empty-but-typed relation, not "VALUES ()"
+    def tableOf(m: Map[String, Long]): String =
+      if (m.isEmpty)
+        "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) WHERE FALSE)"
+      else m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('${esc(k)}', $v)" }
+        .mkString("(VALUES ", ", ", ")")
+    s"WITH lm(b, lp) AS (SELECT * FROM ${tableOf(lm.bigramMilli)}), " +
+      s"uni(w, lp) AS (SELECT * FROM ${tableOf(lm.uniFallbackMilli)}), " +
       s"tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
       "bg AS (SELECT doc_id, unnest([{'b': ws[i] || ' ' || ws[i+1], " +
       "'w1': ws[i]} for i in generate_series(1, len(ws) - 1)]) AS u FROM tok), " +

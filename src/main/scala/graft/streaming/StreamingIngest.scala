@@ -130,48 +130,45 @@ object StreamingIngest {
     * the engine; here they are absorbed by the partition overwrite). */
   def ingestBatchExactlyOnce(warehouse: String, envelopes: DataFrame,
                              batchId: Long): Unit = {
-    val spark = envelopes.sparkSession
-    val prev = try Some(spark.conf.get("spark.sql.sources.partitionOverwriteMode"))
-               catch { case _: Exception => None }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // overwrite mode rides each WRITER (DataFrameWriter.option scopes it to
+    // the one write), never the session conf: a session-global set/restore
+    // races concurrent streams sharing the session — a write landing after
+    // another batch's finally-restore would run as a STATIC overwrite and
+    // delete every other batch's partitions
+    val env = envelopes.cache()
     try {
-      val env = envelopes.cache()
+      env.count() // materialize once; the 13 concurrent lineages read memory
+      val tables = Flatten(env)
+      val tableWrites = tables.all.map { case (name, df) => () => {
+        val out = df
+          .withColumn("height_bucket", Fns.heightBucket(col("height")))
+          .withColumn("ingest_batch", lit(batchId))
+          .sortWithinPartitions(col("ingest_batch"), col("height_bucket"),
+            col("height"))
+        var w = out.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+        Store.bloomColsFor.getOrElse(name, Nil).foreach { c =>
+          w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        }
+        w.partitionBy("ingest_batch", "height_bucket").parquet(s"$warehouse/$name")
+      }}
+      val blocks = tables.blocks.cache()
       try {
-        env.count() // materialize once; the 13 concurrent lineages read memory
-        val tables = Flatten(env)
-        val tableWrites = tables.all.map { case (name, df) => () => {
-          val out = df
-            .withColumn("height_bucket", Fns.heightBucket(col("height")))
-            .withColumn("ingest_batch", lit(batchId))
-            .sortWithinPartitions(col("ingest_batch"), col("height_bucket"),
-              col("height"))
-          var w = out.write.mode("overwrite")
-          Store.bloomColsFor.getOrElse(name, Nil).foreach { c =>
-            w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
-          }
-          w.partitionBy("ingest_batch", "height_bucket").parquet(s"$warehouse/$name")
-        }}
-        val blocks = tables.blocks.cache()
-        try {
-          blocks.count()
-          def mv(df: DataFrame, name: String): Unit =
-            df.withColumn("ingest_batch", lit(batchId))
-              .write.mode("overwrite").partitionBy("ingest_batch")
-              .parquet(s"$warehouse/$name")
-          val mvWrites = Seq(
-            () => mv(Mvs.dailyBlockStatsDelta(blocks), "mv_daily_block_stats"),
-            () => mv(Mvs.dailyTxStatsDelta(tables.txs, blocks), "mv_daily_tx_stats"),
-            () => mv(Mvs.eventTypeStatsDelta(tables.txEvents, blocks),
-              "mv_event_type_stats"))
-          runConcurrently(tableWrites ++ mvWrites)
-        } finally { blocks.unpersist(); () }
-      } finally { env.unpersist(); () }
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+        blocks.count()
+        def mv(df: DataFrame, name: String): Unit =
+          df.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(s"$warehouse/$name")
+        val mvWrites = Seq(
+          () => mv(Mvs.dailyBlockStatsDelta(blocks), "mv_daily_block_stats"),
+          () => mv(Mvs.dailyTxStatsDelta(tables.txs, blocks), "mv_daily_tx_stats"),
+          () => mv(Mvs.eventTypeStatsDelta(tables.txEvents, blocks),
+            "mv_event_type_stats"))
+        runConcurrently(tableWrites ++ mvWrites)
+      } finally { blocks.unpersist(); () }
+    } finally { env.unpersist(); () }
   }
 
   /** File-stream harness for the FULL 10-table flatten (the streaming twin

@@ -143,6 +143,18 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaHint.toSeq === Seq((10L, 2L, "second"), (11L, 3L, "only")))
   }
 
+  test("FINAL hint: a projection that pruned the tie-break column still resolves") {
+    // failed_blocks minus `id`: keys+ver identify the versioned read; the
+    // absent tie-break must degrade (order by ver only), not throw — a
+    // caller that pruned the tie-break accepted its nondeterminism.
+    val df = Seq(
+      (10L, 500L, "a"), (11L, 400L, "b"))
+      .toDF("block_height", "last_retry_at", "err")
+    val got = df.hint("FINAL").orderBy("block_height")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq === Seq((10L, "a"), (11L, "b")))
+  }
+
   test("autoFinal conf: unhinted reads of versioned schemas rewrite to latest") {
     val dir = java.nio.file.Files.createTempDirectory("graft_autofinal").toString
     Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))

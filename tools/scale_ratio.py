@@ -25,6 +25,10 @@ def main():
     flag = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     qa, qb = a["queries"], b["queries"]
     rows = []
+    # a query in the baseline but absent from the scale run never ran there
+    # (crash/skip/rename) — that is a flag, not a silent omission
+    for name in sorted(set(qa) - set(qb)):
+        rows.append((name, qa[name], 0.0, None, "FLAG(missing-at-scale)"))
     for name, t1 in sorted(qb.items()):
         t0 = qa.get(name)
         if t0 is None:
