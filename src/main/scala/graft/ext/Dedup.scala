@@ -123,17 +123,22 @@ object Dedup {
     // derived print-frequency cap (see maxTokenFor); a count-star on the
     // doc source — parquet answers it from footer metadata
     val cap = resolveMaxToken(maxToken, df.count())
-    // ONE corpus winnowing pass: the route decision below needs the print
-    // frequency stats (a driver action) before the query itself runs, so an
-    // un-materialized pr would shingle the corpus twice. Prints are ~8 B ×
-    // ~n_words/window per doc — two orders below the text — so the local
-    // checkpoint is the cheap side of that trade at any scale.
+    // the print stream stays LAZY: the route decision below needs only the
+    // print-frequency stats, and those live in the vocabulary-sized freq
+    // table — so the checkpoint goes on FREQ (tiny: distinct prints ×
+    // 16 B), not on the corpus-sized exploded print stream. Materializing
+    // freq costs the one winnowing pass the cap filter needs anyway; the
+    // query pass then re-derives prints lazily, where the shuffle route's
+    // a/b sides share the work via AQE stage reuse and the probe route
+    // checkpoints the capped token stream itself (docsP). Checkpointing pr
+    // unconditionally — the round-9 shape — paid a corpus-print
+    // materialization even when the shuffle route never re-read it
+    // (measured +1.1 s at sf0.1 over the routing design's documented cost).
     val pr = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
         explode(TextFns.winnowedPrints(col("__ws"), shingleK, window)).as("p"))
-      .localCheckpoint()
-    val freq = pr.groupBy("p").agg(count(lit(1)).as("__f"))
+    val freq = pr.groupBy("p").agg(count(lit(1)).as("__f")).localCheckpoint()
     // route on MEASURED candidate volume, not corpus size: the probe's
     // fixed overhead (dictionary distinct+zipWithIndex, checkpoint, index
     // build) only pays off when the token join would enumerate far more
@@ -530,19 +535,41 @@ object Dedup {
     ratioed.select("a_id", "b_id").distinct()
   }
 
+  /** Below this BANDS-plan size estimate the count-over-window form of the
+    * bucket cap wins: the window is one pass over the already-shuffled band
+    * rows, while the aggregate + anti-join pays a second fixed
+    * aggregation/probe stage (~0.7 s at gate scale, round-9 measurement).
+    * Above it the window's per-partition sort over every band row becomes a
+    * multi-GB straggler (the round-9 1 M-doc finding — 2.1× slower
+    * candidates) and the anti-join's no-sort hash probe wins. Same
+    * measured-routing pattern as [[winnowPairs]]; the estimate comes from
+    * the optimizer's plan stats (free — no job), and unknown stats read as
+    * the huge default ⇒ anti-join, the right bias at scale. */
+  val BucketCapWindowMaxBytes: Long = 8L << 20
+
   /** Drop every row of a (band, bucket) whose population exceeds `maxBucket`.
-    * Aggregate + hash anti-join (see [[candidatePairs]] for why not a window):
-    * the grouped count partial-aggregates map-side, the over-cap key set is
-    * ≤ |bands|/maxBucket rows, and the anti-join needs no sort. The hint pins
+    * Route on measured band-row volume — window when provably small,
+    * aggregate + hash anti-join otherwise: the grouped count
+    * partial-aggregates map-side, the over-cap key set is ≤
+    * |bands|/maxBucket rows, and the anti-join needs no sort. The hint pins
     * the no-sort hash strategy; on a healthy corpus the over-cap side is
-    * empty and the probe is free. */
+    * empty and the probe is free. Both routes drop the identical row set. */
   private def dropOverCapBuckets(bands: DataFrame, maxBucket: Int): DataFrame = {
-    val overCap = bands.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucket)
-      .select("band", "bucket")
-      .hint("shuffle_hash")
-    bands.join(overCap, Seq("band", "bucket"), "left_anti")
+    val windowRoute = bands.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(sys.props.get("graft.test.bucketCapWindowMaxBytes").map(_.toLong)
+        .getOrElse(BucketCapWindowMaxBytes))
+    if (windowRoute) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+      bands.withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    } else {
+      val overCap = bands.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") > maxBucket)
+        .select("band", "bucket")
+        .hint("shuffle_hash")
+      bands.join(overCap, Seq("band", "bucket"), "left_anti")
+    }
   }
 
   /** n-gram Jaccard similarity between two (already distinct) shingle sets. */

@@ -94,9 +94,13 @@ object Lm {
     * per lookup, measured 23× slower; kept below as the spec reference). */
   def scoreMilli(docs: DataFrame, textCol: String, idCol: String,
                  lm: BigramLm, keepMeanMilli: Long = -9000L): DataFrame =
+    // NULL text scores as the EMPTY doc (n=0, lp=0, keep=1) — without the
+    // coalesce the nulls would propagate through split+the kernel, while
+    // the DuckDB oracle's LEFT JOIN + coalesce emits the empty-doc score;
+    // both engines must agree on a null document.
     docs.select(col(idCol),
         graft.functions.GraftExpressions.lm_score_milli(
-          split(col(textCol), " "),
+          split(coalesce(col(textCol), lit("")), " "),
           lm.bigramMilli, lm.uniFallbackMilli, lm.floorMilli).as("__s"))
       .select(col(idCol),
         col("__s.n_bigrams").as("n_bigrams"),
@@ -111,7 +115,8 @@ object Lm {
                                     keepMeanMilli: Long = -9000L): DataFrame = {
     val bigLit = typedLit(lm.bigramMilli)
     val uniLit = typedLit(lm.uniFallbackMilli)
-    val ws = split(col(textCol), " ")
+    // null text → empty-doc score, the scoreMilli contract
+    val ws = split(coalesce(col(textCol), lit("")), " ")
     val idxs = when(size(ws) >= 2, sequence(lit(1), size(ws) - 1))
       .otherwise(array().cast("array<int>"))
     val lpCol = aggregate(idxs, lit(0L), (acc, i) => acc + coalesce(

@@ -185,9 +185,22 @@ object Similarity {
     km.fit(feats).clusterCenters.map(_.toArray)
   }
 
-  /** Nearest-centroid assignment as a pure column expression (argmin of
-    * squared L2 over the broadcast centroid literals). */
-  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column = {
+  /** Nearest-centroid assignment as ONE native expression (argmin of
+    * squared L2 over the centroid table, compiled kernel with exact
+    * early-abandon — `IvfAssign`). The HOF form below is the
+    * independently-derived reference it is spec-asserted against; the
+    * native kernel is what the 1 M-vector index builds run, where the
+    * interpreted nLists·dim HOF tree per row was the dominant build cost
+    * (ANNPROBE_r09_1m: 326 s IVF build). */
+  def ivfAssign(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.GraftExpressions.ivf_assign(vec, centroids)
+
+  /** The HOF/literal form of [[ivfAssign]] — one zip_with+aggregate l2 fold
+    * per centroid under a struct array_min (ties to the lowest list id).
+    * Kept as the spec reference for the native kernel (same IEEE
+    * left-to-right fold order, same low-id tiebreak). */
+  private[graft] def ivfAssignHof(vec: Column,
+                                  centroids: Array[Array[Double]]): Column = {
     val dists = centroids.zipWithIndex.map { case (c, i) =>
       val d = aggregate(
         zip_with(vec, typedLit(c.toSeq), (x, y) => {
@@ -429,20 +442,34 @@ object Similarity {
     * from a TakeOrdered pass (rerank rows to the driver — bounded), the
     * filter re-scans only the codes column, and the exact re-rank decides.
     * Cost grows only when a tie is genuinely wide — and then the extra
-    * candidates are precisely the ones correctness needs. */
-  private def tieInclusive(scored: DataFrame, rerank: Int): DataFrame = {
+    * candidates are precisely the ones correctness needs. The expansion is
+    * still driver-safe: every caller broadcasts the candidate set, and a
+    * DEGENERATE corpus-wide tie (constant or near-constant embeddings all
+    * sharing one code) would make it corpus-sized — so the tie is capped at
+    * [[TieCapMultiple]]×rerank rows in deterministic (adc, id) order. Below
+    * the cap (every measured regime, including the 500-way 1M duplicate
+    * clusters) the set is unchanged; at the cap the cut is a documented
+    * recall dial, not an OOM. */
+  private val TieCapMultiple = 32
+
+  private def tieInclusive(scored: DataFrame, idCol: String,
+                           rerank: Int): DataFrame = {
     // the rerank-th smallest adc is tie-order-independent, so the
     // TakeOrdered needs no id tie-break. NULL adc rows (malformed/short
     // vectors fail the encode) are excluded BEFORE the limit window: Spark
     // sorts NULLs first, so they would consume rerank slots and shrink the
     // boundary below the true rerank-th value — and the <= filter drops
-    // them regardless, so they must not count against the budget.
+    // them regardless, so they must not count against the budget. When
+    // EVERY adc is NULL the contract still holds: the candidate set is
+    // empty, not the raw corpus (the <= filter would drop all rows anyway).
     val th = scored.select(col("adc"))
       .where(col("adc").isNotNull)
       .orderBy(col("adc").asc).limit(rerank)
       .agg(max("adc")).first()
-    if (th.isNullAt(0)) scored
+    if (th.isNullAt(0)) scored.filter(col("adc").isNotNull)
     else scored.filter(col("adc") <= th.getDouble(0))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(TieCapMultiple * rerank)
   }
 
   /** The query's ADC lookup tables: distance from each query subvector to
@@ -470,18 +497,28 @@ object Similarity {
     * exactly re-ranked by cosine on the full vectors — the standard
     * PQ-then-refine shape; `rerank` is the recall/cost dial. Plan: map +
     * TakeOrdered for the candidate cut (no shuffle), then a `rerank`-row
-    * re-rank. This form encodes inline (self-contained, the gate query);
-    * the write-time shape is [[pqWriteCodes]] + [[pqTopKCoded]]. */
+    * re-rank. This form encodes inline (self-contained, the gate query) —
+    * and the encode runs ONCE: the (id, adc) projection is localCheckpoint'd
+    * before the tie-inclusive cut, because that cut evaluates its input
+    * twice (threshold job + filter scan) and pqEncode over every corpus
+    * vector is the expensive half of the plan. The checkpoint is the narrow
+    * 2-column frame, never the vectors. The write-time shape is
+    * [[pqWriteCodes]] + [[pqTopKCoded]], where codes are already on disk. */
   def pqTopKAdc(em: DataFrame, idCol: String, vecCol: String,
                 queryVec: DataFrame, k: Int,
                 codebooks: Array[Array[Array[Double]]],
                 rerank: Int = 50): DataFrame = {
     val q = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
     val luts = adcLuts(codebooks, q)
-    val scored = em.withColumn("__codes", pqEncode(col(vecCol), codebooks))
+    val scored = em
+      .select(col(idCol),
+        pqEncode(col(vecCol), codebooks).as("__codes"))
       .withColumn("adc", round(adcCol(luts, col("__codes")), 6))
-    val cands = tieInclusive(scored, rerank)
-    cands.crossJoin(broadcast(queryVec))
+      .select(col(idCol), col("adc"))
+      .localCheckpoint()
+    val cands = tieInclusive(scored, idCol, rerank)
+    em.join(broadcast(cands), Seq(idCol))
+      .crossJoin(broadcast(queryVec))
       .withColumn("cos", round(cosine(col(vecCol), col("qv")), 6))
       .select(col(idCol), col("adc"), col("cos"))
       .orderBy(col("cos").desc, col(idCol))
@@ -508,7 +545,8 @@ object Similarity {
     val q = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
     val luts = adcLuts(codebooks, q)
     val cands = tieInclusive(
-        codes.withColumn("adc", round(adcCol(luts, col("codes")), 6)), rerank)
+        codes.withColumn("adc", round(adcCol(luts, col("codes")), 6)),
+        idCol, rerank)
       .select(col(idCol), col("adc"))
     em.join(broadcast(cands), Seq(idCol))
       .crossJoin(broadcast(queryVec))
@@ -666,7 +704,8 @@ object Similarity {
       .filter(col("list").isin(probeLists.map(_.asInstanceOf[Any]): _*))
     val cands = tieInclusive(
         pruned.select(col(idCol), col("codes"), col("list"))
-          .withColumn("adc", round(adc, 6)), rerank)
+          .withColumn("adc", round(adc, 6)),
+        idCol, rerank)
       .select(col(idCol), col("adc"))
     pruned.select(col(idCol), col(vecCol))
       .join(broadcast(cands), Seq(idCol))

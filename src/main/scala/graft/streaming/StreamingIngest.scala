@@ -28,7 +28,13 @@ object StreamingIngest {
     * concurrent job submission from multiple threads (each write is its
     * own job); the input cache is materialized by the caller BEFORE the
     * fan-out so concurrent lineages hit memory, not a recompute race.
-    * Failures propagate: the first exception aborts the await. */
+    * Failures propagate — but only AFTER every sibling write has come to
+    * rest: rethrowing on the first failure while other writes are still in
+    * flight would let a foreachBatch retry of the same batch run
+    * concurrently with leftover writes to the same table paths (two jobs
+    * sharing one output's _temporary dir), corrupting the partition
+    * overwrite the exactly-once contract depends on. So: await ALL futures
+    * to completion (success or failure), then rethrow the first failure. */
   private lazy val writePool =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
@@ -42,8 +48,12 @@ object StreamingIngest {
   private def runConcurrently(tasks: Seq[() => Unit]): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.Try
     val fs = tasks.map(t => Future(t())(writePool))
-    fs.foreach(Await.result(_, Duration.Inf))
+    // Await every future to quiescence first (Try absorbs the failure so a
+    // later await is never skipped), THEN surface the first error.
+    val results = fs.map(f => Try(Await.result(f, Duration.Inf)))
+    results.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
   }
 
   /** Start the ingest stream over a directory that receives envelope JSON
@@ -91,17 +101,24 @@ object StreamingIngest {
     * at-least-once contract: crash after a partial write, before the
     * checkpoint commit) replaces its own output instead of appending a
     * second copy. */
+  /** `streamTag` namespaces the batch-id partition key so MULTIPLE
+    * concurrent streams can feed ONE warehouse: without it, two streams
+    * both writing `ingest_batch=0` would dynamic-overwrite each other's
+    * partitions. The effective key is `(streamTag << 40) | batchId` —
+    * room for 2^40 batches per stream and 2^23 streams, both orders of
+    * magnitude beyond any trigger cadence × retention. */
   def startExactlyOnce(spark: SparkSession, inputDir: String, warehouse: String,
                        checkpointDir: String,
                        trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-                       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                       maxFilesPerTrigger: Option[Int] = None,
+                       streamTag: Long = 0L): StreamingQuery = {
     var reader = spark.readStream.schema(Schemas.envelope)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     reader.json(inputDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatchExactlyOnce(warehouse, batch, batchId)
+        ingestBatchExactlyOnce(warehouse, batch, batchId, streamTag)
       }
       .start()
   }
@@ -129,12 +146,13 @@ object StreamingIngest {
     * (`/root/reference/src/core/worker.js:216-236` re-runs are absorbed by
     * the engine; here they are absorbed by the partition overwrite). */
   def ingestBatchExactlyOnce(warehouse: String, envelopes: DataFrame,
-                             batchId: Long): Unit = {
+                             batchId: Long, streamTag: Long = 0L): Unit = {
     // overwrite mode rides each WRITER (DataFrameWriter.option scopes it to
     // the one write), never the session conf: a session-global set/restore
     // races concurrent streams sharing the session — a write landing after
     // another batch's finally-restore would run as a STATIC overwrite and
     // delete every other batch's partitions
+    val taggedBatch = (streamTag << 40) | batchId
     val env = envelopes.cache()
     try {
       env.count() // materialize once; the 13 concurrent lineages read memory
@@ -142,7 +160,7 @@ object StreamingIngest {
       val tableWrites = tables.all.map { case (name, df) => () => {
         val out = df
           .withColumn("height_bucket", Fns.heightBucket(col("height")))
-          .withColumn("ingest_batch", lit(batchId))
+          .withColumn("ingest_batch", lit(taggedBatch))
           .sortWithinPartitions(col("ingest_batch"), col("height_bucket"),
             col("height"))
         var w = out.write.mode("overwrite")
@@ -156,7 +174,7 @@ object StreamingIngest {
       try {
         blocks.count()
         def mv(df: DataFrame, name: String): Unit =
-          df.withColumn("ingest_batch", lit(batchId))
+          df.withColumn("ingest_batch", lit(taggedBatch))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch")

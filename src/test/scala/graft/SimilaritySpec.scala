@@ -315,6 +315,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(full.toSeq === brute.toSeq)
   }
 
+  test("ivfAssign: native kernel equals the HOF/literal reference on every vector") {
+    import org.apache.spark.sql.functions.col
+    val cents = Similarity.centroidsFor(spark, sf0001)
+    val em = Td.t(spark, sf0001, "embeddings")
+    val native = em.orderBy("vec_id")
+      .select(Similarity.ivfAssign(col("embedding"), cents).as("l"))
+      .collect().map(_.getInt(0))
+    val hof = em.orderBy("vec_id")
+      .select(Similarity.ivfAssignHof(col("embedding"), cents).as("l"))
+      .collect().map(_.getInt(0))
+    assert(native.toSeq === hof.toSeq)
+    // null contract: short vector and null-slot vector assign to null
+    val bad = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, null.asInstanceOf[Seq[Float]]))).toDF("id", "v")
+    val got = bad.select(Similarity.ivfAssign(col("v"), cents).as("l"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(got.toSeq === Seq(None, None))
+  }
+
   test("PQ: ADC at rerank=50 recovers most true neighbors; encode is deterministic") {
     import org.apache.spark.sql.functions.col
     val cbs = Similarity.pqCodebooksFor(spark, sf0001)

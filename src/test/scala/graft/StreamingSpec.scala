@@ -182,6 +182,73 @@ class StreamingSpec extends SparkTestBase {
     assert(mv2.toSeq === re2.toSeq)
   }
 
+  test("two concurrent exactly-once streams share one warehouse; interleaved redeliveries absorbed") {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_2eo").toString
+    val wh = s"$stage/wh"
+    def mkdirs(p: String) = { java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(p)); p }
+    val inA = mkdirs(s"$stage/inA"); val inB = mkdirs(s"$stage/inB")
+    val cpA = s"$stage/cpA"; val cpB = s"$stage/cpB"
+
+    def envJson(h: Long) =
+      s"""{"height":$h,"time":"2025-07-0${1 + (h % 2)}T00:00:00Z","app_hash":"A$h","txs":["dGVzdA=="],"txs_results":[{"code":0,"gas_wanted":"10","gas_used":"${h * 10}","data":"","log":"","events":[{"type":"transfer","attributes":[{"key":"k","value":"v$h","index":true}]}]}],"finalize_block_events":[]}"""
+    def writeFile(dir: String, name: String, heights: Seq[Long]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        heights.map(envJson).mkString("\n").getBytes)
+    def envDf(heights: Seq[Long]) = spark.read
+      .schema(graft.schema.Schemas.envelope).json(heights.map(envJson).toDS)
+
+    // both streams live CONCURRENTLY against one warehouse, one file per
+    // micro-batch, disjoint height ranges, distinct stream tags
+    val qA = StreamingIngest.startExactlyOnce(spark, inA, wh, cpA,
+      Trigger.ProcessingTime("0 seconds"), maxFilesPerTrigger = Some(1),
+      streamTag = 1L)
+    val qB = StreamingIngest.startExactlyOnce(spark, inB, wh, cpB,
+      Trigger.ProcessingTime("0 seconds"), maxFilesPerTrigger = Some(1),
+      streamTag = 2L)
+    try {
+      writeFile(inA, "a0.json", Seq(1L, 2L)); qA.processAllAvailable()
+      writeFile(inB, "b0.json", Seq(101L, 102L)); qB.processAllAvailable()
+      // interleaved REDELIVERY of A's batch 0 while stream B is live —
+      // then B keeps ingesting: A's dynamic overwrite must touch only
+      // (tag=1, batch=0) partitions, never B's
+      StreamingIngest.ingestBatchExactlyOnce(wh, envDf(Seq(1L, 2L)),
+        batchId = 0L, streamTag = 1L)
+      writeFile(inB, "b1.json", Seq(103L)); qB.processAllAvailable()
+      writeFile(inA, "a1.json", Seq(3L)); qA.processAllAvailable()
+      // and a redelivery of B's batch 1 while A is live
+      StreamingIngest.ingestBatchExactlyOnce(wh, envDf(Seq(103L)),
+        batchId = 1L, streamTag = 2L)
+    } finally { qA.stop(); qB.stop() }
+
+    val blocks = spark.read.parquet(s"$wh/blocks")
+    val heights = blocks.select("height").orderBy("height")
+      .collect().map(_.getLong(0)).toSeq
+    assert(heights === Seq(1L, 2L, 3L, 101L, 102L, 103L),
+      "each stream's rows land exactly once despite interleaved redeliveries")
+    // per-table idempotence across the whole envelope fan-out
+    for (t <- Seq("txs", "tx_events", "tx_event_attrs_json")) {
+      val df = spark.read.parquet(s"$wh/$t")
+      assert(df.count() === df.dropDuplicates("height", "tx_index").count(),
+        s"$t must hold no duplicate rows")
+      assert(df.select("height").distinct().count() === 6, t)
+    }
+    // the namespaced batch keys are disjoint: tag 1 → 2^40+b, tag 2 → 2^41+b
+    val batches = blocks.select("ingest_batch").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(batches === Set(1L << 40, (1L << 40) | 1L, 2L << 40, (2L << 40) | 1L))
+    // MV read through partials equals recompute over the merged base tables
+    val mv1 = Mvs.readMv(spark.read.parquet(s"$wh/mv_daily_block_stats")
+        .drop("ingest_batch"), Seq("date"))
+      .orderBy("date").collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("blocks_count")).toSeq
+    val re1 = Mvs.dailyBlockStatsRecompute(blocks)
+      .orderBy("date").collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("blocks_count")).toSeq
+    assert(mv1 === re1)
+  }
+
   test("MV1/MV3 recompute vs incremental agree after multiple batches") {
     val wh = java.nio.file.Files.createTempDirectory("graft_swh2").toString
     import spark.implicits._
