@@ -108,6 +108,135 @@ object Lm {
       .withColumn("keep",
         (col("lp_milli") >= col("n_bigrams") * lit(keepMeanMilli)).cast("int"))
 
+  // --------------------------------------------------------------------
+  // Trigram LM with stupid backoff (Brants et al. 2007, "Large Language
+  // Models in Machine Translation"): score(w3 | w1 w2) = the trigram's
+  // smoothed log-prob when the trigram is in the model, else a fixed
+  // backoff penalty (ln 0.4, quantized) plus the BIGRAM model's exact
+  // scoring chain on (w2, w3) — bigram hit → per-w2 unseen-bigram fallback
+  // → OOV floor. CCNet ships a 5-gram KenLM; the trigram-with-backoff is
+  // the same family one order up from the bigram filter, with the same
+  // engine contract: integer milli-nat quantization at train time, so both
+  // engines sum identical integers.
+  // --------------------------------------------------------------------
+
+  /** A trained trigram LM, quantized for engine-exact scoring.
+    * `trigramMilli("w1 w2 w3")` = round(1000·ln((c(w1,w2,w3)+1)/(c(w1,w2)+V)));
+    * bigram/fallback/floor tables are the [[BigramLm]] chain;
+    * `backoffMilli` = round(1000·ln 0.4) — the stupid-backoff penalty. */
+  final case class TrigramLm(trigramMilli: Map[String, Long],
+                             bigramMilli: Map[String, Long],
+                             uniFallbackMilli: Map[String, Long],
+                             floorMilli: Long, vocab: Int,
+                             backoffMilli: Long)
+
+  private val lm3Cache =
+    scala.collection.concurrent.TrieMap.empty[String, TrigramLm]
+
+  /** Train-once cached artifact per (dataset dir, config) — the
+    * [[bigramLmFor]] sample and pruning policy, one order up: top
+    * `topTrigrams` trigrams by (count desc, key asc) with denominators from
+    * the FULL bigram counts, plus the bigram/unigram tables the backoff
+    * chain consumes. */
+  def trigramLmFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   textCol: String = "text", idCol: String = "doc_id",
+                   sampleDocs: Int = 512, topTrigrams: Int = 16384,
+                   topBigrams: Int = 8192, topUnigrams: Int = 2048): TrigramLm =
+    lm3Cache.getOrElseUpdate(
+      s"$dir#$textCol#$idCol#$sampleDocs#$topTrigrams#$topBigrams#$topUnigrams", {
+        val texts = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col(idCol), col(textCol))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))
+          .limit(sampleDocs).collect().map(_.getString(1))
+        val uni = scala.collection.mutable.Map.empty[String, Long]
+        val big = scala.collection.mutable.Map.empty[String, Long]
+        val tri = scala.collection.mutable.Map.empty[String, Long]
+        texts.foreach { t =>
+          val ws = t.split(" ")
+          var i = 0
+          while (i < ws.length) {
+            uni(ws(i)) = uni.getOrElse(ws(i), 0L) + 1L
+            if (i + 1 < ws.length) {
+              val b = ws(i) + " " + ws(i + 1)
+              big(b) = big.getOrElse(b, 0L) + 1L
+              if (i + 2 < ws.length) {
+                val tg = b + " " + ws(i + 2)
+                tri(tg) = tri.getOrElse(tg, 0L) + 1L
+              }
+            }
+            i += 1
+          }
+        }
+        val topUni = uni.toSeq.sortBy { case (w, c) => (-c, w) }
+          .take(topUnigrams).toMap
+        val v = topUni.size + 1 // +1: the OOV word class
+        def lp(num: Long, den: Long): Long =
+          math.round(1000.0 * math.log(num.toDouble / den.toDouble))
+        val bigs = big.toSeq.sortBy { case (b, c) => (-c, b) }
+          .take(topBigrams)
+          .map { case (b, c) =>
+            val w1 = b.substring(0, b.indexOf(' '))
+            b -> lp(c + 1L, uni(w1) + v)
+          }.toMap
+        val tris = tri.toSeq.sortBy { case (t, c) => (-c, t) }
+          .take(topTrigrams)
+          .map { case (t, c) =>
+            val ctx = t.substring(0, t.lastIndexOf(' '))
+            t -> lp(c + 1L, big(ctx) + v)
+          }.toMap
+        val fallback = topUni.map { case (w, c) => w -> lp(1L, c + v) }
+        TrigramLm(tris, bigs, fallback, lp(1L, v.toLong), v,
+          lp(2L, 5L)) // ln(0.4) = ln(2/5), quantized through the same formula
+      })
+
+  /** Per-document trigram-LM score: `(idCol, n_trigrams, lp_milli, keep)` —
+    * the [[scoreMilli]] contract one order up (`n_trigrams` = max(words−2,
+    * 0); `keep` compares the per-trigram mean against `keepMeanMilli`).
+    * Zero shuffles; one native-kernel pass per row with HASHED lookups
+    * through the backoff chain (the fold form below is the spec
+    * reference). NULL text scores as the empty doc, the scoreMilli rule. */
+  def scoreMilli3(docs: DataFrame, textCol: String, idCol: String,
+                  lm: TrigramLm, keepMeanMilli: Long = -9000L): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.GraftExpressions.lm_score_milli3(
+          split(coalesce(col(textCol), lit("")), " "),
+          lm.trigramMilli, lm.bigramMilli, lm.uniFallbackMilli,
+          lm.floorMilli, lm.backoffMilli).as("__s"))
+      .select(col(idCol),
+        col("__s.n_trigrams").as("n_trigrams"),
+        col("__s.lp_milli").as("lp_milli"))
+      .withColumn("keep",
+        (col("lp_milli") >= col("n_trigrams") * lit(keepMeanMilli)).cast("int"))
+
+  /** The declarative aggregate-fold form of [[scoreMilli3]] — the
+    * independently-derived reference the native kernel is spec-asserted
+    * against (LmSpec). The backoff rides INSIDE the outer coalesce: an
+    * unseen trigram costs `backoffMilli` plus the bigram chain's score. */
+  private[graft] def scoreMilli3Fold(docs: DataFrame, textCol: String,
+                                     idCol: String, lm: TrigramLm,
+                                     keepMeanMilli: Long = -9000L): DataFrame = {
+    val triLit = typedLit(lm.trigramMilli)
+    val bigLit = typedLit(lm.bigramMilli)
+    val uniLit = typedLit(lm.uniFallbackMilli)
+    val ws = split(coalesce(col(textCol), lit("")), " ")
+    val idxs = when(size(ws) >= 3, sequence(lit(1), size(ws) - 2))
+      .otherwise(array().cast("array<int>"))
+    val lpCol = aggregate(idxs, lit(0L), (acc, i) => acc + coalesce(
+      element_at(triLit,
+        concat(element_at(ws, i), lit(" "), element_at(ws, i + 1),
+          lit(" "), element_at(ws, i + 2))),
+      lit(lm.backoffMilli) + coalesce(
+        element_at(bigLit,
+          concat(element_at(ws, i + 1), lit(" "), element_at(ws, i + 2))),
+        element_at(uniLit, element_at(ws, i + 1)),
+        lit(lm.floorMilli))))
+    docs.select(col(idCol),
+        greatest(size(ws) - 2, lit(0)).cast("long").as("n_trigrams"),
+        lpCol.as("lp_milli"))
+      .withColumn("keep",
+        (col("lp_milli") >= col("n_trigrams") * lit(keepMeanMilli)).cast("int"))
+  }
+
   /** The declarative aggregate-fold form — the independently-derived
     * reference the native kernel is spec-asserted against (LmSpec). */
   private[graft] def scoreMilliFold(docs: DataFrame, textCol: String,

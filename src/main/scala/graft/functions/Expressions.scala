@@ -723,6 +723,101 @@ case class LmScoreMilli(child: Expression, bigram: Map[String, Long],
     copy(child = newChild)
 }
 
+/** Serializable trigram-LM scoring kernel for [[LmScoreMilli3]] — the
+  * [[LmScorer]] one order up, with stupid backoff: an unseen trigram costs
+  * `backoff` plus the bigram chain's score on (w2, w3). Hashed UTF8String
+  * probes; arithmetic contract shared with the fold reference form and the
+  * generated DuckDB oracle (integer milli-nat sums). */
+final class LmScorer3(val trigram: Map[String, Long],
+                      val bigram: Map[String, Long],
+                      val uni: Map[String, Long],
+                      val floor: Long, val backoff: Long) extends Serializable {
+  private def toMap(m: Map[String, Long]) = {
+    val h = new java.util.HashMap[UTF8String, java.lang.Long](m.size * 2)
+    m.foreach { case (k, v) => h.put(UTF8String.fromString(k), v) }
+    h
+  }
+  @transient private lazy val triM = toMap(trigram)
+  @transient private lazy val bigM = toMap(bigram)
+  @transient private lazy val uniM = toMap(uni)
+  private val space = UTF8String.fromString(" ")
+
+  /** (n_trigrams, lp_milli) of one tokenized document. Null token slots
+    * miss every lookup they key — exactly the fold form's coalesce
+    * semantics (a null anywhere in a concat nulls the key). */
+  def score(ws: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = ws.numElements()
+    var lp = 0L
+    var i = 0
+    while (i < n - 2) {
+      val n1 = ws.isNullAt(i); val n2 = ws.isNullAt(i + 1)
+      val n3 = ws.isNullAt(i + 2)
+      val triHit =
+        if (n1 || n2 || n3) null
+        else triM.get(UTF8String.concat(ws.getUTF8String(i), space,
+          ws.getUTF8String(i + 1), space, ws.getUTF8String(i + 2)))
+      lp += (if (triHit ne null) triHit.longValue
+             else {
+               val bigHit = if (n2 || n3) null
+                 else bigM.get(UTF8String.concat(ws.getUTF8String(i + 1),
+                   space, ws.getUTF8String(i + 2)))
+               backoff + (if (bigHit ne null) bigHit.longValue
+                          else {
+                            val fb = if (n2) null
+                                     else uniM.get(ws.getUTF8String(i + 1))
+                            if (fb ne null) fb.longValue else floor
+                          })
+             })
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](math.max(n - 2, 0).toLong, lp))
+  }
+}
+
+/** Per-document trigram-LM score as ONE native expression: token array →
+  * struct(n_trigrams, lp_milli) in a single pass with hashed model lookups
+  * through the stupid-backoff chain. Integer-exact (same quantized
+  * milli-nat tables as the DuckDB oracle); code-identical to the
+  * aggregate-fold reference form (LmSpec). */
+case class LmScoreMilli3(child: Expression, trigram: Map[String, Long],
+                         bigram: Map[String, Long], uni: Map[String, Long],
+                         floor: Long, backoff: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_trigrams", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("lp_milli", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "lm_score_milli3"
+
+  private lazy val scorer = new LmScorer3(trigram, bigram, uni, floor, backoff)
+
+  override protected def nullSafeEval(v: Any): Any =
+    scorer.score(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("lmScorer3", scorer, classOf[LmScorer3].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("lm3Row")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $tmp = $sc.score($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LmScoreMilli3 =
+    copy(child = newChild)
+}
+
 /** Serializable product-quantization encode kernel for [[PqEncode]]:
   * per-subspace nearest-sub-centroid codes. Arithmetic contract (shared
   * with the generated DuckDB oracle): per-centroid distance is the
@@ -963,6 +1058,12 @@ object GraftExpressions {
   def lm_score_milli(words: Column, bigram: Map[String, Long],
                      uni: Map[String, Long], floor: Long): Column =
     column(LmScoreMilli(expression(words), bigram, uni, floor))
+
+  def lm_score_milli3(words: Column, trigram: Map[String, Long],
+                      bigram: Map[String, Long], uni: Map[String, Long],
+                      floor: Long, backoff: Long): Column =
+    column(LmScoreMilli3(expression(words), trigram, bigram, uni, floor,
+      backoff))
 
   /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {

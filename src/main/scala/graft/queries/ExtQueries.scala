@@ -247,6 +247,41 @@ object ExtQueries {
       "FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
   }
 
+  /** x_lm_score3 oracle: the trigram tables join per exploded trigram with
+    * the stupid-backoff chain inside the coalesce — an unseen trigram costs
+    * the quantized backoff penalty plus the bigram chain on (w2, w3). All
+    * integers, hash-exact by construction (the [[lmOracleSql]] pattern). */
+  def lmOracleSql3(spark: SparkSession, sfDir: String): String = {
+    val lm = graft.ext.Lm.trigramLmFor(spark, sfDir)
+    def esc(s: String): String = s.replace("'", "''")
+    def tableOf(m: Map[String, Long]): String =
+      if (m.isEmpty)
+        "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) WHERE FALSE)"
+      else m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('${esc(k)}', $v)" }
+        .mkString("(VALUES ", ", ", ")")
+    s"WITH tri(t, lp) AS (SELECT * FROM ${tableOf(lm.trigramMilli)}), " +
+      s"lm(b, lp) AS (SELECT * FROM ${tableOf(lm.bigramMilli)}), " +
+      s"uni(w, lp) AS (SELECT * FROM ${tableOf(lm.uniFallbackMilli)}), " +
+      s"tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
+      "tg AS (SELECT doc_id, unnest([{" +
+      "'t': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2], " +
+      "'b': ws[i+1] || ' ' || ws[i+2], " +
+      "'w2': ws[i+1]} for i in generate_series(1, len(ws) - 2)]) AS u FROM tok), " +
+      "sc AS (SELECT tg.doc_id, " +
+      s"coalesce(tri.lp, ${lm.backoffMilli} + " +
+      s"coalesce(lm.lp, uni.lp, ${lm.floorMilli})) AS lp " +
+      "FROM tg LEFT JOIN tri ON u.t = tri.t " +
+      "LEFT JOIN lm ON u.b = lm.b LEFT JOIN uni ON u.w2 = uni.w), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(lp) AS BIGINT) AS lp FROM sc GROUP BY 1) " +
+      "SELECT t.doc_id, coalesce(agg.n, 0) AS n_trigrams, " +
+      "coalesce(agg.lp, 0) AS lp_milli, " +
+      "CAST(CASE WHEN coalesce(agg.lp, 0) >= coalesce(agg.n, 0) * -9000 " +
+      "THEN 1 ELSE 0 END AS INT) AS keep " +
+      "FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
+  }
+
   def semDedupOracleSql(spark: SparkSession, sfDir: String): String = {
     val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
     def distSql(vec: String, c: Array[Double]): String = {
@@ -1030,6 +1065,19 @@ object ExtQueries {
       (s: SparkSession, d: String) =>
         graft.ext.Lm.scoreMilli(t(s, d, "documents"), "text", "doc_id",
           graft.ext.Lm.bigramLmFor(s, d))
+          .orderBy("doc_id"),
+      None),
+
+    ("x_lm_score3", // trigram LM with stupid backoff (Brants et al. 2007):
+      // the x_lm_score filter one order up toward CCNet's 5-gram KenLM. An
+      // unseen trigram backs off — quantized ln(0.4) penalty — to the
+      // bigram chain on (w2, w3); all tables pre-quantized to integer
+      // milli-nats so both engines sum identical integers. Same
+      // zero-shuffle native-kernel fold shape as the bigram filter.
+      // Dynamic oracle: SparkEntry.dynamicOracleSql → lmOracleSql3.
+      (s: SparkSession, d: String) =>
+        graft.ext.Lm.scoreMilli3(t(s, d, "documents"), "text", "doc_id",
+          graft.ext.Lm.trigramLmFor(s, d))
           .orderBy("doc_id"),
       None),
 

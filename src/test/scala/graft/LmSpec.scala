@@ -60,6 +60,66 @@ class LmSpec extends SparkTestBase {
     assert(got.toSeq === foldGot.toSeq)
   }
 
+  test("trigram LM: kernel equals an independent fold and the declarative form; backoff chain exact") {
+    val rows = Seq[(Long, String)](
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on a rug"),
+      (3L, "dogs chase the cat sat"), // "the cat sat" seen, other grams vary
+      (4L, "completely novel words here zzz"),
+      (5L, "the cat"), // 2 tokens: 0 trigrams
+      (6L, ""))
+    val dir = mkCorpus(rows)
+    val lm = Lm.trigramLmFor(spark, dir, sampleDocs = 6,
+      topTrigrams = 100, topBigrams = 100, topUnigrams = 100)
+    // the backoff penalty is quantized ln(0.4)
+    assert(lm.backoffMilli === math.round(1000.0 * math.log(0.4)))
+    val got = Lm.scoreMilli3(spark.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+
+    // independent reference fold over the artifact maps
+    def ref(text: String): (Long, Long) = {
+      val ws = text.split(" ")
+      if (ws.length < 3) (0L, 0L)
+      else {
+        val lp = (0 until ws.length - 2).map { i =>
+          lm.trigramMilli.getOrElse(
+            ws(i) + " " + ws(i + 1) + " " + ws(i + 2),
+            lm.backoffMilli + lm.bigramMilli.getOrElse(
+              ws(i + 1) + " " + ws(i + 2),
+              lm.uniFallbackMilli.getOrElse(ws(i + 1), lm.floorMilli)))
+        }.sum
+        (ws.length - 2L, lp)
+      }
+    }
+    rows.foreach { case (id, text) =>
+      val (n, lp) = ref(text)
+      val row = got.find(_._1 == id).get
+      assert(row._2 === n, s"doc $id n_trigrams")
+      assert(row._3 === lp, s"doc $id lp_milli")
+      assert(row._4 === (if (lp >= n * -9000L) 1 else 0), s"doc $id keep")
+    }
+    // the in-corpus doc outscores the novel-word doc per trigram
+    val mean = got.map(r => r._1 -> (if (r._2 == 0) 0.0 else r._3.toDouble / r._2)).toMap
+    assert(mean(1L) > mean(4L))
+
+    // native kernel == declarative fold form, row for row (incl. null text)
+    import spark.implicits._
+    val withNull = spark.createDataFrame(
+      rows.map { case (i, t) => (i, t) } :+ ((7L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val kGot = Lm.scoreMilli3(withNull, "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val fGot = Lm.scoreMilli3Fold(withNull, "text", "doc_id", lm)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(kGot.toSeq === fGot.toSeq)
+    // null text = the empty-doc score on both engines
+    assert(kGot.find(_._1 == 7L).get === ((7L, 0L, 0L, 1)))
+  }
+
   test("bigram LM: artifact deterministic and cached; quantization matches formula") {
     val dir = mkCorpus(Seq((1L, "a b a b c"), (2L, "a b c a b")))
     val lm1 = Lm.bigramLmFor(spark, dir, sampleDocs = 2,
