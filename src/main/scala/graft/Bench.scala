@@ -9,9 +9,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Cluster-profile rehearsal knobs: a 1000-executor deployment runs
+    // thousands of shuffle partitions with AQE coalescing them at runtime —
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS=2048 (+ AQE default-on) exercises the
+    // same plans under that shape on local[32] so partitioning-sensitive
+    // regressions surface before a real cluster does. SPARK_GRAFT_AQE=false
+    // pins the static planner for A/B isolation.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -21,9 +21,16 @@ object PlanDump {
     val outDir = args.lift(1).getOrElse("/tmp/graft_plans")
     val names = if (args.length > 2) args.drop(2).toSeq else headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // same cluster-profile knobs as Bench: dump plans under e.g.
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS=2048 / SPARK_GRAFT_AQE=false to diff
+    // shapes against the local default profile
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -269,9 +269,11 @@ object StreamingIngest {
   /** One micro-batch: flatten once (cached), append all tables bucketed by
     * height, append MV partial aggregates for the affected dates. */
   def ingestBatch(warehouse: String, envelopes: DataFrame): Unit = {
+    // cache without an eager count — the concurrent lineages fill it
+    // cooperatively under BlockManager's per-partition locks, overlapping
+    // the fill with the write fan-out (the ingestBatchExactlyOnce note)
     val env = envelopes.cache()
     try {
-      env.count() // materialize once; concurrent lineages read memory
       val tables = Flatten(env)
       val tableWrites = tables.all.map { case (name, df) => () =>
         Store.writeTable(
@@ -283,7 +285,6 @@ object StreamingIngest {
       }
       val blocks = tables.blocks.cache()
       try {
-        blocks.count()
         val mvWrites = Seq(
           () => Mvs.dailyBlockStatsDelta(blocks)
             .write.mode("append").parquet(s"$warehouse/mv_daily_block_stats"),
