@@ -38,6 +38,7 @@ object SparkEntry {
       "x_ann_pq" -> ExtQueries.pqAdcOracleSql(spark, sfDir),
       "x_ann_ivfpq" -> ExtQueries.ivfPqOracleSql(spark, sfDir),
       "x_lm_score" -> ExtQueries.lmOracleSql(spark, sfDir),
-      "x_lm_score3" -> ExtQueries.lmOracleSql3(spark, sfDir))
+      "x_lm_score3" -> ExtQueries.lmOracleSql3(spark, sfDir),
+      "x_dsir_weights" -> ExtQueries.dsirOracleSql(spark, sfDir))
   }
 }

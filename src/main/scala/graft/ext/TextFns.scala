@@ -132,6 +132,44 @@ object TextFns {
     (n, d, round(org.apache.spark.sql.functions.lit(1.0) - d.cast("double") / n, 6))
   }
 
+  /** Gopher's stop-word presence list (Rae et al. 2021, arXiv:2112.11446,
+    * Table A1: "contains at least 2 of the following English words"). */
+  val gopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style word-level quality rules (Rae et al. 2021, Table A1) from
+    * a text column and its PRE-SPLIT words array: word count in
+    * [minWords, maxWords], mean word length in [3, 10], ≥ 80 % of words
+    * containing an alphabetic character, symbol-to-word ratio ('#' or
+    * '...') ≤ 0.1, and ≥ 2 distinct stop-word hits. Ratios are ROUNDED to
+    * 6 dp BEFORE thresholding so both engines threshold identical values
+    * (the x_text_quality rule). Line-level rules (bullet/ellipsis line
+    * fractions) are omitted: the corpus format is single-line documents,
+    * so they would be constant. Returns the rule columns in report order:
+    * (n_words, mean_wlen, frac_alpha, symbol_ratio, n_stop, keep) — all a
+    * pure per-row map, zero shuffles at any scale. */
+  def gopherRules(text: Column, ws: Column,
+                  minWords: Long = 50L,
+                  maxWords: Long = 100000L): Seq[(String, Column)] = {
+    val n = size(ws).cast("long")
+    val meanWlen = round(
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+        .cast("double") / n, 6)
+    val fracAlpha = round(
+      size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("double") / n, 6)
+    val symbolRatio = round(
+      (regexp_count(text, lit("#")) +
+        regexp_count(text, lit("\\.\\.\\."))).cast("double") / n, 6)
+    val nStop = gopherStop
+      .map(w => array_contains(ws, w).cast("int"))
+      .reduce(_ + _).cast("long")
+    val keep = (n >= minWords && n <= maxWords &&
+      meanWlen >= 3.0 && meanWlen <= 10.0 &&
+      fracAlpha >= 0.8 && symbolRatio <= 0.1 && nStop >= 2L).cast("int")
+    Seq("n_words" -> n, "mean_wlen" -> meanWlen, "frac_alpha" -> fracAlpha,
+      "symbol_ratio" -> symbolRatio, "n_stop" -> nStop, "keep" -> keep)
+  }
+
   /** Distinctive terms: integer-scored tf-idf (tf * 1e6 div df — engine-
     * exact, no libm log), top-k per document with (score desc, term asc)
     * tie-break. df side is vocabulary-sized — broadcast; term is already

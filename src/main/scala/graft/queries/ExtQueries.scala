@@ -282,6 +282,27 @@ object ExtQueries {
       "FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
   }
 
+  /** x_dsir_weights oracle: the SAME driver-quantized milli-nat log-ratio
+    * table as a SQL array literal, indexed per exploded hashed feature
+    * (unigrams + adjacent bigrams) — integer sums on both engines,
+    * hash-exact by construction (the [[lmOracleSql]] pattern). */
+  def dsirOracleSql(spark: SparkSession, sfDir: String): String = {
+    val m = graft.ext.Dsir.modelFor(spark, sfDir)
+    val wLit = m.weightsMilli.mkString("[", ",", "]")
+    s"WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
+      "ft AS (SELECT doc_id, unnest(list_concat(ws, " +
+      "CASE WHEN len(ws) >= 2 THEN " +
+      "[ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)] " +
+      "ELSE CAST([] AS VARCHAR[]) END)) AS f FROM tok), " +
+      s"sc AS (SELECT doc_id, ($wLit)[" +
+      s"${hexToIntSql("substr(md5(f), 1, 4)")} % ${m.dim} + 1] AS w FROM ft), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, " +
+      "CAST(sum(w) AS BIGINT) AS w_milli FROM sc GROUP BY 1) " +
+      "SELECT doc_id, n_feats, w_milli, " +
+      "CAST(CASE WHEN w_milli >= 0 THEN 1 ELSE 0 END AS INT) AS keep " +
+      "FROM agg ORDER BY doc_id"
+  }
+
   def semDedupOracleSql(spark: SparkSession, sfDir: String): String = {
     val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
     def distSql(vec: String, c: Array[Double]): String = {
@@ -1080,6 +1101,52 @@ object ExtQueries {
           graft.ext.Lm.trigramLmFor(s, d))
           .orderBy("doc_id"),
       None),
+
+    ("x_dsir_weights", // DSIR importance resampling (Xie et al. 2023,
+      // arXiv:2302.03169): per-doc log importance weight under two
+      // bag-of-hashed-ngram models — target domain (lang='en' sample)
+      // over raw pool — quantized to integer milli-nats at train time so
+      // both engines sum identical integers. Features are unigrams +
+      // adjacent bigrams hashed into 1024 buckets (the x_quality_lr hash);
+      // scoring is a zero-shuffle codegen fold, the model an array literal.
+      // Dynamic oracle: SparkEntry.dynamicOracleSql → dsirOracleSql.
+      (s: SparkSession, d: String) =>
+        graft.ext.Dsir.importanceWeights(t(s, d, "documents"), "text",
+          "doc_id", graft.ext.Dsir.modelFor(s, d))
+          .orderBy("doc_id"),
+      None),
+
+    ("x_gopher_rules", // Gopher quality heuristics (Rae et al. 2021,
+      // arXiv:2112.11446 Table A1), word-level subset: word count in
+      // [50, 100k], mean word length in [3, 10], ≥80% alphabetic words,
+      // symbol-to-word ratio ≤ 0.1, ≥2 stop-word hits. Ratios rounded to
+      // 6dp before thresholding so both engines threshold the same values.
+      // Pure per-row map — zero shuffles at any scale.
+      (s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val ws = split(col("text"), " ")
+        val cols = TextFns.gopherRules(col("text"), ws)
+          .map { case (n, c) => c.as(n) }
+        docs.select((col("doc_id") +: cols): _*).orderBy("doc_id")
+      },
+      Some {
+        val stopSum = TextFns.gopherStop
+          .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $Docs), " +
+          "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+          "round(CAST(list_sum([length(x) for x in ws]) AS DOUBLE) / len(ws), 6) AS mean_wlen, " +
+          "round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(ws), 6) AS frac_alpha, " +
+          "round(CAST(len(regexp_extract_all(text, '#')) + " +
+          "len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE) / len(ws), 6) AS symbol_ratio, " +
+          s"CAST($stopSum AS BIGINT) AS n_stop FROM w) " +
+          "SELECT doc_id, n_words, mean_wlen, frac_alpha, symbol_ratio, n_stop, " +
+          "CAST(CASE WHEN n_words BETWEEN 50 AND 100000 " +
+          "AND mean_wlen BETWEEN 3 AND 10 " +
+          "AND frac_alpha >= 0.8 AND symbol_ratio <= 0.1 AND n_stop >= 2 " +
+          "THEN 1 ELSE 0 END AS INT) AS keep " +
+          "FROM c ORDER BY doc_id"
+      }),
 
     ("x_ngram_novelty", // fraction of a doc's DISTINCT 3-grams first seen in
       // THIS doc (corpus-wide min doc_id owns a gram) — ~1 fresh prose, ~0

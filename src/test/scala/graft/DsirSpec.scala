@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dsir, TextFns}
+
+class DsirSpec extends SparkTestBase {
+
+  private def mkCorpus(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("DSIR: column fold equals an independent driver-side fold; target docs outscore off-target") {
+    val rows = Seq[(Long, String, String)](
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat ate the fish and the chips", "en"),
+      (3L, "le chat mange le poisson frais", "fr"),
+      (4L, "der hund jagt die katze schnell", "de"),
+      (5L, "the dog and the cat and the fish", "en"),
+      (6L, "", "en"))
+    val dir = mkCorpus(rows)
+    val m = Dsir.modelFor(spark, dir, sampleDocs = 6)
+    assert(m.nRawDocs === 6 && m.nTargetDocs === 4)
+
+    val got = Dsir.importanceWeights(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", m)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+
+    // independent reference: plain Scala over the same artifact
+    rows.foreach { case (id, text, _) =>
+      val feats = Dsir.featuresOf(text)
+      val w = feats.map(f => m.weightsMilli(Dsir.bucketOf(f, m.dim))).sum
+      val row = got.find(_._1 == id).get
+      assert(row._2 === feats.size.toLong, s"doc $id n_feats")
+      assert(row._3 === w, s"doc $id w_milli")
+      assert(row._4 === (if (w >= 0L) 1 else 0), s"doc $id keep")
+    }
+
+    // semantics: per-feature mean weight of pure-target prose beats the
+    // off-target (fr/de) docs — the target LM prefers its own domain
+    val mean = got.map(r => r._1 -> (if (r._2 == 0) 0.0 else r._3.toDouble / r._2)).toMap
+    assert(mean(1L) > mean(3L) && mean(1L) > mean(4L))
+    assert(mean(2L) > mean(3L))
+  }
+
+  test("DSIR: null text scores as the empty doc (cross-engine null contract)") {
+    import spark.implicits._
+    val dir = mkCorpus(Seq((1L, "the cat", "en"), (2L, "", "en")))
+    val m = Dsir.modelFor(spark, dir, sampleDocs = 2)
+    val df = Seq((10L, Some("")), (11L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val r = Dsir.importanceWeights(df, "text", "doc_id", m)
+      .orderBy("doc_id").collect()
+    // both split to [""] → 1 unigram feature, identical weight
+    assert(r(0).getLong(1) === 1L && r(1).getLong(1) === 1L)
+    assert(r(0).getLong(2) === r(1).getLong(2))
+  }
+
+  test("DSIR: plan is a zero-shuffle single-pass projection") {
+    val dir = mkCorpus(Seq((1L, "a b c", "en"), (2L, "d e f", "fr")))
+    val m = Dsir.modelFor(spark, dir, sampleDocs = 2)
+    val plan = Dsir.importanceWeights(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("Gopher rules: thresholds and rounding match a hand-computed doc") {
+    import spark.implicits._
+    val longText = (Seq.fill(20)("the quick brown fox jumps").mkString(" ")
+      + " of and that have with be to") // 107 words, all alpha, stops
+    val df = Seq(
+      (1L, longText),                       // passes everything
+      (2L, "too short to keep"),            // < 50 words
+      (3L, (Seq.fill(60)("### ...").mkString(" "))) // symbols, no alpha
+    ).toDF("doc_id", "text")
+    val ws = split(col("text"), " ")
+    val cols = TextFns.gopherRules(col("text"), ws)
+      .map { case (n, c) => c.as(n) }
+    val out = df.select((col("doc_id") +: cols): _*)
+      .orderBy("doc_id").collect()
+
+    val r1 = out(0)
+    assert(r1.getLong(1) === 107L)            // n_words
+    assert(r1.getDouble(3) === 1.0)           // frac_alpha
+    assert(r1.getLong(5) >= 2L)               // n_stop
+    assert(r1.getInt(6) === 1)                // keep
+
+    assert(out(1).getInt(6) === 0)            // short doc rejected
+    val r3 = out(2)
+    assert(r3.getDouble(3) === 0.0)           // no alphabetic words
+    assert(r3.getDouble(4) > 0.1)             // symbol ratio breach
+    assert(r3.getInt(6) === 0)
+  }
+}
