@@ -39,6 +39,7 @@ object SparkEntry {
       "x_ann_ivfpq" -> ExtQueries.ivfPqOracleSql(spark, sfDir),
       "x_lm_score" -> ExtQueries.lmOracleSql(spark, sfDir),
       "x_lm_score3" -> ExtQueries.lmOracleSql3(spark, sfDir),
-      "x_dsir_weights" -> ExtQueries.dsirOracleSql(spark, sfDir))
+      "x_dsir_weights" -> ExtQueries.dsirOracleSql(spark, sfDir),
+      "x_ccnet_buckets" -> ExtQueries.ccnetOracleSql(spark, sfDir))
   }
 }

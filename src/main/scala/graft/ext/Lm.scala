@@ -259,4 +259,89 @@ object Lm {
       .withColumn("keep",
         (col("lp_milli") >= col("n_bigrams") * lit(keepMeanMilli)).cast("int"))
   }
+
+  // --------------------------------------------------------------------
+  // CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 §4.3):
+  // CCNet sorts each language's corpus by document perplexity and splits
+  // it into thirds — head (lowest perplexity, best), middle, tail — with
+  // the two cutoffs computed once per language and SHIPPED with the model.
+  // The engine-exact analogue: cutoffs are order statistics of the
+  // per-bigram mean milli-nat log-prob over the SAME bounded md5-spread
+  // sample the LM trains on (a driver artifact, like CCNet's published
+  // per-language cutoff files), and bucket assignment is a pure integer
+  // multiply-compare `lp_milli >= cutoff * n_bigrams` — no division, so
+  // Spark and DuckDB agree bit-for-bit at every boundary.
+  // --------------------------------------------------------------------
+
+  /** Per-bigram-mean cutoffs in milli-nats: a doc is `head` iff
+    * `lp >= headMinMilli * n`, else `middle` iff `lp >= middleMinMilli * n`,
+    * else `tail`; zero-bigram docs are `tail` (no perplexity evidence). */
+  final case class CcnetCutoffs(headMinMilli: Long, middleMinMilli: Long,
+                                nScored: Int)
+
+  private val cutCache =
+    scala.collection.concurrent.TrieMap.empty[String, CcnetCutoffs]
+
+  /** Driver-side twin of [[scoreMilli]]'s kernel: `(n_bigrams, lp_milli)`
+    * for one document (the LmSpec reference fold, promoted to the library
+    * so the cutoff trainer and the spec share one definition). */
+  private[graft] def scoreDocMilli(text: String, lm: BigramLm): (Long, Long) = {
+    val ws = (if (text == null) "" else text).split(" ", -1)
+    if (ws.length < 2) (0L, 0L)
+    else {
+      var lp = 0L
+      var i = 0
+      while (i < ws.length - 1) {
+        lp += lm.bigramMilli.getOrElse(ws(i) + " " + ws(i + 1),
+          lm.uniFallbackMilli.getOrElse(ws(i), lm.floorMilli))
+        i += 1
+      }
+      (ws.length - 1L, lp)
+    }
+  }
+
+  /** Train-once cutoff artifact: scores the deterministic sample, sorts by
+    * exact rational mean (`a.lp * b.n` vs `b.lp * a.n` — no float), and
+    * takes the docs at the 1/3 and 2/3 ranks; each cutoff is that doc's
+    * `floorDiv(lp, n)` so the boundary doc itself stays in its bucket
+    * under the integer multiply-compare. */
+  def ccnetCutoffsFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      lm: BigramLm, textCol: String = "text",
+                      idCol: String = "doc_id",
+                      sampleDocs: Int = 512): CcnetCutoffs =
+    cutCache.getOrElseUpdate(s"$dir#$textCol#$idCol#$sampleDocs", {
+      val texts = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col(idCol), col(textCol))
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .limit(sampleDocs).collect().map(_.getString(1))
+      val scored = texts.map(t => scoreDocMilli(t, lm))
+        .filter(_._1 > 0L)
+        .sortWith { case ((na, la), (nb, lb)) =>
+          // best first: la/na > lb/nb  ⇔  la*nb > lb*na (n > 0)
+          val cmp = la * nb - lb * na
+          if (cmp != 0L) cmp > 0L else na < nb
+        }
+      require(scored.length >= 3,
+        s"ccnetCutoffsFor: only ${scored.length} scoreable docs in sample")
+      def cutAt(rank: Int): Long = {
+        val (n, lp) = scored(rank)
+        Math.floorDiv(lp, n)
+      }
+      CcnetCutoffs(cutAt(scored.length / 3 - 1),
+        cutAt(2 * scored.length / 3 - 1), scored.length)
+    })
+
+  /** Per-document CCNet bucket: `(idCol, n_bigrams, lp_milli, bucket)` with
+    * `bucket` ∈ head/middle/tail. Same zero-shuffle kernel pass as
+    * [[scoreMilli]]; the cutoffs ride as literals. */
+  def ccnetBuckets(docs: DataFrame, textCol: String, idCol: String,
+                   lm: BigramLm, cuts: CcnetCutoffs): DataFrame =
+    scoreMilli(docs, textCol, idCol, lm).drop("keep")
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0L, "tail")
+          .when(col("lp_milli") >=
+            col("n_bigrams") * lit(cuts.headMinMilli), "head")
+          .when(col("lp_milli") >=
+            col("n_bigrams") * lit(cuts.middleMinMilli), "middle")
+          .otherwise("tail"))
 }

@@ -247,6 +247,38 @@ object ExtQueries {
       "FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
   }
 
+  /** x_ccnet_buckets oracle: the [[lmOracleSql]] scoring chain with the
+    * driver-computed cutoffs inlined; bucket boundaries are the integer
+    * multiply-compare `lp >= c * n`, so both engines bucket identically. */
+  def ccnetOracleSql(spark: SparkSession, sfDir: String): String = {
+    val lm = graft.ext.Lm.bigramLmFor(spark, sfDir)
+    val cuts = graft.ext.Lm.ccnetCutoffsFor(spark, sfDir, lm)
+    def esc(s: String): String = s.replace("'", "''")
+    def tableOf(m: Map[String, Long]): String =
+      if (m.isEmpty)
+        "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) WHERE FALSE)"
+      else m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('${esc(k)}', $v)" }
+        .mkString("(VALUES ", ", ", ")")
+    s"WITH lm(b, lp) AS (SELECT * FROM ${tableOf(lm.bigramMilli)}), " +
+      s"uni(w, lp) AS (SELECT * FROM ${tableOf(lm.uniFallbackMilli)}), " +
+      s"tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
+      "bg AS (SELECT doc_id, unnest([{'b': ws[i] || ' ' || ws[i+1], " +
+      "'w1': ws[i]} for i in generate_series(1, len(ws) - 1)]) AS u FROM tok), " +
+      "sc AS (SELECT bg.doc_id, " +
+      s"coalesce(lm.lp, uni.lp, ${lm.floorMilli}) AS lp " +
+      "FROM bg LEFT JOIN lm ON u.b = lm.b LEFT JOIN uni ON u.w1 = uni.w), " +
+      "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(lp) AS BIGINT) AS lp FROM sc GROUP BY 1) " +
+      "SELECT t.doc_id, coalesce(agg.n, 0) AS n_bigrams, " +
+      "coalesce(agg.lp, 0) AS lp_milli, " +
+      "CASE WHEN coalesce(agg.n, 0) = 0 THEN 'tail' " +
+      s"WHEN coalesce(agg.lp, 0) >= coalesce(agg.n, 0) * ${cuts.headMinMilli} THEN 'head' " +
+      s"WHEN coalesce(agg.lp, 0) >= coalesce(agg.n, 0) * ${cuts.middleMinMilli} THEN 'middle' " +
+      "ELSE 'tail' END AS bucket " +
+      "FROM tok t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
+  }
+
   /** x_lm_score3 oracle: the trigram tables join per exploded trigram with
     * the stupid-backoff chain inside the coalesce — an unseen trigram costs
     * the quantized backoff penalty plus the bigram chain on (w2, w3). All
@@ -1100,6 +1132,23 @@ object ExtQueries {
         graft.ext.Lm.scoreMilli3(t(s, d, "documents"), "text", "doc_id",
           graft.ext.Lm.trigramLmFor(s, d))
           .orderBy("doc_id"),
+      None),
+
+    ("x_ccnet_buckets", // CCNet head/middle/tail perplexity bucketing
+      // (Wenzek et al. 2020 §4.3): corpus split into thirds by LM score,
+      // cutoffs computed ONCE from the bounded training sample and shipped
+      // with the model (CCNet's per-language cutoff files). Bucket
+      // assignment is the integer multiply-compare lp >= cutoff*n — no
+      // division, so both engines bucket identically at every boundary;
+      // zero-bigram docs are 'tail' (no perplexity evidence). Same
+      // zero-shuffle kernel pass as x_lm_score.
+      // Dynamic oracle: SparkEntry.dynamicOracleSql → ccnetOracleSql.
+      (s: SparkSession, d: String) => {
+        val lm = graft.ext.Lm.bigramLmFor(s, d)
+        graft.ext.Lm.ccnetBuckets(t(s, d, "documents"), "text", "doc_id",
+          lm, graft.ext.Lm.ccnetCutoffsFor(s, d, lm))
+          .orderBy("doc_id")
+      },
       None),
 
     ("x_dsir_weights", // DSIR importance resampling (Xie et al. 2023,

@@ -136,4 +136,56 @@ class LmSpec extends SparkTestBase {
       math.round(1000.0 * math.log(1.0 / 6.0)))
     assert(lm1.floorMilli === math.round(1000.0 * math.log(1.0 / 4.0)))
   }
+
+  test("CCNet buckets: cutoffs are sample order statistics; assignment matches a driver fold; thirds cover the sample") {
+    import spark.implicits._
+    // 6 scoreable docs with distinct mean scores: in-model prose at the
+    // top, novel-word docs at the bottom
+    val rows = Seq[(Long, String)](
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat again today"),
+      (3L, "the cat ate the fish"),
+      (4L, "dogs chase the cat sometimes"),
+      (5L, "qq ww ee rr tt yy"),
+      (6L, "zz xx cc vv bb nn mm"),
+      (7L, "solo"),  // 0 bigrams -> tail by contract
+      (8L, ""))      // 0 bigrams -> tail
+    val dir = mkCorpus(rows)
+    val lm = Lm.bigramLmFor(spark, dir, sampleDocs = 8,
+      topBigrams = 100, topUnigrams = 100)
+    val cuts = Lm.ccnetCutoffsFor(spark, dir, lm, sampleDocs = 8)
+    assert(cuts.nScored === 6) // the two zero-bigram docs carry no signal
+    assert(cuts.headMinMilli >= cuts.middleMinMilli)
+
+    // independent check: recompute the order statistics by brute force
+    val means = rows.map { case (_, t) => Lm.scoreDocMilli(t, lm) }
+      .filter(_._1 > 0L)
+      .sortBy { case (n, lp) => -lp.toDouble / n }
+    assert(cuts.headMinMilli ===
+      Math.floorDiv(means(1)._2, means(1)._1))   // rank 6/3 - 1 = 1
+    assert(cuts.middleMinMilli ===
+      Math.floorDiv(means(3)._2, means(3)._1))   // rank 2*6/3 - 1 = 3
+
+    val got = Lm.ccnetBuckets(
+        spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        lm, cuts)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // driver-fold twin of the multiply-compare
+    rows.foreach { case (id, t) =>
+      val (n, lp) = Lm.scoreDocMilli(t, lm)
+      val want =
+        if (n == 0L) "tail"
+        else if (lp >= cuts.headMinMilli * n) "head"
+        else if (lp >= cuts.middleMinMilli * n) "middle"
+        else "tail"
+      assert(got.find(_._1 == id).get._4 === want, s"doc $id")
+    }
+    // the boundary docs stay in their own buckets (floorDiv contract) and
+    // zero-bigram docs land in tail
+    val byId = got.map(r => r._1 -> r._4).toMap
+    assert(byId(7L) === "tail" && byId(8L) === "tail")
+    assert(got.count(_._4 == "head") >= 2)
+    assert(got.count(_._4 == "tail") >= 2)
+  }
 }
