@@ -116,9 +116,27 @@ object Dsir {
   /** Per-document DSIR importance weights:
     * `(idCol, n_feats, w_milli, keep)` where `w_milli` is the integer
     * milli-nat log importance weight summed over hashed unigram+bigram
-    * features and `keep` = (w_milli ≥ 0). Zero shuffles. */
+    * features and `keep` = (w_milli ≥ 0). Zero shuffles; one native-kernel
+    * pass per row (`DsirScoreMilli` — the HOF fold interprets md5/conv/
+    * element_at per feature and allocates a hex string per hash, measured
+    * 10.0 s at the sf0.1 gate vs sub-second for the kernel; the fold stays
+    * below as the spec reference). */
   def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
-                        model: DsirModel): DataFrame = {
+                        model: DsirModel): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.GraftExpressions.dsir_score_milli(
+          split(coalesce(col(textCol), lit("")), " "),
+          model.weightsMilli, model.dim).as("__s"))
+      .select(col(idCol),
+        col("__s.n_feats").as("n_feats"),
+        col("__s.w_milli").as("w_milli"))
+      .withColumn("keep", (col("w_milli") >= 0L).cast("int"))
+
+  /** The declarative HOF-fold form — the independently-derived reference
+    * the native kernel is spec-asserted against (DsirSpec). */
+  private[graft] def importanceWeightsFold(docs: DataFrame, textCol: String,
+                                           idCol: String,
+                                           model: DsirModel): DataFrame = {
     val feats = featuresCol(col(textCol))
     val wLit = typedLit(model.weightsMilli)
     val score = aggregate(

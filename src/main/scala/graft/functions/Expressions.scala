@@ -1008,6 +1008,92 @@ case class IvfAssign(child: Expression, centroids: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** Serializable DSIR scoring kernel for [[DsirScoreMilli]]: token array →
+  * (n_feats, w_milli) summed over hashed unigram + adjacent-bigram
+  * features. The bucket hash — big-endian first 2 bytes of the feature's
+  * UTF-8 md5, mod `dim` — matches `Dsir.bucketOf`, the HOF fold form
+  * (`conv(substring(md5(tok),1,4),16,10) % dim`) and the generated DuckDB
+  * oracle byte-for-byte; bigram features digest `w1 ++ ' ' ++ w2`
+  * incrementally, so no concatenated string is ever allocated. */
+final class DsirScorer(val weights: Array[Long], val dim: Int)
+    extends Serializable {
+  // one digest per scorer instance: expression instances are per-task and
+  // MessageDigest.digest() leaves the instance reset for the next feature
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+  private def bucketOf(d: Array[Byte]): Int =
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % dim
+
+  /** Null result ⇔ the fold form's null propagation: a null token slot
+    * nulls its feature weight and the aggregate sum with it. split() never
+    * emits null slots, but the kernel and the fold must agree on every
+    * input. */
+  def score(ws: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val n = ws.numElements()
+    var i = 0
+    while (i < n) { if (ws.isNullAt(i)) return null; i += 1 }
+    var w = 0L
+    i = 0
+    while (i < n) {
+      val tok = ws.getUTF8String(i).getBytes
+      w += weights(bucketOf(md.digest(tok)))
+      if (i + 1 < n) {
+        md.update(tok)
+        md.update(' '.toByte)
+        md.update(ws.getUTF8String(i + 1).getBytes)
+        w += weights(bucketOf(md.digest()))
+      }
+      i += 1
+    }
+    val nFeats = if (n >= 2) 2L * n - 1L else n.toLong
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nFeats, w))
+  }
+}
+
+/** Per-document DSIR importance weight as ONE native expression: token
+  * array → struct(n_feats, w_milli). The HOF form (transform + aggregate
+  * over md5/conv/element_at per feature) is interpreted per feature and
+  * allocates a hex string per hash — measured 10.0 s at the sf0.1 gate vs
+  * sub-second for the kernel (the IvfAssign finding, one round later).
+  * Code-identical to the fold reference form (DsirSpec asserts). */
+case class DsirScoreMilli(child: Expression, weights: Seq[Long], dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_feats", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("w_milli", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "dsir_score_milli"
+
+  private lazy val scorer = new DsirScorer(weights.toArray, dim)
+
+  override protected def nullSafeEval(v: Any): Any =
+    scorer.score(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sc = ctx.addReferenceObj("dsirScorer", scorer,
+      classOf[DsirScorer].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("dsirRow")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $tmp = $sc.score($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScoreMilli =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   import GraftBridge.{column, expression}
 
@@ -1064,6 +1150,9 @@ object GraftExpressions {
                       floor: Long, backoff: Long): Column =
     column(LmScoreMilli3(expression(words), trigram, bigram, uni, floor,
       backoff))
+
+  def dsir_score_milli(words: Column, weights: Seq[Long], dim: Int): Column =
+    column(DsirScoreMilli(expression(words), weights, dim))
 
   /** Register all for the SQL surface (S7): usable from spark.sql(...). */
   def register(spark: SparkSession): Unit = {

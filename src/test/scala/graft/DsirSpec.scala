@@ -47,6 +47,25 @@ class DsirSpec extends SparkTestBase {
     assert(mean(2L) > mean(3L))
   }
 
+  test("DSIR: native kernel equals the declarative HOF fold, row for row") {
+    val rows = Seq[(Long, String, String)](
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "le chat mange le poisson", "fr"),
+      (3L, "a", "en"),   // 1 token: unigram feature only
+      (4L, "", "en"),    // splits to [""]: 1 feature
+      (5L, "x y", "de")) // 2 tokens: 2 unigrams + 1 bigram
+    val dir = mkCorpus(rows)
+    val m = Dsir.modelFor(spark, dir, sampleDocs = 5)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kernel = Dsir.importanceWeights(docs, "text", "doc_id", m)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val fold = Dsir.importanceWeightsFold(docs, "text", "doc_id", m)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(kernel.toSeq === fold.toSeq)
+  }
+
   test("DSIR: null text scores as the empty doc (cross-engine null contract)") {
     import spark.implicits._
     val dir = mkCorpus(Seq((1L, "the cat", "en"), (2L, "", "en")))
