@@ -66,6 +66,36 @@ class DsirSpec extends SparkTestBase {
     assert(kernel.toSeq === fold.toSeq)
   }
 
+  test("DSIR property: kernel equals the driver fold on random unicode docs") {
+    import org.scalacheck.{Gen, Prop}
+    import spark.implicits._
+    val dir = mkCorpus(Seq((1L, "seed doc for the model", "en"),
+      (2L, "autre document pour le modèle", "fr")))
+    val m = Dsir.modelFor(spark, dir, sampleDocs = 2)
+    // tokens with unicode + punctuation; docs joined by single spaces the
+    // way the corpus format guarantees (split-on-space tokenization)
+    val tokGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("héllo", "wörld", "文字", "🙂", "a.b", "#", "..."))
+    val docGen = Gen.listOfN(6, tokGen).map(_.mkString(" "))
+    val p = Prop.forAll(Gen.listOfN(8, docGen)) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dsir.importanceWeights(df, "text", "doc_id", m)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+      val want = docs.map { t =>
+        val feats = Dsir.featuresOf(t)
+        (feats.size.toLong,
+          feats.map(f => m.weightsMilli(Dsir.bucketOf(f, m.dim))).sum)
+      }
+      got.toSeq == want
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("DSIR: null text scores as the empty doc (cross-engine null contract)") {
     import spark.implicits._
     val dir = mkCorpus(Seq((1L, "the cat", "en"), (2L, "", "en")))
