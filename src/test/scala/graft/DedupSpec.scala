@@ -140,6 +140,29 @@ class DedupSpec extends SparkTestBase {
     assert(full === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
   }
 
+  test("bucket cap: window and anti-join routes drop the identical row set") {
+    // the measured routing (BucketCapWindowMaxBytes) picks a form by plan
+    // stats; force EACH route via the test sysprop and assert identical
+    // candidate output — the routing contract both PLANS.md and the 1 M
+    // probe rely on
+    val bands = Seq(
+      (1L, 0, "big"), (2L, 0, "big"), (3L, 0, "big"),
+      (4L, 0, "ok"), (5L, 0, "ok"),
+      (1L, 1, "side"), (2L, 1, "side"))
+      .toDF("doc_id", "band", "bucket")
+    def run(thresholdBytes: Long): Set[(Long, Long)] = {
+      System.setProperty("graft.test.bucketCapWindowMaxBytes",
+        thresholdBytes.toString)
+      try Dedup.candidatePairs(bands, "doc_id", maxBucket = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally System.clearProperty("graft.test.bucketCapWindowMaxBytes")
+    }
+    val viaWindow = run(Long.MaxValue) // stats always below ⇒ window form
+    val viaAntiJoin = run(0L)          // stats never below ⇒ anti-join form
+    assert(viaWindow === viaAntiJoin)
+    assert(viaWindow === Set((4L, 5L), (1L, 2L)))
+  }
+
   test("maxTokenFor: floor below the knee, fractional above, explicit wins") {
     // below the knee the DefaultMaxBucket floor rules (gate corpora live
     // here — derived == old absolute cap, so oracle hashes are unchanged)
