@@ -101,6 +101,44 @@ object Sampling {
         sum((col("__rn") <= cap).cast("long")).as("n_kept"))
       .orderBy(sourceCol)
 
+  /** Token-budget source capping — the mixture-spec primitive real
+    * training mixes are written in (per-source TOKEN quotas, not doc
+    * counts; cf. the published LLaMA/GPT-3 data-mix tables): each source's
+    * documents fill their budget in the deterministic md5-priority order
+    * every sampler here uses, and `keep` marks the maximal prefix whose
+    * running token total stays ≤ `budgetTokens`. PREFIX semantics — a
+    * document that overflows the budget is dropped and so is everything
+    * after it in priority order (its tokens still count toward later
+    * cumsums), so the kept set is a stable prefix that only moves at the
+    * tail as the budget moves; greedy fill-then-stop, not bin packing.
+    * Tokens are the engine's whitespace count. One shuffle (window by
+    * source): same shape as [[sourceCapKeep]] — per-source ordering is the
+    * operator's semantics, so a giant source IS the partition; the window
+    * needs no frame buffer (running sum), and sources parallelize across
+    * executors. */
+  def tokenBudgetKeep(docs: DataFrame, idCol: String, sourceCol: String,
+                      textCol: String, budgetTokens: Long): DataFrame = {
+    val nTok = size(split(coalesce(col(textCol), lit("")), " ")).cast("long")
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("n_tokens", nTok)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("keep", (col("cum_tokens") <= budgetTokens).cast("int"))
+  }
+
+  /** Per-source audit of the token budget: totals vs kept tokens/docs. */
+  def tokenBudgetSummary(docs: DataFrame, idCol: String, sourceCol: String,
+                         textCol: String, budgetTokens: Long): DataFrame =
+    tokenBudgetKeep(docs, idCol, sourceCol, textCol, budgetTokens)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_total"),
+        sum("n_tokens").as("tok_total"),
+        sum(when(col("keep") === 1, col("n_tokens")).otherwise(0L))
+          .as("tok_kept"),
+        sum(col("keep").cast("long")).as("n_kept"))
+      .orderBy(sourceCol)
+
   /** Temperature-based source mixing — the data-mix rebalance multilingual /
     * multi-source training runs use (alpha-sampling): per-source keep rate
     * ∝ n_s^α / n_s with α = 0.5, scaled so the expected kept volume is

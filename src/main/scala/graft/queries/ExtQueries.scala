@@ -1808,6 +1808,29 @@ object ExtQueries {
         s"(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM $Docs) " +
         "ORDER BY doc_id")),
 
+    ("x_token_budget", // token-budget source capping: the mixture-spec
+      // primitive real training mixes are written in (per-source token
+      // quotas, cf. published LLaMA/GPT-3 mix tables). Docs fill each
+      // source's budget in md5-priority order; keep = the maximal prefix
+      // with running tokens <= budget (prefix semantics — overflow and
+      // everything after it drops, deterministic and growth-stable at the
+      // tail). One shuffle; running-sum window, no frame buffer.
+      (s: SparkSession, d: String) =>
+        Sampling.tokenBudgetKeep(t(s, d, "documents"), "doc_id", "source",
+            "text", 20000L)
+          .select("doc_id", "source", "n_tokens", "cum_tokens", "keep")
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(cum AS BIGINT) AS cum_tokens, " +
+        "CAST(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END AS INT) AS keep " +
+        "FROM (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER " +
+        "(PARTITION BY source ORDER BY h, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM (SELECT doc_id, source, " +
+        "len(string_split(coalesce(text, ''), ' ')) AS n_tokens, " +
+        s"md5(CAST(doc_id AS VARCHAR)) AS h FROM $Docs)) " +
+        "ORDER BY doc_id")),
+
     ("x_source_cap", // per-source quota (domain caps à la CCNet): keep the
       // cap lowest-id docs per source; one shuffle on source, deterministic
       // rank, summary audited per source.

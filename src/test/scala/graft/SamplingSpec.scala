@@ -33,6 +33,49 @@ class SamplingSpec extends SparkTestBase {
     assert(halfKept === kept.filter(_ < 250))
   }
 
+  test("token budget: maximal prefix kept, overflow stops intake, growth-stable") {
+    import spark.implicits._
+    // one source, token counts 3/5/2/4 — priority order is md5(doc_id)
+    val df = Seq(
+      (1L, "a b c", "web"),
+      (2L, "d e f g h", "web"),
+      (3L, "i j", "web"),
+      (4L, "k l m n", "web"),
+      (10L, "x y", "books"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.tokenBudgetKeep(df, "doc_id", "source", "text", 8L)
+      .select("doc_id", "n_tokens", "cum_tokens", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+
+    // independent driver fold in the same priority order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val web = Seq((1L, 3L), (2L, 5L), (3L, 2L), (4L, 4L))
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+    var cum = 0L
+    web.foreach { case (id, n) =>
+      cum += n
+      assert(got(id) === ((n, cum, if (cum <= 8L) 1 else 0)), s"doc $id")
+    }
+    // prefix property: kept set is exactly the maximal affordable prefix
+    val keptIds = got.filter(_._2._3 == 1).keySet - 10L
+    val prefix = web.scanLeft((0L, 0L)) { case ((_, c), (id, n)) => (id, c + n) }
+      .drop(1).takeWhile(_._2 <= 8L).map(_._1).toSet
+    assert(keptIds === prefix)
+    // the other source fills independently
+    assert(got(10L) === ((2L, 2L, 1)))
+    // growth stability: adding docs to ANOTHER source never changes web's
+    // decisions (per-source window partitioning)
+    val grown = df.union(Seq((11L, "p q r", "books")).toDF("doc_id", "text", "source"))
+    val got2 = Sampling.tokenBudgetKeep(grown, "doc_id", "source", "text", 8L)
+      .filter(col("source") === "web")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got2 === got.view.filterKeys(_ != 10L).map { case (k, v) => k -> v._3 }.toMap)
+  }
+
   test("pack summary: no doc split, shard totals conserved, bins start-aligned") {
     val budget = 1000
     val packed = Sampling.packSummary(docs, "doc_id",
