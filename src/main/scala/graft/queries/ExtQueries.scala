@@ -1808,6 +1808,27 @@ object ExtQueries {
         s"(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM $Docs) " +
         "ORDER BY doc_id")),
 
+    ("x_stream_neardup_eq", // streaming MinHash-LSH near-dup candidates:
+      // the corpus replayed through the per-row-signature band stream +
+      // (band, bucket)-keyed state as a REAL multi-batch file stream must
+      // reproduce the batch candidate join's DISTINCT pair set. The per-row
+      // signature (array_min over HOF-transformed shingle hashes — no
+      // streaming aggregation, so the whole derivation is one stateful op)
+      // is spec-pinned equal to the explode+groupBy batch signature; with
+      // in-order arrival each bucket's emitted stream is exactly its
+      // { (a, b) : a < b } set, so the oracle is the banding twin's
+      // candidate join. Caps (batch retro-drop, stream saturation) are both
+      // inert at gate scale — divergence documented in StreamingNearDup.
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamingNearDup
+          .candidatesFileRun(s, s"$d/documents.parquet")
+          .select("a_id", "b_id").distinct()
+          .orderBy("a_id", "b_id"),
+      Some(s"$SigCte, $BandsCte " +
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
+        "AND a.doc_id < b.doc_id ORDER BY a_id, b_id")),
+
     ("x_token_budget", // token-budget source capping: the mixture-spec
       // primitive real training mixes are written in (per-source token
       // quotas, cf. published LLaMA/GPT-3 mix tables). Docs fill each
