@@ -377,6 +377,21 @@ object ScaleProbe {
     }
     results += "curation_funnel" -> ((tFunnel, rFunnel))
 
+    // Opt-in (SPARK_GRAFT_SCALE_STREAM=1): the ONLINE near-dup path — the
+    // synthetic corpus replayed through StreamingNearDup's per-row-signature
+    // band stream + (band,bucket)-keyed state as a real multi-batch file
+    // stream. Comparable to lsh_candidates (same banding, same corpus), but
+    // paid incrementally per micro-batch with bounded state instead of one
+    // batch join. Reported rows = DISTINCT candidate pairs emitted.
+    if (sys.env.get("SPARK_GRAFT_SCALE_STREAM").contains("1")) {
+      val (tStream, rStream) = time {
+        graft.streaming.StreamingNearDup
+          .candidatesFileRun(spark, dir, chunks = 8)
+          .select("a_id", "b_id").distinct().count()
+      }
+      results += "stream_neardup_pairs" -> ((tStream, rStream))
+    }
+
     val qs = results.map { case (k, (t, rows)) =>
       "\"" + k + "\":{\"sec\":" + f"$t%.2f" + ",\"rows\":" + rows + "}"
     }.mkString("{", ",", "}")

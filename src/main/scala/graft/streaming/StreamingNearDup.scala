@@ -151,7 +151,8 @@ object StreamingNearDup {
                         docsParquetDir: String, chunks: Int = 4,
                         lateness: String = "10 minutes",
                         stateTtlMs: Long = 7L * 86400000L,
-                        maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+                        maxBucket: Int = Dedup.DefaultMaxBucket,
+                        arrivalOrder: Seq[Int] = Seq.empty): DataFrame = {
     import org.apache.hadoop.fs.Path
     val stage = java.nio.file.Files.createTempDirectory("graft_neardup_stage").toString
     val chunkDir = s"$stage/chunks"; val inDir = s"$stage/in"
@@ -168,6 +169,15 @@ object StreamingNearDup {
     val parts = fs.listStatus(new Path(chunkDir)).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
+    // `arrivalOrder` (a chunk permutation — the firstSeenWinsFileRun knob)
+    // injects out-of-order arrival: pairs then orient by ARRIVAL (a_id =
+    // whoever a bucket registered first), so the UNORDERED pair set stays
+    // the batch one while a_id/b_id may swap — the invariant the
+    // out-of-order spec pins. The default in-order feed keeps a_id < b_id,
+    // which is what the hash-exact gate relies on.
+    val order = if (arrivalOrder.nonEmpty) arrivalOrder else parts.indices.toSeq
+    require(order.sorted == parts.indices.toSeq,
+      s"arrivalOrder must be a permutation of 0 until ${parts.length}, got $order")
     fs.mkdirs(new Path(inDir))
 
     // Cloned session, few state partitions, no no-data micro-batches — the
@@ -189,8 +199,8 @@ object StreamingNearDup {
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try {
-      parts.zipWithIndex.foreach { case (part, i) =>
-        fs.rename(part, new Path(inDir, f"chunk-$i%05d.parquet"))
+      order.zipWithIndex.foreach { case (part, i) =>
+        fs.rename(parts(part), new Path(inDir, f"chunk-$i%05d.parquet"))
         q.processAllAvailable()
       }
     } finally q.stop()

@@ -44,6 +44,27 @@ class StreamingNearDupSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("out-of-order chunk arrival: unordered pair set is arrival-invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("neardup_ooo").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // generous lateness: every out-of-order chunk is within the horizon, so
+    // nothing is watermark-dropped — the knob under test is ORIENTATION
+    val streamed = StreamingNearDup
+      .candidatesFileRun(spark, s"$dir/documents.parquet", chunks = 3,
+        lateness = "2 days", arrivalOrder = Seq(2, 0, 1))
+      .select(least(col("a_id"), col("b_id")).as("lo"),
+        greatest(col("a_id"), col("b_id")).as("hi"))
+      .distinct()
+    val batch = Dedup.candidatePairs(
+      Dedup.lshBands(Dedup.minhashSig(docs, "text", "doc_id"), "doc_id"),
+      "doc_id")
+      .select(col("a_id").as("lo"), col("b_id").as("hi"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("bucket saturation cap and redelivery guard") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[BandRow]
