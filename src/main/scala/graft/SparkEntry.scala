@@ -31,6 +31,8 @@ object SparkEntry {
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
     val ivf = ExtQueries.ivfOracleSql(spark, sfDir)
     Map("x_ann_ivf" -> ivf, "x_ann_ivf_indexed" -> ivf,
+      "x_ann_ivf_append" -> ivf,
+      "x_ann_index_stats" -> ExtQueries.ivfStatsOracleSql(spark, sfDir),
       "x_ann_ivf_batch" -> ExtQueries.ivfBatchOracleSql(spark, sfDir),
       "x_semdedup" -> ExtQueries.semDedupOracleSql(spark, sfDir),
       "x_cluster_sample" -> ExtQueries.clusterSampleOracleSql(spark, sfDir),

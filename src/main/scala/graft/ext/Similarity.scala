@@ -298,6 +298,100 @@ object Similarity {
     })
   }
 
+  /** Incremental index maintenance: assign a NEW batch of vectors with the
+    * same native kernel and APPEND into an existing list-partitioned layout.
+    * This is the 100 TB daily-ingest shape — the full-rebuild cost (every
+    * corpus vector re-assigned and re-written, the constant ANNPROBE r9/r10
+    * measured) is replaced by one pass over the delta: list partitions gain
+    * new files, existing files are never touched. Deliberately a plain
+    * append, NOT dynamic partition overwrite — overwrite would replace
+    * whole list partitions and silently drop the base vectors sharing a
+    * list with the delta. Drift is a separate, measured decision:
+    * [[ivfIndexStats]] reports per-list occupancy; when appended mass skews
+    * a list past the retrain threshold, rebuild with fresh centroids
+    * ([[ivfWriteIndex]]). Small per-append files compact like any other
+    * partitioned table (Store.compact). */
+  def ivfAppendIndex(em: DataFrame, idCol: String, vecCol: String,
+                     centroids: Array[Array[Double]], path: String): Unit =
+    em.select(col(idCol), col(vecCol))
+      .withColumn("list", ivfAssign(col(vecCol), centroids))
+      .write.mode("append").partitionBy("list").parquet(path)
+
+  /** Per-list occupancy of a materialized index — the retrain/rebalance
+    * signal for [[ivfAppendIndex]] (a list absorbing appends much faster
+    * than its siblings means the centroids no longer describe the data).
+    * Aggregates only the partition column: parquet answers it from file
+    * metadata, no vector bytes are decoded. */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("list").cast("long").as("list"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("list")
+
+  /** Marker guarding the delta append: `_SUCCESS` alone proves only the
+    * BASE write (Spark writes it per job), so a JVM dying between base and
+    * delta would leave a half-maintained index that `_SUCCESS` vouches
+    * for. A base-complete-but-delta-missing path is wiped and rebuilt. */
+  private val DeltaMarker = "_GRAFT_DELTA_SUCCESS"
+
+  /** Two-phase build for the append gate: base index from the rows NOT in
+    * the delta wave (`idCol % deltaMod != deltaMod - 1`), then the delta
+    * wave [[ivfAppendIndex]]ed into it. Idempotent across JVMs via
+    * [[DeltaMarker]]; cache-keyed like [[indexPathFor]] (centroid + data
+    * fingerprints) so changed inputs rebuild instead of reusing stale
+    * state. */
+  def appendIndexPathFor(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         centroids: Array[Array[Double]],
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         excludeId: Option[Long] = Some(0L), deltaMod: Int = 5,
+                         warehouse: Option[String] = None): String = {
+    val key = s"append#$dir#$idCol#$vecCol#$excludeId#$deltaMod" +
+      s"#${centroidFingerprint(centroids)}" +
+      s"#${Dedup.dataFingerprint(spark, s"$dir/embeddings.parquet")}#$warehouse"
+    indexCache.getOrElseUpdate(key, {
+      val path = warehouse match {
+        case Some(w) =>
+          val tag = java.security.MessageDigest.getInstance("MD5")
+            .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+          s"$w/ivf_appidx_$tag"
+        case None =>
+          java.nio.file.Files.createTempDirectory("graft_ivf_appidx").toString
+      }
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      val em = excludeId.fold(base)(x => base.filter(col(idCol) =!= x))
+      val isDelta = pmod(col(idCol), lit(deltaMod)) === (deltaMod - 1)
+      buildAppendIndex(spark, em.filter(!isDelta), em.filter(isDelta),
+        idCol, vecCol, centroids, path)
+      path
+    })
+  }
+
+  /** The marker-checked two-phase write behind [[appendIndexPathFor]],
+    * callable directly against an explicit path (tests drive the
+    * interrupted-build recovery through this). */
+  private[graft] def buildAppendIndex(spark: org.apache.spark.sql.SparkSession,
+                                      baseEm: DataFrame, deltaEm: DataFrame,
+                                      idCol: String, vecCol: String,
+                                      centroids: Array[Array[Double]],
+                                      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$DeltaMarker")
+    if (!fs.exists(marker)) {
+      // a dir without the delta marker is in an unknown half-built state
+      // (fresh temp dir, or a base write whose delta never landed) — wipe
+      // it explicitly (don't trust overwrite semantics: a session running
+      // with dynamic partitionOverwriteMode would only replace touched
+      // lists and vouch for stale files), rebuild the base, then append
+      // exactly once
+      if (fs.exists(root)) fs.delete(root, true)
+      ivfWriteIndex(baseEm, idCol, vecCol, centroids, path)
+      ivfAppendIndex(deltaEm, idCol, vecCol, centroids, path)
+      fs.create(marker, true).close()
+    }
+  }
+
   /** Query over the materialized index. The probe lists come from a
     * driver-side argmin over the (tiny) centroid artifact, so the `list IN`
     * predicate is a literal at planning time and prunes partitions before

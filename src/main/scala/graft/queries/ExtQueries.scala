@@ -164,18 +164,25 @@ object ExtQueries {
     * Verify dump time (SparkEntry.dynamicOracleSql) from the same cached
     * deterministic trainer the query uses; Double.toString literals
     * round-trip exactly. */
+  /** Shared builders for the centroid-literal oracles: Double.toString
+    * literals round-trip exactly, and the struct list_sort reproduces
+    * Similarity.ivfAssign's tie-to-lowest-list contract. */
+  private def ivfDistSql(vec: String, c: Array[Double]): String = {
+    val lit = c.map(_.toString).mkString("[", ",", "]")
+    s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
+      s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
+      s"for i in generate_series(1, ${c.length})])"
+  }
+
+  private def ivfSortedListsSql(cents: Array[Array[Double]],
+                                vec: String): String =
+    cents.zipWithIndex
+      .map { case (c, i) => s"{'d': ${ivfDistSql(vec, c)}, 'l': $i}" }
+      .mkString("list_sort([", ", ", "])")
+
   def ivfOracleSql(spark: SparkSession, sfDir: String): String = {
     val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
-    def distSql(vec: String, c: Array[Double]): String = {
-      val lit = c.map(_.toString).mkString("[", ",", "]")
-      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
-        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
-        s"for i in generate_series(1, ${c.length})])"
-    }
-    def sortedLists(vec: String): String =
-      cents.zipWithIndex
-        .map { case (c, i) => s"{'d': ${distSql(vec, c)}, 'l': $i}" }
-        .mkString("list_sort([", ", ", "])")
+    def sortedLists(vec: String): String = ivfSortedListsSql(cents, vec)
     s"WITH q AS (SELECT embedding AS qv FROM $Embs WHERE vec_id = 0), " +
       s"p AS (SELECT qv, ${sortedLists("qv")} AS sl FROM q), " +
       s"b AS (SELECT vec_id, embedding, ${sortedLists("embedding")}[1].l AS list " +
@@ -185,6 +192,18 @@ object ExtQueries {
       "SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10"
   }
 
+  /** DuckDB twin of Similarity.ivfIndexStats over the APPENDED index:
+    * every non-query vector — base and delta waves alike — assigned to its
+    * argmin centroid list and counted. This verifies the appended index
+    * CONTENT exactly: a dropped, doubled, or misassigned delta shifts some
+    * list's count. Generated at Verify dump time like [[ivfOracleSql]]. */
+  def ivfStatsOracleSql(spark: SparkSession, sfDir: String): String = {
+    val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
+    s"SELECT CAST(${ivfSortedListsSql(cents, "embedding")}[1].l AS BIGINT) " +
+      s"AS list, count(*) AS n FROM $Embs WHERE vec_id <> 0 " +
+      "GROUP BY 1 ORDER BY list"
+  }
+
   /** DuckDB twin of Similarity.ivfTopKIndexedBatch at the gate shape:
     * 8 query vectors (vec_id < 8) against the vec_id >= 8 corpus, nProbe 2,
     * per-query top-5 ranked on the rounded cosine with vec_id tiebreak.
@@ -192,16 +211,7 @@ object ExtQueries {
     * like [[ivfOracleSql]]. */
   def ivfBatchOracleSql(spark: SparkSession, sfDir: String): String = {
     val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
-    def distSql(vec: String, c: Array[Double]): String = {
-      val lit = c.map(_.toString).mkString("[", ",", "]")
-      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
-        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
-        s"for i in generate_series(1, ${c.length})])"
-    }
-    def sortedLists(vec: String): String =
-      cents.zipWithIndex
-        .map { case (c, i) => s"{'d': ${distSql(vec, c)}, 'l': $i}" }
-        .mkString("list_sort([", ", ", "])")
+    def sortedLists(vec: String): String = ivfSortedListsSql(cents, vec)
     s"WITH q AS (SELECT vec_id AS qid, embedding AS qv, " +
       s"${sortedLists("embedding")} AS sl FROM $Embs WHERE vec_id < 8), " +
       "p AS (SELECT qid, qv, UNNEST([sl[1].l, sl[2].l]) AS list FROM q), " +
@@ -845,6 +855,38 @@ object ExtQueries {
         Similarity.ivfTopKIndexedBatch(s, idx, "vec_id", "embedding", qs,
           k = 5, centroids, nProbe = 2,
           scanFilter = Some(col("vec_id") >= 8))
+      },
+      None),
+
+    ("x_ann_ivf_append", // incremental index maintenance: the corpus lands
+      // in two waves — a base build (4/5ths of vectors) and a delta wave
+      // APPENDED into the same list-partitioned layout with the same native
+      // assignment kernel. No rebuild, existing files untouched — the 100 TB
+      // daily-ingest shape (full rebuilds are the build_sec constant
+      // ANNPROBE measures). The standard pruned-probe top-k then runs over
+      // the union; sharing x_ann_ivf's exact oracle makes the gate sharp —
+      // a dropped or double-appended delta shifts the top-k and hash-fails.
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val centroids = Similarity.centroidsFor(s, d)
+        val idx = Similarity.appendIndexPathFor(s, d, centroids)
+        Similarity.ivfTopKIndexed(s, idx, "vec_id", "embedding", q,
+          k = 10, centroids, nProbe = 2)
+      },
+      None),
+
+    ("x_ann_index_stats", // per-list occupancy audit over the appended
+      // index — the retrain signal for incremental maintenance (appended
+      // mass skewing into a few lists means the centroids have gone stale).
+      // Counted off the partition layout without decoding vector bytes; the
+      // oracle recomputes every vector's argmin list from the centroid
+      // literals, so the per-list counts verify the appended index content
+      // exactly.
+      (s: SparkSession, d: String) => {
+        val centroids = Similarity.centroidsFor(s, d)
+        val idx = Similarity.appendIndexPathFor(s, d, centroids)
+        Similarity.ivfIndexStats(s, idx)
       },
       None),
 

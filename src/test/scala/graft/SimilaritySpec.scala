@@ -207,6 +207,66 @@ class SimilaritySpec extends SparkTestBase {
     assert(p2 !== p1)
   }
 
+  test("append index: base build + appended delta answers equal the full-build index") {
+    val em = graft.queries.Td.t(spark, sf0001, "embeddings")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val cents = Similarity.centroidsFor(spark, sf0001)
+    val full = Similarity.indexPathFor(spark, sf0001, cents)
+    val app = Similarity.appendIndexPathFor(spark, sf0001, cents)
+    val viaAppend = Similarity.ivfTopKIndexed(
+      spark, app, "vec_id", "embedding", q, k = 10, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaFull = Similarity.ivfTopKIndexed(
+      spark, full, "vec_id", "embedding", q, k = 10, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaAppend === viaFull,
+      "append-maintained index must answer exactly like a full rebuild")
+    // idempotent across calls: same cached path, no double append
+    assert(Similarity.appendIndexPathFor(spark, sf0001, cents) === app)
+    val total = Similarity.ivfIndexStats(spark, app)
+      .agg(sum("n")).head.getLong(0)
+    assert(total === em.filter(col("vec_id") =!= 0).count())
+  }
+
+  test("append index stats: per-list counts equal direct kernel assignment") {
+    val em = graft.queries.Td.t(spark, sf0001, "embeddings")
+      .filter(col("vec_id") =!= 0)
+    val cents = Similarity.centroidsFor(spark, sf0001)
+    val app = Similarity.appendIndexPathFor(spark, sf0001, cents)
+    val got = Similarity.ivfIndexStats(spark, app)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = em
+      .withColumn("list", Similarity.ivfAssign(col("embedding"), cents))
+      .groupBy("list").count()
+      .collect()
+      .map(r => (r.getAs[Number]("list").longValue, r.getLong(1))).toMap
+    assert(got === want)
+  }
+
+  test("buildAppendIndex: half-built dir (base written, no delta marker) is wiped and rebuilt; marker makes re-entry a no-op") {
+    val em = graft.queries.Td.t(spark, sf0001, "embeddings")
+      .filter(col("vec_id") =!= 0)
+    val cents = Similarity.centroidsFor(spark, sf0001)
+    val isDelta = pmod(col("vec_id"), lit(5)) === 4
+    val base = em.filter(!isDelta)
+    val delta = em.filter(isDelta)
+    val path = java.nio.file.Files.createTempDirectory("graft_appidx_t").toString
+    // simulate a crash after the base phase: base written, delta never landed
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", cents, path)
+    Similarity.buildAppendIndex(spark, base, delta, "vec_id", "embedding",
+      cents, path)
+    val total1 = Similarity.ivfIndexStats(spark, path)
+      .agg(sum("n")).head.getLong(0)
+    assert(total1 === em.count(),
+      "recovery must not double the base rows the crashed attempt wrote")
+    // marker present: a second call must not append again
+    Similarity.buildAppendIndex(spark, base, delta, "vec_id", "embedding",
+      cents, path)
+    val total2 = Similarity.ivfIndexStats(spark, path)
+      .agg(sum("n")).head.getLong(0)
+    assert(total2 === total1)
+  }
+
   test("native CosineSim is bit-identical to the HOF fold, incl. edge cases") {
     import org.apache.spark.sql.functions.col
     // real corpus: every pair (v_i, query) must match the fold EXACTLY
