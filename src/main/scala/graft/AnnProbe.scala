@@ -102,6 +102,29 @@ object AnnProbe {
     }.sortBy(identity).take(2).map(_._2)
     val scanFrac = probeLists.map(l => listSizes.getOrElse(l, 0L)).sum.toDouble / nVecs
 
+    // INCREMENTAL MAINTENANCE rung: the daily-ingest shape — 90% of the
+    // corpus is the existing index, the latest 10% wave is APPENDED
+    // (assign + per-list file append, O(delta)) instead of rebuilding
+    // (O(corpus)). The probe answer over the appended index must equal the
+    // full index's — otherwise the saved build time bought a wrong index.
+    val appPath = java.nio.file.Files
+      .createTempDirectory("graft_ann_app").toString
+    val isDelta = pmod(col("vec_id"), lit(10)) === 9
+    val (tBaseWave, _) = time {
+      Similarity.ivfWriteIndex(vecs.filter(col("vec_id") =!= 0 && !isDelta),
+        "vec_id", "embedding", cents, appPath)
+    }
+    val (tAppend, _) = time {
+      Similarity.ivfAppendIndex(vecs.filter(col("vec_id") =!= 0 && isDelta),
+        "vec_id", "embedding", cents, appPath)
+    }
+    val (tAppProbe, appIds) = time {
+      Similarity.ivfTopKIndexed(spark, appPath, "vec_id", "embedding", q, k,
+        cents, nProbe = 2)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val appendMatches = appIds == probeIds
+
     // BATCH mode: 64 query vectors through ONE pruned scan + equi-join
     // (ivfTopKIndexedBatch) vs 64 sequential single-query probes — the
     // production amortization claim, measured.
@@ -190,6 +213,8 @@ object AnnProbe {
       s""""build_sec":${f"$tBuild%.2f"},"probe_sec":${f"$tProbe%.2f"},""" +
       s""""recall_at_k":$recall,"probe4_sec":${f"$tProbe4%.2f"},""" +
       s""""recall4_at_k":$recall4,"scan_fraction":${f"$scanFrac%.4f"},""" +
+      s""""append_base_sec":${f"$tBaseWave%.2f"},"append_delta_sec":${f"$tAppend%.2f"},""" +
+      s""""append_probe_sec":${f"$tAppProbe%.2f"},"append_matches_full":$appendMatches,""" +
       s""""batch_n":$nBatch,"batch_rows":$batchRows,"batch_sec":${f"$tBatch%.2f"},""" +
       s""""batch_per_query_sec":${f"${tBatch / nBatch}%.4f"},""" +
       s""""lsh_sec":${f"$tLsh0%.2f"},"lsh_recall":$rLsh0,""" +

@@ -367,6 +367,22 @@ object Similarity {
     })
   }
 
+  /** Compact the small files appends accumulate (one file per task per
+    * touched list per append): [[graft.store.Store.compact]]'s swap rewrite
+    * over the index, partitioned by list. Keyed by the id column — ids are
+    * unique so the dedup pass is a no-op that doubles as double-append
+    * repair (an at-least-once append of the same delta collapses back to
+    * one row per id). Re-touches the delta marker the rewrite drops, so a
+    * compacted index still reads as fully maintained. */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String = "vec_id"): Unit = {
+    graft.store.Store.compact(spark, path, keys = Seq(idCol),
+      versionCol = None, partitionCols = Seq("list"))
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$DeltaMarker")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+  }
+
   /** The marker-checked two-phase write behind [[appendIndexPathFor]],
     * callable directly against an explicit path (tests drive the
     * interrupted-build recovery through this). */

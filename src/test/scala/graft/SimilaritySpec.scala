@@ -243,6 +243,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("ivfCompactIndex: fewer files, same content, double-append repaired, marker survives") {
+    val em = graft.queries.Td.t(spark, sf0001, "embeddings")
+      .filter(col("vec_id") =!= 0)
+    val cents = Similarity.centroidsFor(spark, sf0001)
+    val isDelta = pmod(col("vec_id"), lit(5)) === 4
+    val base = em.filter(!isDelta)
+    val delta = em.filter(isDelta)
+    val path = java.nio.file.Files.createTempDirectory("graft_cmpidx_t").toString
+    Similarity.buildAppendIndex(spark, base, delta, "vec_id", "embedding",
+      cents, path)
+    // simulate an at-least-once redelivery: the same delta appended twice
+    Similarity.ivfAppendIndex(delta, "vec_id", "embedding", cents, path)
+    def files(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = files()
+    Similarity.ivfCompactIndex(spark, path)
+    assert(files() < before, s"compaction must shrink the file count ($before)")
+    // content: back to exactly one row per id, per-list counts equal direct
+    // assignment (the doubled delta collapsed)
+    val got = Similarity.ivfIndexStats(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = em
+      .withColumn("list", Similarity.ivfAssign(col("embedding"), cents))
+      .groupBy("list").count()
+      .collect()
+      .map(r => (r.getAs[Number]("list").longValue, r.getLong(1))).toMap
+    assert(got === want)
+    // marker survives the swap: re-entering the build must be a no-op
+    Similarity.buildAppendIndex(spark, base, delta, "vec_id", "embedding",
+      cents, path)
+    val total = Similarity.ivfIndexStats(spark, path)
+      .agg(sum("n")).head.getLong(0)
+    assert(total === em.count())
+  }
+
   test("buildAppendIndex: half-built dir (base written, no delta marker) is wiped and rebuilt; marker makes re-entry a no-op") {
     val em = graft.queries.Td.t(spark, sf0001, "embeddings")
       .filter(col("vec_id") =!= 0)
