@@ -315,6 +315,14 @@ object Similarity {
                      centroids: Array[Array[Double]], path: String): Unit =
     em.select(col(idCol), col(vecCol))
       .withColumn("list", ivfAssign(col(vecCol), centroids))
+      // co-locate each list before writing: without this every input task
+      // opens a writer per list it touches (tasks × lists small files PER
+      // APPEND, and the file fan-out — not the delta size — dominated the
+      // measured append cost); with it each append adds one file per
+      // non-empty list, and the shuffle it pays is O(delta). A delta so
+      // large that one-file-per-list skews task sizes is a rebuild-sized
+      // wave — use ivfWriteIndex, or compact after.
+      .repartition(col("list"))
       .write.mode("append").partitionBy("list").parquet(path)
 
   /** Per-list occupancy of a materialized index — the retrain/rebalance
