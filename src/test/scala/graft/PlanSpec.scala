@@ -53,6 +53,15 @@ class PlanSpec extends SparkTestBase {
     assert(read.contains("o_orderkey") && !read.contains("o_totalprice"), read)
   }
 
+  test("x_ann_index_stats: occupancy audit never decodes vector bytes") {
+    val p = plan("x_ann_index_stats")
+    // the per-list count must read only the partition column: the scan's
+    // ReadSchema carries no data columns (embedding stays on disk)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("embedding") && !p.contains("CartesianProduct"),
+      read + "\n" + p.take(1500))
+  }
+
   test("x_lsh_pairs: candidate generation is an equi join on (band,bucket)") {
     val p = plan("x_lsh_pairs")
     assert(!p.contains("CartesianProduct"), p.take(2000))
