@@ -60,9 +60,11 @@ object Dsir {
   }
 
   /** Unigram + adjacent-bigram features of a whitespace-split text, the
-    * paper's feature set. Driver-side twin of [[featuresCol]]. */
+    * paper's feature set. Driver-side twin of [[featuresCol]], including
+    * its null contract: null text features as the empty string (a null-text
+    * doc in the md5-spread training sample must train, not NPE). */
   private[graft] def featuresOf(text: String): Seq[String] = {
-    val ws = text.split(" ", -1).toSeq
+    val ws = (if (text == null) "" else text).split(" ", -1).toSeq
     ws ++ ws.sliding(2).collect { case Seq(a, b) => a + " " + b }
   }
 

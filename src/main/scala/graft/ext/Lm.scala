@@ -42,6 +42,20 @@ object Lm {
   private val lmCache =
     scala.collection.concurrent.TrieMap.empty[String, BigramLm]
 
+  /** Deterministic md5-spread driver sample of a text column — the ONE
+    * read behind every driver-side trainer (bigram/trigram LM, CCNet
+    * cutoffs), so the sampling and null policy can't drift between them.
+    * Null text arrives as "" — the engine-wide null contract: a null doc
+    * trains (and scores) as the empty one instead of NPE-ing the driver. */
+  private[graft] def sampleTexts(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, textCol: String, idCol: String,
+                                 sampleDocs: Int): Array[String] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col(idCol), col(textCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleDocs).collect()
+      .map(r => if (r.isNullAt(1)) "" else r.getString(1))
+
   /** Train-once cached artifact per (dataset dir, config): counts from a
     * deterministic md5-ordered document sample (duplication-unbiased — the
     * Similarity.sampleVectors rationale), top-`topBigrams` bigrams by
@@ -52,10 +66,7 @@ object Lm {
                   topUnigrams: Int = 2048): BigramLm =
     lmCache.getOrElseUpdate(
       s"$dir#$textCol#$idCol#$sampleDocs#$topBigrams#$topUnigrams", {
-        val texts = spark.read.parquet(s"$dir/documents.parquet")
-          .select(col(idCol), col(textCol))
-          .orderBy(md5(col(idCol).cast("string")), col(idCol))
-          .limit(sampleDocs).collect().map(_.getString(1))
+        val texts = sampleTexts(spark, dir, textCol, idCol, sampleDocs)
         val uni = scala.collection.mutable.Map.empty[String, Long]
         val big = scala.collection.mutable.Map.empty[String, Long]
         texts.foreach { t =>
@@ -144,10 +155,7 @@ object Lm {
                    topBigrams: Int = 8192, topUnigrams: Int = 2048): TrigramLm =
     lm3Cache.getOrElseUpdate(
       s"$dir#$textCol#$idCol#$sampleDocs#$topTrigrams#$topBigrams#$topUnigrams", {
-        val texts = spark.read.parquet(s"$dir/documents.parquet")
-          .select(col(idCol), col(textCol))
-          .orderBy(md5(col(idCol).cast("string")), col(idCol))
-          .limit(sampleDocs).collect().map(_.getString(1))
+        val texts = sampleTexts(spark, dir, textCol, idCol, sampleDocs)
         val uni = scala.collection.mutable.Map.empty[String, Long]
         val big = scala.collection.mutable.Map.empty[String, Long]
         val tri = scala.collection.mutable.Map.empty[String, Long]
@@ -309,11 +317,14 @@ object Lm {
                       lm: BigramLm, textCol: String = "text",
                       idCol: String = "doc_id",
                       sampleDocs: Int = 512): CcnetCutoffs =
-    cutCache.getOrElseUpdate(s"$dir#$textCol#$idCol#$sampleDocs", {
-      val texts = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col(idCol), col(textCol))
-        .orderBy(md5(col(idCol).cast("string")), col(idCol))
-        .limit(sampleDocs).collect().map(_.getString(1))
+    // the key must carry the LM's identity: two differently-configured
+    // models over the same dir must not share cutoffs (Map hashCode is
+    // content-based — stable for a per-JVM cache)
+    cutCache.getOrElseUpdate(
+      s"$dir#$textCol#$idCol#$sampleDocs#v${lm.vocab}#f${lm.floorMilli}" +
+        s"#b${lm.bigramMilli.size}:${lm.bigramMilli.hashCode}" +
+        s"#u${lm.uniFallbackMilli.size}:${lm.uniFallbackMilli.hashCode}", {
+      val texts = sampleTexts(spark, dir, textCol, idCol, sampleDocs)
       val scored = texts.map(t => scoreDocMilli(t, lm))
         .filter(_._1 > 0L)
         .sortWith { case ((na, la), (nb, lb)) =>

@@ -151,17 +151,22 @@ object TextFns {
   def gopherRules(text: Column, ws: Column,
                   minWords: Long = 50L,
                   maxWords: Long = 100000L): Seq[(String, Column)] = {
-    val n = size(ws).cast("long")
+    // null contract (same as Lm.scoreMilli): a null document scores like
+    // the empty one — [""] / "" — on BOTH engines; without this, n_stop
+    // and keep go NULL here while the DuckDB twin's CASE sums emit 0
+    val t = coalesce(text, lit(""))
+    val w = coalesce(ws, array(lit("")))
+    val n = size(w).cast("long")
     val meanWlen = round(
-      aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+      aggregate(w, lit(0L), (acc, x) => acc + length(x).cast("long"))
         .cast("double") / n, 6)
     val fracAlpha = round(
-      size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("double") / n, 6)
+      size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double") / n, 6)
     val symbolRatio = round(
-      (regexp_count(text, lit("#")) +
-        regexp_count(text, lit("\\.\\.\\."))).cast("double") / n, 6)
+      (regexp_count(t, lit("#")) +
+        regexp_count(t, lit("\\.\\.\\."))).cast("double") / n, 6)
     val nStop = gopherStop
-      .map(w => array_contains(ws, w).cast("int"))
+      .map(s => array_contains(w, s).cast("int"))
       .reduce(_ + _).cast("long")
     val keep = (n >= minWords && n <= maxWords &&
       meanWlen >= 3.0 && meanWlen <= 10.0 &&

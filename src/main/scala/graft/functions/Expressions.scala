@@ -930,10 +930,15 @@ final class IvfAssigner(val centroids: Array[Array[Double]],
     extends Serializable {
   private val dim = centroids(0).length
 
-  /** list id of one vector, or null if the vector is too short or has a
-    * null slot (the PqEncoder null contract). */
+  /** list id of one vector, or null if the vector's length differs from
+    * the centroid dim or it has a null slot (the PqEncoder null contract).
+    * Length-mismatch REJECTION is deliberate on both sides: silently
+    * assigning the first dim components of an oversized vector would file
+    * garbage into a real list, and the HOF reference's zip_with-padding
+    * resolves the same vector to list 0 — an explicit null is the only
+    * answer that can't be mistaken for a valid assignment. */
   def assign(v: org.apache.spark.sql.catalyst.util.ArrayData): Any = {
-    if (v.numElements() < dim) return null
+    if (v.numElements() != dim) return null
     var i = 0
     while (i < dim) { if (v.isNullAt(i)) return null; i += 1 }
     var best = 0
@@ -964,7 +969,10 @@ final class IvfAssigner(val centroids: Array[Array[Double]],
   * ANNPROBE_r09_1m); this is one compiled-kernel call with exact
   * early-abandon. Code-identical to the HOF form on well-formed vectors
   * (SimilaritySpec asserts; same IEEE fold order and tie-break as the
-  * generated DuckDB oracle). */
+  * generated DuckDB oracle). Malformed vectors (length != dim, null slot)
+  * evaluate to NULL — the HOF form silently resolves them to list 0 via
+  * zip_with null-padding, which is exactly the mistake-for-valid this
+  * kernel refuses. */
 case class IvfAssign(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression {
 

@@ -226,22 +226,24 @@ object ExtQueries {
   /** DuckDB twin of Similarity.semDedup: same centroid-literal assignment as
     * [[ivfOracleSql]], then the within-list keep-first prune on the rounded
     * cosine. Generated at Verify dump time (centroids are data-derived). */
+  /** Driver-quantized model maps as DuckDB VALUES literals — shared by the
+    * LM-family oracles (bigram, trigram, CCNet buckets). An empty model
+    * table (degenerate reference corpus) must still parse: an
+    * empty-but-typed relation, not "VALUES ()". */
+  private def milliTableSql(m: Map[String, Long]): String =
+    if (m.isEmpty)
+      "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) WHERE FALSE)"
+    else m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"('${k.replace("'", "''")}', $v)" }
+      .mkString("(VALUES ", ", ", ")")
+
   /** x_lm_score oracle: the SAME driver-quantized integer milli-nat tables
     * as SQL VALUES literals, joined per exploded bigram — integer sums on
     * both engines, hash-exact by construction. */
   def lmOracleSql(spark: SparkSession, sfDir: String): String = {
     val lm = graft.ext.Lm.bigramLmFor(spark, sfDir)
-    def esc(s: String): String = s.replace("'", "''")
-    // an empty model table (degenerate reference corpus) must still parse:
-    // an empty-but-typed relation, not "VALUES ()"
-    def tableOf(m: Map[String, Long]): String =
-      if (m.isEmpty)
-        "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) WHERE FALSE)"
-      else m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"('${esc(k)}', $v)" }
-        .mkString("(VALUES ", ", ", ")")
-    s"WITH lm(b, lp) AS (SELECT * FROM ${tableOf(lm.bigramMilli)}), " +
-      s"uni(w, lp) AS (SELECT * FROM ${tableOf(lm.uniFallbackMilli)}), " +
+    s"WITH lm(b, lp) AS (SELECT * FROM ${milliTableSql(lm.bigramMilli)}), " +
+      s"uni(w, lp) AS (SELECT * FROM ${milliTableSql(lm.uniFallbackMilli)}), " +
       s"tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
       "bg AS (SELECT doc_id, unnest([{'b': ws[i] || ' ' || ws[i+1], " +
       "'w1': ws[i]} for i in generate_series(1, len(ws) - 1)]) AS u FROM tok), " +
@@ -263,15 +265,8 @@ object ExtQueries {
   def ccnetOracleSql(spark: SparkSession, sfDir: String): String = {
     val lm = graft.ext.Lm.bigramLmFor(spark, sfDir)
     val cuts = graft.ext.Lm.ccnetCutoffsFor(spark, sfDir, lm)
-    def esc(s: String): String = s.replace("'", "''")
-    def tableOf(m: Map[String, Long]): String =
-      if (m.isEmpty)
-        "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) WHERE FALSE)"
-      else m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"('${esc(k)}', $v)" }
-        .mkString("(VALUES ", ", ", ")")
-    s"WITH lm(b, lp) AS (SELECT * FROM ${tableOf(lm.bigramMilli)}), " +
-      s"uni(w, lp) AS (SELECT * FROM ${tableOf(lm.uniFallbackMilli)}), " +
+    s"WITH lm(b, lp) AS (SELECT * FROM ${milliTableSql(lm.bigramMilli)}), " +
+      s"uni(w, lp) AS (SELECT * FROM ${milliTableSql(lm.uniFallbackMilli)}), " +
       s"tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
       "bg AS (SELECT doc_id, unnest([{'b': ws[i] || ' ' || ws[i+1], " +
       "'w1': ws[i]} for i in generate_series(1, len(ws) - 1)]) AS u FROM tok), " +
@@ -295,16 +290,9 @@ object ExtQueries {
     * integers, hash-exact by construction (the [[lmOracleSql]] pattern). */
   def lmOracleSql3(spark: SparkSession, sfDir: String): String = {
     val lm = graft.ext.Lm.trigramLmFor(spark, sfDir)
-    def esc(s: String): String = s.replace("'", "''")
-    def tableOf(m: Map[String, Long]): String =
-      if (m.isEmpty)
-        "(SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) WHERE FALSE)"
-      else m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"('${esc(k)}', $v)" }
-        .mkString("(VALUES ", ", ", ")")
-    s"WITH tri(t, lp) AS (SELECT * FROM ${tableOf(lm.trigramMilli)}), " +
-      s"lm(b, lp) AS (SELECT * FROM ${tableOf(lm.bigramMilli)}), " +
-      s"uni(w, lp) AS (SELECT * FROM ${tableOf(lm.uniFallbackMilli)}), " +
+    s"WITH tri(t, lp) AS (SELECT * FROM ${milliTableSql(lm.trigramMilli)}), " +
+      s"lm(b, lp) AS (SELECT * FROM ${milliTableSql(lm.bigramMilli)}), " +
+      s"uni(w, lp) AS (SELECT * FROM ${milliTableSql(lm.uniFallbackMilli)}), " +
       s"tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
       "tg AS (SELECT doc_id, unnest([{" +
       "'t': ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2], " +
@@ -331,7 +319,11 @@ object ExtQueries {
   def dsirOracleSql(spark: SparkSession, sfDir: String): String = {
     val m = graft.ext.Dsir.modelFor(spark, sfDir)
     val wLit = m.weightsMilli.mkString("[", ",", "]")
-    s"WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $Docs), " +
+    // coalesce keeps null docs IN the result (ws = [''] -> one feature),
+    // matching importanceWeights' coalesce — without it string_split(NULL)
+    // unnests to zero rows and the doc vanishes from the oracle entirely
+    s"WITH tok AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws " +
+      s"FROM $Docs), " +
       "ft AS (SELECT doc_id, unnest(list_concat(ws, " +
       "CASE WHEN len(ws) >= 2 THEN " +
       "[ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)] " +
@@ -347,16 +339,7 @@ object ExtQueries {
 
   def semDedupOracleSql(spark: SparkSession, sfDir: String): String = {
     val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
-    def distSql(vec: String, c: Array[Double]): String = {
-      val lit = c.map(_.toString).mkString("[", ",", "]")
-      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
-        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
-        s"for i in generate_series(1, ${c.length})])"
-    }
-    def sortedLists(vec: String): String =
-      cents.zipWithIndex
-        .map { case (c, i) => s"{'d': ${distSql(vec, c)}, 'l': $i}" }
-        .mkString("list_sort([", ", ", "])")
+    def sortedLists(vec: String): String = ivfSortedListsSql(cents, vec)
     s"WITH b AS (SELECT vec_id, embedding, ${sortedLists("embedding")}[1].l AS list " +
       s"FROM $Embs), " +
       "d AS (SELECT DISTINCT x.vec_id AS vec_id " +
@@ -371,16 +354,7 @@ object ExtQueries {
     * assignment + the x_source_mix integer rate contract per list. */
   def clusterSampleOracleSql(spark: SparkSession, sfDir: String): String = {
     val cents = graft.ext.Similarity.centroidsFor(spark, sfDir)
-    def distSql(vec: String, c: Array[Double]): String = {
-      val lit = c.map(_.toString).mkString("[", ",", "]")
-      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
-        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
-        s"for i in generate_series(1, ${c.length})])"
-    }
-    def sortedLists(vec: String): String =
-      cents.zipWithIndex
-        .map { case (c, i) => s"{'d': ${distSql(vec, c)}, 'l': $i}" }
-        .mkString("list_sort([", ", ", "])")
+    def sortedLists(vec: String): String = ivfSortedListsSql(cents, vec)
     s"WITH b AS (SELECT vec_id, ${sortedLists("embedding")}[1].l AS list FROM $Embs), " +
       "c AS (SELECT list, count(*) AS n_total, " +
       "CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT) AS w " +
@@ -481,15 +455,7 @@ object ExtQueries {
           qr.slice(s * subdim, (s + 1) * subdim), cc))
       }
     }
-    def distSql(vec: String, c: Array[Double]): String = {
-      val lit = c.map(_.toString).mkString("[", ",", "]")
-      s"list_sum([(CAST($vec[i] AS DOUBLE) - ($lit)[i]) * " +
-        s"(CAST($vec[i] AS DOUBLE) - ($lit)[i]) " +
-        s"for i in generate_series(1, ${c.length})])"
-    }
-    val listSql = cents.zipWithIndex
-      .map { case (c, i) => s"{'d': ${distSql("embedding", c)}, 'l': $i}" }
-      .mkString("list_sort([", ", ", "])[1].l")
+    val listSql = s"${ivfSortedListsSql(cents, "embedding")}[1].l"
     // residual code per (list, subspace): ((CAST(x AS DOUBLE) − cl[i]) −
     // c[i])² — the same left-to-right association as the Spark side's
     // zip_with residual followed by the kernel's (res − c)²
@@ -1224,7 +1190,10 @@ object ExtQueries {
         val stopSum = TextFns.gopherStop
           .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
           .mkString(" + ")
-        s"WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM $Docs), " +
+        // coalesce mirrors gopherRules' null contract: a null document
+        // scores like the empty one on both engines
+        s"WITH w AS (SELECT doc_id, coalesce(text, '') AS text, " +
+          s"string_split(coalesce(text, ''), ' ') AS ws FROM $Docs), " +
           "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
           "round(CAST(list_sum([length(x) for x in ws]) AS DOUBLE) / len(ws), 6) AS mean_wlen, " +
           "round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(ws), 6) AS frac_alpha, " +

@@ -100,13 +100,17 @@ object StreamingNearDup {
     * emits one [[Cand]] per already-registered member, then registers
     * (saturating at `maxBucket`, re-deliveries of a registered id are
     * no-ops — the at-least-once guard). Arrival order within a micro-batch
-    * is (event_time, doc_id) — shuffle iterator order is not guaranteed. */
+    * is (event_time, doc_id) — shuffle iterator order is not guaranteed.
+    * `lateness` IS the event-time watermark (applied here, on the state
+    * op's own input — callers must not pre-watermark, or they'd silently
+    * configure a different tolerance than the one they passed). */
   def candidateStream(bands: Dataset[BandRow], lateness: String,
                       stateTtlMs: Long,
                       maxBucket: Int = Dedup.DefaultMaxBucket): Dataset[Cand] = {
     val spark = bands.sparkSession
     import spark.implicits._
     val ttlMs = stateTtlMs
+    val marked = bands.withWatermark("event_time", lateness)
 
     def update(key: (Int, String), rows: Iterator[BandRow],
                state: GroupState[BucketMembers]): Iterator[Cand] = {
@@ -132,7 +136,7 @@ object StreamingNearDup {
       }
     }
 
-    bands
+    marked
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
@@ -192,7 +196,6 @@ object StreamingNearDup {
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
     val bandStream = bandRows(inStream, "text", "doc_id", "event_time")
-      .withWatermark("event_time", lateness)
       .as[BandRow]
     val q = candidateStream(bandStream, lateness, stateTtlMs, maxBucket)
       .writeStream.format("parquet")

@@ -118,6 +118,36 @@ class DsirSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("null text: driver trainers sample it as the empty doc, no NPE") {
+    assert(Dsir.featuresOf(null) === Dsir.featuresOf(""),
+      "featuresOf must share featuresCol's null contract")
+    val dir = mkCorpus(Seq(
+      (1L, "the cat sat on the mat here", "en"),
+      (2L, null.asInstanceOf[String], "en"),
+      (3L, "le chat mange le poisson", "fr")))
+    val m = Dsir.modelFor(spark, dir, sampleDocs = 3)
+    assert(m.nRawDocs === 3 && m.nTargetDocs === 2)
+    // the LM trainers share the same md5-spread sample read — a null doc
+    // in the sample must train, not NPE the driver
+    val lm = graft.ext.Lm.bigramLmFor(spark, dir, sampleDocs = 3)
+    assert(lm.vocab >= 1)
+    val lm3 = graft.ext.Lm.trigramLmFor(spark, dir, sampleDocs = 3)
+    assert(lm3.vocab >= 1)
+  }
+
+  test("Gopher rules: null text scores as the empty doc — n_stop/keep are 0, never NULL") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    val ws = split(col("text"), " ")
+    val cols = TextFns.gopherRules(col("text"), ws)
+      .map { case (n, c) => c.as(n) }
+    val r = df.select((col("doc_id") +: cols): _*).collect()(0)
+    assert(!(1 until 7).exists(r.isNullAt), r.toString)
+    assert(r.getLong(1) === 1L)  // n_words: [""] like both engines' split
+    assert(r.getLong(5) === 0L)  // n_stop: 0, not NULL (DuckDB CASE sum)
+    assert(r.getInt(6) === 0)    // keep: 0, not NULL three-valued AND
+  }
+
   test("Gopher rules: thresholds and rounding match a hand-computed doc") {
     import spark.implicits._
     val longText = (Seq.fill(20)("the quick brown fox jumps").mkString(" ")

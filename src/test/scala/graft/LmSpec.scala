@@ -188,4 +188,22 @@ class LmSpec extends SparkTestBase {
     assert(got.count(_._4 == "head") >= 2)
     assert(got.count(_._4 == "tail") >= 2)
   }
+
+  test("CCNet cutoffs: cache is keyed by the LM's identity, not just the dir") {
+    val dir = mkCorpus(Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish today"),
+      (3L, "qq ww ee rr tt yy uu"),
+      (4L, "zz xx cc vv bb nn")))
+    val lmA = Lm.bigramLmFor(spark, dir, sampleDocs = 4,
+      topBigrams = 100, topUnigrams = 100)
+    val cutsA = Lm.ccnetCutoffsFor(spark, dir, lmA, sampleDocs = 4)
+    // a degenerate model over the SAME dir: every doc scores floor-per-
+    // bigram, so its cutoffs must be the floor — not lmA's cached values
+    val lmB = Lm.BigramLm(Map.empty, Map.empty, -5000L, 1)
+    val cutsB = Lm.ccnetCutoffsFor(spark, dir, lmB, sampleDocs = 4)
+    assert(cutsB.headMinMilli === -5000L && cutsB.middleMinMilli === -5000L)
+    assert(cutsA !== cutsB,
+      "differently-configured LMs over one dir must not share cutoffs")
+  }
 }

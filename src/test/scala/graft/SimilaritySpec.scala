@@ -424,13 +424,17 @@ class SimilaritySpec extends SparkTestBase {
       .select(Similarity.ivfAssignHof(col("embedding"), cents).as("l"))
       .collect().map(_.getInt(0))
     assert(native.toSeq === hof.toSeq)
-    // null contract: short vector and null-slot vector assign to null
+    // null contract: short, OVERSIZED, and null vectors all assign to null —
+    // an oversized vector must not silently file its first dim components
+    // into a real list (and the HOF form would resolve it to list 0 via
+    // zip_with null-padding: both are mistakable-for-valid, null is not)
     val bad = spark.createDataFrame(Seq(
       (1L, Seq(1.0f, 2.0f)),
-      (2L, null.asInstanceOf[Seq[Float]]))).toDF("id", "v")
+      (2L, null.asInstanceOf[Seq[Float]]),
+      (3L, Seq.fill(cents(0).length + 1)(0.5f)))).toDF("id", "v")
     val got = bad.select(Similarity.ivfAssign(col("v"), cents).as("l"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
-    assert(got.toSeq === Seq(None, None))
+    assert(got.toSeq === Seq(None, None, None))
   }
 
   test("PQ: ADC at rerank=50 recovers most true neighbors; encode is deterministic") {

@@ -69,7 +69,7 @@ class StreamingNearDupSpec extends SparkTestBase {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[BandRow]
     val out = StreamingNearDup.candidateStream(
-      ms.toDS().withWatermark("event_time", "10 seconds").as[BandRow],
+      ms.toDS().as[BandRow],
       lateness = "10 seconds", stateTtlMs = 600000L, maxBucket = 2)
     val name = "neardup_cap_out"
     val q = out.writeStream.format("memory").queryName(name)
@@ -101,7 +101,7 @@ class StreamingNearDupSpec extends SparkTestBase {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[BandRow]
     val out = StreamingNearDup.candidateStream(
-      ms.toDS().withWatermark("event_time", "10 seconds").as[BandRow],
+      ms.toDS().as[BandRow],
       lateness = "10 seconds", stateTtlMs = 600000L)
     val name = "neardup_xband_out"
     val q = out.writeStream.format("memory").queryName(name)
