@@ -291,6 +291,358 @@ object Multimodal {
     } finally iis.close()
   }
 
+  // ------------------------------------------------------------------ dHash
+  // Perceptual-hash near-duplicate detection for images — the LAION/DataComp
+  // image-dedup stage. dHash (difference hash): luma-downscale to a
+  // (W+1)×H grid, bit (x,y) = [g(x+1,y) > g(x,y)], 64 bits for the standard
+  // 9×8 grid. Near-dups are found WITHOUT an all-pairs scan via Multi-Index
+  // Hashing (Norouzi/Punjani/Fleet, CVPR 2012): split the 64-bit hash into
+  // 4 disjoint 16-bit substrings; by pigeonhole any pair within Hamming
+  // distance 3 agrees EXACTLY on at least one substring, so an equi-join on
+  // (band, key) is a LOSSLESS candidate generator at t <= 3, each candidate
+  // verified by an O(1) exact bit_count. Scale shape: one shuffle of 4n
+  // 16-byte rows; per-band bucket density is n / 2^16, so the verify volume
+  // grows as n^2/2^18 — at the 100 M-image rung the remedy is the one MIH
+  // prescribes: widen the hash (pHash-144/256) so the substring width stays
+  // ~log2 n, NOT a looser join.
+
+  private val HashGridW = 8 // bits per row; source grid is (W+1) x H
+  private val HashGridH = 8
+
+  /** Number of 16-bit substrings [[dHashPairs]] indexes (MIH bands). */
+  val DHashBands = 4
+
+  /** Luma grid for dHash: area-averaged integer luma on a (w x h) grid.
+    * Single-band rasters read raw samples (no ICC gray->sRGB surprise from
+    * getRGB); multi-band pixels reduce by integer Rec.601
+    * (299r + 587g + 114b) / 1000. Downscale is exact integer box-averaging
+    * (floor of mean over each cell), so the grid — and the hash — is
+    * deterministic across JVMs, unlike Graphics2D interpolation. */
+  private[graft] def lumaGrid(
+      img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] = {
+    val iw = img.getWidth; val ih = img.getHeight
+    val single = img.getRaster.getNumBands == 1
+    val out = new Array[Int](w * h)
+    var cy = 0
+    while (cy < h) {
+      val y0 = cy * ih / h; val y1 = math.max((cy + 1) * ih / h, y0 + 1)
+      var cx = 0
+      while (cx < w) {
+        val x0 = cx * iw / w; val x1 = math.max((cx + 1) * iw / w, x0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < y1 && y < ih) {
+          var x = x0
+          while (x < x1 && x < iw) {
+            val v =
+              if (single) img.getRaster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                  114 * (rgb & 0xff)) / 1000
+              }
+            sum += v; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        out(cy * w + cx) = if (n == 0) 0 else (sum / n).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    out
+  }
+
+  /** 64-bit dHash of a decoded image: bit (y*8 + x) set iff
+    * grid(x+1, y) > grid(x, y) on the 9x8 luma grid. */
+  private[graft] def dHashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val g = lumaGrid(img, HashGridW + 1, HashGridH)
+    var hash = 0L
+    var y = 0
+    while (y < HashGridH) {
+      var x = 0
+      while (x < HashGridW) {
+        if (g(y * (HashGridW + 1) + x + 1) > g(y * (HashGridW + 1) + x))
+          hash |= 1L << (y * HashGridW + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Partition-parallel decode -> dHash: media rows -> (doc_id, dhash).
+    * Non-image rows (and undecodable bytes) emit a NULL hash — they carry no
+    * pixels to fingerprint, and [[dHashPairs]] excludes them. mapPartitions
+    * for per-partition codec init, like [[decodeFeatures]]. */
+  def dHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("dhash", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val img =
+          if (looksLikeImage(bytes))
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          else null
+        val ok = img != null && img.getWidth > 0 && img.getHeight > 0 &&
+          img.getWidth.toLong * img.getHeight <= MaxDecodePixels
+        Row(r.getLong(0), if (ok) Long.box(dHashOfImage(img)) else null)
+      }
+    }(encoder)
+  }
+
+  /** Near-duplicate pairs at Hamming distance <= t over (doc_id, <hashCol>)
+    * rows holding any 64-bit perceptual hash — image dHash and the audio
+    * envelope fingerprint share this one pairer. MIH band equi-join
+    * (lossless for t <= 3 with 4 bands — the pigeonhole guarantee above),
+    * exact bit_count verify, distinct bare pairs. The join shuffles on
+    * (band, key) like the text-side LSH/SimHash pairers; no all-pairs
+    * product ever forms. */
+  def dHashPairs(hashed: DataFrame, t: Int, hashCol: String = "dhash"): DataFrame = {
+    require(t <= DHashBands - 1,
+      s"lossless only to Hamming ${DHashBands - 1} with $DHashBands bands")
+    val hc = col(hashCol)
+    val bandCols = (0 until DHashBands).map { k =>
+      struct(lit(k).as("band"),
+        shiftrightunsigned(hc, 16 * k).bitwiseAND(lit(0xffffL)).as("key"))
+    }
+    val banded = hashed.filter(hc.isNotNull)
+      .select(col("doc_id"), hc.as("__h"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("__h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("CAST(bit_count(a.__h ^ b.__h) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= t)
+      .distinct()
+  }
+
+  /** Prime modulus for the synthesized dHash fixtures' gray formula: every
+    * value is a valid 8-bit gray sample and the SQL twin is exact integer
+    * arithmetic (no float, no rounding mode). */
+  val DHashGrayMod = 251
+
+  /** Gray value of the synthesized dHash fixture at (x, y) for a cluster
+    * `group` with per-member `jitter`: a mod-251 polynomial that mixes group
+    * into every adjacent-pixel comparison, plus jitter on exactly two pixels
+    * — (0,0) and (8,7) — each of which feeds exactly ONE dHash bit, so
+    * same-group members sit within Hamming 2 of each other while different
+    * groups land ~32 apart. The SQL oracle recomputes this formula verbatim. */
+  private[graft] def dHashFixtureGray(group: Long, jitter: Long, x: Int, y: Int): Int = {
+    val base = ((group + 1) * ((x + 1) * (x + 2) * 31) +
+      (group + 7) * ((y + 1) * (x + 3) * 13)) % DHashGrayMod
+    val jittered =
+      if (x == 0 && y == 0) base + jitter * 17
+      else if (x == HashGridW && y == HashGridH - 1) base + jitter * 29
+      else base
+    (jittered % DHashGrayMod).toInt
+  }
+
+  /** Synthesize a REAL 9x8 grayscale PNG whose raw samples are exactly
+    * [[dHashFixtureGray]] — TYPE_BYTE_GRAY written as 8-bit grayscale PNG is
+    * lossless, and [[lumaGrid]] reads single-band rasters raw, so the decoded
+    * grid IS the formula: ground truth a SQL oracle can recompute. */
+  private[graft] def synthGrayPng(group: Long, jitter: Long): Array[Byte] = {
+    val w = HashGridW + 1; val h = HashGridH
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, dHashFixtureGray(group, jitter, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Like [[attachRealMedia]], but even ids carry the REAL grayscale dHash
+    * fixture PNGs: cluster group = doc_id / 8 (so the 4 even ids of each
+    * 8-id block form one near-dup cluster), jitter = doc_id % 8. Odd ids
+    * keep opaque text bytes and take the NULL-hash branch. */
+  def attachDHashMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          val id = r.getLong(0)
+          val isPng = id % 2 == 0
+          val content =
+            if (isPng) synthGrayPng(id / 8, id % 8)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Row(id, content, Row(if (isPng) "png" else "txt",
+            Int.box(HashGridW + 1), Int.box(HashGridH), Long.box(0L)))
+        }
+      }(encoder)
+  }
+
+  // --------------------------------------------------- audio fingerprint
+  // Haitsma/Kalker-style difference fingerprint ("A Highly Robust Audio
+  // Fingerprinting System", ISMIR 2002) reduced to its time axis: box the
+  // decoded PCM stream into 65 windows of mean |amplitude| (the energy
+  // envelope), bit w = [E(w+1) > E(w)] — a 64-bit signature whose
+  // near-duplicates come out of the SAME MIH pairer as the image dHash.
+  // The full HK fingerprint differences 33 frequency bands per frame; the
+  // scale shape (banded Hamming join) is identical, only the per-row
+  // feature extraction widens.
+
+  private val EnvWindows = 65 // 64 difference bits
+
+  /** Mean |amplitude| per box window over channel-0 PCM samples — integer
+    * floor like [[lumaGrid]], so the envelope (and hash) is deterministic. */
+  private[graft] def envelopeOfPcm(samples: Array[Int]): Array[Long] = {
+    val n = samples.length
+    val e = new Array[Long](EnvWindows)
+    var w = 0
+    while (w < EnvWindows) {
+      val i0 = (w.toLong * n / EnvWindows).toInt
+      val i1 = math.max(((w + 1).toLong * n / EnvWindows).toInt, i0 + 1)
+      var sum = 0L; var c = 0L
+      var i = i0
+      while (i < i1 && i < n) { sum += math.abs(samples(i)); c += 1; i += 1 }
+      e(w) = if (c == 0) 0L else sum / c
+      w += 1
+    }
+    e
+  }
+
+  /** 64-bit envelope hash: bit w set iff E(w+1) > E(w). */
+  private[graft] def envelopeHash(samples: Array[Int]): Long = {
+    val e = envelopeOfPcm(samples)
+    var hash = 0L
+    var w = 0
+    while (w < EnvWindows - 1) {
+      if (e(w + 1) > e(w)) hash |= 1L << w
+      w += 1
+    }
+    hash
+  }
+
+  /** Channel-0 samples of decodable 16-bit signed PCM bytes, or null (the
+    * caller's non-audio rows emit a NULL fingerprint). Same JDK-only
+    * `javax.sound.sampled` decode stance as [[decodeWavToFeatures]]. */
+  private[graft] def readPcm16Channel0(content: Array[Byte]): Array[Int] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch { case scala.util.control.NonFatal(_) => return null }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16) return null
+      val bytes = in.readAllBytes()
+      val frameBytes = fmt.getFrameSize
+      val n = bytes.length / frameBytes
+      if (n == 0) return null
+      val big = fmt.isBigEndian
+      val out = new Array[Int](n)
+      var f = 0
+      while (f < n) {
+        val o = f * frameBytes
+        out(f) =
+          if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort.toInt
+          else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort.toInt
+        f += 1
+      }
+      out
+    } catch { case scala.util.control.NonFatal(_) => null }
+    finally in.close()
+  }
+
+  /** Partition-parallel decode -> envelope fingerprint: media rows ->
+    * (doc_id, afp). Non-audio rows emit NULL, mirroring [[dHashes]]. */
+  def audioEnvelopeHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("afp", LongType)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("doc_id", "content").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val samples = if (looksLikeWav(bytes)) readPcm16Channel0(bytes) else null
+        Row(r.getLong(0), if (samples == null) null else Long.box(envelopeHash(samples)))
+      }
+    }(encoder)
+  }
+
+  /** Channel-0 sample value of the synthesized envelope fixture in window w:
+    * a mod-20001 polynomial shifted to [-10000, 10000], jitter riding
+    * windows 0 and 64 only — each feeds exactly ONE difference bit, the
+    * same two-pixel trick as [[dHashFixtureGray]]. Every sample of window w
+    * is this constant, so the integer box mean IS |value| and a SQL oracle
+    * recomputes the whole fingerprint arithmetically. */
+  private[graft] def envelopeFixtureSample(group: Long, jitter: Long, w: Int): Int = {
+    val base = ((group + 3) * ((w + 1) * (w + 2) * 17) +
+      (group + 11) * ((w + 5) * 7)) % 20001
+    val j =
+      if (w == 0) jitter * 137
+      else if (w == EnvWindows - 1) jitter * 251
+      else 0L
+    (((base + j) % 20001) - 10000).toInt
+  }
+
+  /** Synthesize a REAL mono 16-bit PCM WAV (32 samples per window, exactly
+    * [[EnvWindows]] windows) whose channel-0 samples follow
+    * [[envelopeFixtureSample]] — written through the JDK
+    * `AudioSystem.write` WAVE encoder, decoded back by the same stack. */
+  private[graft] def synthEnvelopeWav(group: Long, jitter: Long): Array[Byte] = {
+    val spw = 32
+    val n = EnvWindows * spw
+    val pcm = new Array[Byte](n * 2)
+    var w = 0
+    while (w < EnvWindows) {
+      val v = envelopeFixtureSample(group, jitter, w)
+      var i = 0
+      while (i < spw) {
+        val o = (w * spw + i) * 2
+        pcm(o) = (v & 0xff).toByte
+        pcm(o + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      w += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    finally ais.close()
+    bos.toByteArray
+  }
+
+  /** Like [[attachDHashMedia]] for audio: even ids carry the REAL envelope
+    * fixture WAVs (cluster group = doc_id / 8, jitter = doc_id % 8), odd
+    * ids keep opaque text bytes and take the NULL-fingerprint branch. */
+  def attachEnvelopeWavMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val isWav = id % 2 == 0
+          val content =
+            if (isWav) synthEnvelopeWav(id / 8, id % 8)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Row(id, content, Row(if (isWav) "wav" else "txt",
+            Int.box(0), Int.box(0), Long.box(EnvWindows * 32 * 1000L / 8000)))
+        }
+      }(encoder)
+  }
+
   /** Metadata-only resize: clamp the declared dimensions. This is the
     * non-image branch of [[resizeMedia]] (audio/opaque bytes have no pixels
     * to scale) and the cheap path when only the metadata contract matters. */

@@ -523,6 +523,75 @@ object ExtQueries {
     sql.replaceFirst("WITH ", "WITH RECURSIVE ")
   }
 
+  /** DuckDB twin of Multimodal.dHashFixtureGray(grp, j, x, y): the exact
+    * mod-251 integer polynomial the synthesized grayscale fixture pixels
+    * follow (jitter rides pixels (0,0) and (8,7) only). */
+  private def dhashGraySql(x: Int, y: Int): String = {
+    val base = s"(((grp + 1) * ${(x + 1) * (x + 2) * 31} + " +
+      s"(grp + 7) * ${(y + 1) * (x + 3) * 13}) % 251)"
+    if (x == 0 && y == 0) s"(($base + j * 17) % 251)"
+    else if (x == 8 && y == 7) s"(($base + j * 29) % 251)"
+    else base
+  }
+
+  /** One 32-bit half of the oracle dHash as a sum of CASE bit terms — built
+    * in halves because bit 63 would overflow (and sign-flip) a single BIGINT
+    * sum built from positive weights. half 0 = grid rows 0..3 (bits 0..31),
+    * half 1 = rows 4..7 (bits 32..63); bit (y*8 + x) = [g(x+1,y) > g(x,y)],
+    * identical to Multimodal.dHashOfImage's packing. */
+  private def dhashHalfSql(half: Int): String =
+    (for { y <- (half * 4) until (half * 4 + 4); x <- 0 until 8 } yield {
+      val weight = 1L << (y * 8 + x - half * 32)
+      s"(CASE WHEN ${dhashGraySql(x + 1, y)} > ${dhashGraySql(x, y)} " +
+        s"THEN CAST($weight AS BIGINT) ELSE 0 END)"
+    }).mkString(" + ")
+
+  /** Shared CTE for the dHash oracles: per even doc, the 64-bit fixture
+    * dHash as overflow-safe (lo, hi) 32-bit halves. */
+  private val DHashCte: String =
+    s"WITH g AS (SELECT doc_id, doc_id // 8 AS grp, doc_id % 8 AS j FROM $Docs " +
+      "WHERE doc_id % 2 = 0), " +
+      s"hsh AS (SELECT doc_id, ${dhashHalfSql(0)} AS lo, ${dhashHalfSql(1)} AS hi FROM g)"
+
+  /** DuckDB twin of Multimodal.envelopeFixtureSample's |amplitude| (the
+    * fixture's per-window energy): windows are constant, so the box mean IS
+    * the sample's absolute value. */
+  private def envSampleSql(w: Int): String = {
+    val x = s"((grp + 3) * ${(w + 1) * (w + 2) * 17} + (grp + 11) * ${(w + 5) * 7})"
+    val jterm = if (w == 0) " + j * 137" else if (w == 64) " + j * 251" else ""
+    s"abs((($x$jterm) % 20001) - 10000)"
+  }
+
+  /** One 32-bit half of the oracle envelope fingerprint (bit w =
+    * [E(w+1) > E(w)]), halved for the same sign-bit reason as
+    * [[dhashHalfSql]]. */
+  private def envHalfSql(half: Int): String =
+    (for (w <- (half * 32) until (half * 32 + 32)) yield {
+      val weight = 1L << (w - half * 32)
+      s"(CASE WHEN ${envSampleSql(w + 1)} > ${envSampleSql(w)} " +
+        s"THEN CAST($weight AS BIGINT) ELSE 0 END)"
+    }).mkString(" + ")
+
+  private val AudioFpCte: String =
+    s"WITH g AS (SELECT doc_id, doc_id // 8 AS grp, doc_id % 8 AS j FROM $Docs " +
+      "WHERE doc_id % 2 = 0), " +
+      s"hsh AS (SELECT doc_id, ${envHalfSql(0)} AS lo, ${envHalfSql(1)} AS hi FROM g)"
+
+  /** Shared MIH-pair oracle body over an `hsh(doc_id, lo, hi)` CTE: 4
+    * 16-bit substring bands, equi-join candidates, exact bit_count verify
+    * at Hamming <= 3 — the DuckDB twin of Multimodal.dHashPairs. */
+  private def mihPairsSql(cte: String): String =
+    s"$cte, banded AS (SELECT doc_id, lo, hi, UNNEST([" +
+      "{'band': 0, 'key': lo % 65536}, {'band': 1, 'key': lo // 65536}, " +
+      "{'band': 2, 'key': hi % 65536}, {'band': 3, 'key': hi // 65536}" +
+      "], recursive := true) FROM hsh) " +
+      "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, " +
+      "CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming " +
+      "FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key " +
+      "AND a.doc_id < b.doc_id " +
+      "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 " +
+      "ORDER BY a_id, b_id"
+
   val inventory: Seq[(String, Q, Option[String])] = Seq(
 
     // ------------------------------------------------------------- dedup --
@@ -1432,6 +1501,90 @@ object ExtQueries {
           "FROM (SELECT doc_id, doc_id % 5 + 2 AS nf, " +
           s"least(4, doc_id % 5 + 2) AS k FROM $Docs) ORDER BY doc_id"
       }),
+
+    ("x_mm_dhash", // REAL decode -> 64-bit dHash (difference hash), the
+      // LAION/DataComp image fingerprint: even ids carry genuine 9x8
+      // grayscale PNGs whose raw samples are an exact mod-251 polynomial of
+      // (doc_id/8, doc_id%8); TYPE_BYTE_GRAY->PNG is lossless and lumaGrid
+      // reads single-band rasters raw, so a hash match against the oracle's
+      // arithmetic bit-sum proves the codec path produced the exact pixels.
+      // Hex-rendered because bit 63 lives in BIGINT's sign; the oracle
+      // assembles the same 16 digits from overflow-safe 32-bit halves.
+      (s: SparkSession, d: String) =>
+        Multimodal.dHashes(
+          Multimodal.attachDHashMedia(t(s, d, "documents"), "doc_id", "text"))
+          .filter(col("dhash").isNotNull)
+          .select(col("doc_id"),
+            lpad(lower(hex(col("dhash"))), 16, "0").as("dhash_hex"))
+          .orderBy("doc_id"),
+      Some(s"$DHashCte SELECT doc_id, lpad(lower(hex(hi)), 8, '0') || " +
+        "lpad(lower(hex(lo)), 8, '0') AS dhash_hex FROM hsh ORDER BY doc_id")),
+
+    ("x_mm_phash_dup", // image near-dup pairs at Hamming <= 3 via
+      // Multi-Index Hashing (Norouzi et al., CVPR 2012): 4 disjoint 16-bit
+      // substrings of the dHash, (band, key) equi-join — pigeonhole-LOSSLESS
+      // at t = 3 — then an O(1) exact bit_count verify per candidate. The 4
+      // even ids of each 8-id block share a gray pattern, differing only in
+      // two single-bit-feeding jittered pixels, so clusters sit within
+      // Hamming 2 while cross-group hashes land ~32 apart. Same shuffle
+      // shape as the text-side LSH/SimHash pairers; no all-pairs product.
+      (s: SparkSession, d: String) =>
+        Multimodal.dHashPairs(
+          Multimodal.dHashes(
+            Multimodal.attachDHashMedia(t(s, d, "documents"), "doc_id", "text")),
+          t = 3)
+          .orderBy("a_id", "b_id"),
+      Some(mihPairsSql(DHashCte))),
+
+    ("x_mm_audio_fp", // REAL PCM decode -> 64-bit energy-envelope
+      // fingerprint (Haitsma/Kalker ISMIR 2002, time axis): even ids carry
+      // genuine mono PCM16 WAVs whose channel-0 samples follow an exact
+      // mod-20001 polynomial per 32-sample window; javax.sound decodes them
+      // back bit-exact, the box-mean |amplitude| of a constant window IS the
+      // sample, so a hash match against the oracle's arithmetic bit-sum
+      // proves the codec ran. Hex-rendered like x_mm_dhash (sign bit).
+      (s: SparkSession, d: String) =>
+        Multimodal.audioEnvelopeHashes(
+          Multimodal.attachEnvelopeWavMedia(t(s, d, "documents"), "doc_id", "text"))
+          .filter(col("afp").isNotNull)
+          .select(col("doc_id"),
+            lpad(lower(hex(col("afp"))), 16, "0").as("afp_hex"))
+          .orderBy("doc_id"),
+      Some(s"$AudioFpCte SELECT doc_id, lpad(lower(hex(hi)), 8, '0') || " +
+        "lpad(lower(hex(lo)), 8, '0') AS afp_hex FROM hsh ORDER BY doc_id")),
+
+    ("x_mm_audio_dup", // audio near-dup pairs at Hamming <= 3: the SAME MIH
+      // pairer as x_mm_phash_dup over the envelope fingerprint — image and
+      // audio dedup share one banded-join operator, only the per-row
+      // feature extraction differs. Clusters are the 4 even ids per 8-id
+      // block (jitter rides windows 0/64 -> bits 0/63 only).
+      (s: SparkSession, d: String) =>
+        Multimodal.dHashPairs(
+          Multimodal.audioEnvelopeHashes(
+            Multimodal.attachEnvelopeWavMedia(t(s, d, "documents"), "doc_id", "text")),
+          t = 3, hashCol = "afp")
+          .orderBy("a_id", "b_id"),
+      Some(mihPairsSql(AudioFpCte))),
+
+    ("x_mm_filter", // DataComp-style basic image filtering (min-side and
+      // aspect-ratio gates) driven by DECODED dimensions: even ids' w/h come
+      // from ImageIO reading real PNGs (the oracle's formula match proves
+      // it), odd ids take the metadata contract. keep = min side >= 24 AND
+      // aspect <= 2 (integer compare: max <= 2*min — no float ratio).
+      (s: SparkSession, d: String) =>
+        Multimodal.actualDims(
+          Multimodal.attachRealMedia(t(s, d, "documents"), "doc_id", "text"))
+          .select(col("doc_id"), col("w"), col("h"),
+            (least(col("w"), col("h")) >= 24 &&
+              greatest(col("w"), col("h")) <= least(col("w"), col("h")) * 2)
+              .cast("int").as("keep"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(doc_id % 64 + 16 AS INT) AS w, " +
+        "CAST(doc_id % 48 + 16 AS INT) AS h, " +
+        "CAST(least(doc_id % 64 + 16, doc_id % 48 + 16) >= 24 AND " +
+        "greatest(doc_id % 64 + 16, doc_id % 48 + 16) <= " +
+        s"2 * least(doc_id % 64 + 16, doc_id % 48 + 16) AS INT) AS keep FROM $Docs " +
+        "ORDER BY doc_id")),
 
     // ------------------------------------------- sampling / batching -------
     ("x_sample_stratified", // hash-threshold stratified sampling: keep iff

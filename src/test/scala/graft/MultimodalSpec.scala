@@ -252,4 +252,143 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(dims.map(_.getString(1)).toSeq === Seq("png", "wav", "png", "wav"))
   }
+
+  // ---- dHash: perceptual-hash image near-dup ----
+
+  /** Reference dHash straight from the fixture formula — no codec, no grid
+    * code: the independent ground truth both the synth round-trip and the
+    * engine pipeline must land on. */
+  private def formulaHash(group: Long, jitter: Long): Long = {
+    var hash = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (Multimodal.dHashFixtureGray(group, jitter, x + 1, y) >
+          Multimodal.dHashFixtureGray(group, jitter, x, y))
+        hash |= 1L << (y * 8 + x)
+    hash
+  }
+
+  test("synthGrayPng round-trips: decoded raster samples ARE the formula") {
+    for ((g, j) <- Seq((0L, 0L), (7L, 4L), (123L, 6L))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthGrayPng(g, j)))
+      assert(img.getWidth === 9 && img.getHeight === 8)
+      assert(img.getRaster.getNumBands === 1)
+      for (y <- 0 until 8; x <- 0 until 9)
+        assert(img.getRaster.getSample(x, y, 0) ===
+          Multimodal.dHashFixtureGray(g, j, x, y), s"($x,$y) of g=$g j=$j")
+    }
+  }
+
+  test("dHashOfImage on the decoded fixture equals the formula hash") {
+    for ((g, j) <- Seq((0L, 0L), (5L, 2L), (88L, 6L))) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthGrayPng(g, j)))
+      assert(Multimodal.dHashOfImage(img) === formulaHash(g, j))
+    }
+  }
+
+  test("lumaGrid box-downscale: constant 2x2 blocks reduce to the source grid") {
+    // 18x16 image, block (cx,cy) filled with the 9x8 fixture gray — exact
+    // integer box-averaging must recover the generator grid and its hash
+    val img = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 18)
+      img.getRaster.setSample(x, y, 0, Multimodal.dHashFixtureGray(9L, 3L, x / 2, y / 2))
+    assert(Multimodal.dHashOfImage(img) === formulaHash(9L, 3L))
+  }
+
+  test("RGB gray pixels hash identically to the single-band raster (Rec.601 luma)") {
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = Multimodal.dHashFixtureGray(4L, 2L, x, y)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v) // (299v+587v+114v)/1000 == v
+    }
+    assert(Multimodal.dHashOfImage(img) === formulaHash(4L, 2L))
+  }
+
+  test("dHashes: even ids hash, odd/undecodable ids are NULL") {
+    val df = (0L to 7L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val got = Multimodal.dHashes(Multimodal.attachDHashMedia(df, "doc_id", "text"))
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) assert(r.getLong(1) === formulaHash(id / 8, id % 8), s"id $id")
+      else assert(r.isNullAt(1), s"id $id")
+    }
+  }
+
+  test("dHashPairs equals brute force at t=3 (MIH band join is lossless)") {
+    val df = (0L to 47L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val hashed = Multimodal.dHashes(Multimodal.attachDHashMedia(df, "doc_id", "text"))
+    val got = Multimodal.dHashPairs(hashed, t = 3)
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hs = hashed.filter(col("dhash").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)
+    assert(got.toSeq === brute.toSeq)
+    // the fixture really exercises clusters: every 8-id block's even members
+    // pair up within Hamming 2, and at least one pair is non-identical
+    assert(brute.nonEmpty)
+    assert(brute.forall { case (a, b, _) => a / 8 === b / 8 })
+    assert(brute.exists(_._3 > 0))
+  }
+
+  test("dHashPairs refuses a t the band count cannot guarantee") {
+    val df = Seq((0L, "x")).toDF("doc_id", "text")
+    val hashed = Multimodal.dHashes(Multimodal.attachDHashMedia(df, "doc_id", "text"))
+    intercept[IllegalArgumentException] { Multimodal.dHashPairs(hashed, t = 4) }
+  }
+
+  // ---- audio envelope fingerprint ----
+
+  /** Reference fingerprint straight from the fixture formula. */
+  private def formulaAfp(group: Long, jitter: Long): Long = {
+    val e = (0 until 65).map(w =>
+      math.abs(Multimodal.envelopeFixtureSample(group, jitter, w)).toLong)
+    var hash = 0L
+    for (w <- 0 until 64) if (e(w + 1) > e(w)) hash |= 1L << w
+    hash
+  }
+
+  test("synthEnvelopeWav round-trips: decoded channel-0 samples ARE the formula") {
+    for ((g, j) <- Seq((0L, 0L), (17L, 6L))) {
+      val samples = Multimodal.readPcm16Channel0(Multimodal.synthEnvelopeWav(g, j))
+      assert(samples.length === 65 * 32)
+      for (w <- 0 until 65; i <- 0 until 32)
+        assert(samples(w * 32 + i) === Multimodal.envelopeFixtureSample(g, j, w),
+          s"window $w sample $i of g=$g j=$j")
+    }
+  }
+
+  test("envelopeHash of the decoded fixture equals the formula fingerprint") {
+    for ((g, j) <- Seq((0L, 0L), (9L, 2L), (250L, 4L)))
+      assert(Multimodal.envelopeHash(
+        Multimodal.readPcm16Channel0(Multimodal.synthEnvelopeWav(g, j))) ===
+        formulaAfp(g, j))
+  }
+
+  test("audio near-dup pipeline equals brute force at t=3") {
+    val df = (0L to 31L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val hashed = Multimodal.audioEnvelopeHashes(
+      Multimodal.attachEnvelopeWavMedia(df, "doc_id", "text"))
+    val hs = hashed.filter(col("afp").isNotNull).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // odd ids really are NULL; even ids really are the formula
+    assert(hs.map(_._1).toSeq === (0L to 31L by 2).toSeq)
+    hs.foreach { case (id, h) => assert(h === formulaAfp(id / 8, id % 8), s"id $id") }
+    val got = Multimodal.dHashPairs(hashed, t = 3, hashCol = "afp")
+      .orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)
+    assert(got.toSeq === brute.toSeq)
+    assert(brute.nonEmpty && brute.forall { case (a, b, _) => a / 8 === b / 8 })
+  }
 }

@@ -69,6 +69,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Join") || p.contains("join"))
   }
 
+  test("x_mm_phash_dup: MIH candidates come from an equi join, never a product") {
+    val p = plan("x_mm_phash_dup")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Join") || p.contains("join"))
+  }
+
   test("a15_latest_per_key: one shuffle for the window, no global sort") {
     val p = plan("a15_latest_per_key")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
