@@ -65,15 +65,17 @@ object Multimodal {
     * RuntimeExceptions (IndexOutOfBounds/IllegalArgument) on corrupt
     * GIF/JPEG that magic-matched — decode must stay total either way. */
   private[ext] def decodeImageToFeatures(content: Array[Byte]): Array[Float] = {
+    // Adversarial-image guard: a tiny file can declare huge dims; check the
+    // HEADER dims (64 Mpx ≈ one 8k×8k frame) before ImageIO.read commits the
+    // decode memory/time, not merely before the pixel loop.
+    if (!decodeAdmissible(content)) return null
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     val n = w.toLong * h
-    // Adversarial-image guard: a tiny file can declare huge dims; bound the
-    // pixel loop (64 Mpx ≈ one 8k×8k frame) before committing memory/time.
-    if (n == 0L || n > MaxDecodePixels) return null
+    if (n == 0L || n > MaxDecodePixels) return null // decoded dims re-check
     val out = new Array[Float](NumBins)
     var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
     var sumY = 0.0; var sumY2 = 0.0
@@ -100,6 +102,37 @@ object Multimodal {
     out
   }
 
+  /** (width, height) read from the container header via an `ImageReader`
+    * probe — NO pixel decode is committed, so the adversarial-dims guard can
+    * run before `ImageIO.read` pays the memory/time of a full decode (a tiny
+    * file can declare huge dims). Null when no reader claims the bytes or
+    * the header is unreadable. */
+  private[graft] def peekImageDims(bytes: Array[Byte]): (Int, Int) = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => return null }
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        (reader.getWidth(0), reader.getHeight(0))
+      } catch { case scala.util.control.NonFatal(_) => null }
+      finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Header-probed admission: true iff the bytes carry a readable image
+    * header with 0 < w*h <= [[MaxDecodePixels]] — the precondition every
+    * full-decode site checks BEFORE `ImageIO.read`. */
+  private[graft] def decodeAdmissible(bytes: Array[Byte]): Boolean = {
+    val dims = peekImageDims(bytes)
+    dims != null && dims._1 > 0 && dims._2 > 0 &&
+      dims._1.toLong * dims._2 <= MaxDecodePixels
+  }
+
   /** RIFF/WAVE container sniff. */
   private[ext] def looksLikeWav(b: Array[Byte]): Boolean =
     b != null && b.length >= 12 &&
@@ -122,6 +155,9 @@ object Multimodal {
         fmt.getSampleSizeInBits != 16) return null
       val bytes = in.readAllBytes()
       val frameBytes = fmt.getFrameSize // stats read channel 0, stride skips the rest
+      // AudioFormat.NOT_SPECIFIED is -1: guard explicitly rather than relying
+      // on the NonFatal catch to swallow a NegativeArraySizeException
+      if (frameBytes <= 0) return null
       val n = bytes.length / frameBytes
       if (n == 0) return null
       val out = new Array[Float](NumBins)
@@ -264,6 +300,9 @@ object Multimodal {
         var i = 0
         while (i < k) {
           val idx = i * count / k
+          // header dims first: reject oversize frames before read() commits
+          if (reader.getWidth(idx).toLong * reader.getHeight(idx) > MaxDecodePixels)
+            return null
           val img = reader.read(idx)
           val w = img.getWidth; val h = img.getHeight
           val px = w.toLong * h
@@ -313,15 +352,20 @@ object Multimodal {
   val DHashBands = 4
 
   /** Luma grid for dHash: area-averaged integer luma on a (w x h) grid.
-    * Single-band rasters read raw samples (no ICC gray->sRGB surprise from
-    * getRGB); multi-band pixels reduce by integer Rec.601
+    * Single-band GRAYSCALE rasters read raw samples (no ICC gray->sRGB
+    * surprise from getRGB). Indexed-color images (palette GIF/PNG/BMP decode
+    * to TYPE_BYTE_INDEXED) are ALSO single-band, but their samples are
+    * palette indices, not luma — hashing raw indices would make the hash
+    * depend on palette ORDER, so they route through the getRGB branch like
+    * any multi-band image. Multi-band pixels reduce by integer Rec.601
     * (299r + 587g + 114b) / 1000. Downscale is exact integer box-averaging
     * (floor of mean over each cell), so the grid — and the hash — is
     * deterministic across JVMs, unlike Graphics2D interpolation. */
   private[graft] def lumaGrid(
       img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] = {
     val iw = img.getWidth; val ih = img.getHeight
-    val single = img.getRaster.getNumBands == 1
+    val single = img.getRaster.getNumBands == 1 &&
+      !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
     val out = new Array[Int](w * h)
     var cy = 0
     while (cy < h) {
@@ -385,8 +429,10 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
+        // header-dims admission BEFORE read: the adversarial-dims guard must
+        // bound the decode itself, not just the lumaGrid loop
         val img =
-          if (looksLikeImage(bytes))
+          if (looksLikeImage(bytes) && decodeAdmissible(bytes))
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case scala.util.control.NonFatal(_) => null }
           else null
@@ -545,6 +591,8 @@ object Multimodal {
         fmt.getSampleSizeInBits != 16) return null
       val bytes = in.readAllBytes()
       val frameBytes = fmt.getFrameSize
+      // guard AudioFormat.NOT_SPECIFIED (-1) — see decodeWavToFeatures
+      if (frameBytes <= 0) return null
       val n = bytes.length / frameBytes
       if (n == 0) return null
       val big = fmt.isBigEndian
@@ -795,6 +843,7 @@ object Multimodal {
     * the caller never re-decodes its own output just to read them. */
   private[graft] def resizeImageBytes(
       content: Array[Byte], maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
+    if (!decodeAdmissible(content)) return null // header guard before decode
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
       catch { case scala.util.control.NonFatal(_) => null }

@@ -307,6 +307,63 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.dHashOfImage(img) === formulaHash(4L, 2L))
   }
 
+  test("palette-indexed images hash by COLOR, not palette index order") {
+    // same picture, two palette orderings: raw single-band samples differ
+    // (they're indices), but the hash must be identical — and equal to the
+    // RGB rendering — because indexed images route through getRGB luma
+    def indexed(palette: Array[Int], idxAt: (Int, Int) => Int) = {
+      val cm = new java.awt.image.IndexColorModel(8, palette.length,
+        palette.map(c => ((c >> 16) & 0xff).toByte),
+        palette.map(c => ((c >> 8) & 0xff).toByte),
+        palette.map(c => (c & 0xff).toByte))
+      val img = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until 8; x <- 0 until 9)
+        img.getRaster.setSample(x, y, 0, idxAt(x, y))
+      img
+    }
+    val colors = Array(0x000000, 0xffffff, 0x808080)
+    def colorAt(x: Int, y: Int): Int = (x * 7 + y * 5) % 3
+    val a = indexed(colors, colorAt)                               // idx == color
+    val b = indexed(colors.reverse, (x, y) => 2 - colorAt(x, y))   // reordered palette
+    assert(a.getColorModel.isInstanceOf[java.awt.image.IndexColorModel])
+    val rgb = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) rgb.setRGB(x, y, colors(colorAt(x, y)))
+    val ha = Multimodal.dHashOfImage(a)
+    assert(ha === Multimodal.dHashOfImage(b), "palette order must not matter")
+    assert(ha === Multimodal.dHashOfImage(rgb), "must equal the RGB rendering")
+  }
+
+  test("peekImageDims reads header dims; decodeAdmissible rejects huge declared dims") {
+    // handcraft a PNG whose IHDR declares 100000x100000 from a ~60-byte file:
+    // the adversarial case the header guard exists for
+    def hugePng: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ihdr = java.nio.ByteBuffer.allocate(17)
+      ihdr.put("IHDR".getBytes("ASCII")).putInt(100000).putInt(100000)
+        .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      val body = ihdr.array()
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      val len = java.nio.ByteBuffer.allocate(4).putInt(13).array()
+      bos.write(len); bos.write(body)
+      bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      bos.toByteArray
+    }
+    val dims = Multimodal.peekImageDims(hugePng)
+    assert(dims === ((100000, 100000)), "header dims readable without decode")
+    assert(!Multimodal.decodeAdmissible(hugePng), "must reject before read()")
+    // and the real fixture stays admissible
+    assert(Multimodal.decodeAdmissible(Multimodal.synthGrayPng(1L, 1L)))
+    // dHashes on the adversarial bytes yields NULL, not an OOM attempt
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(0L, hugePng, null)),
+      Multimodal.mediaSchema)
+    val got = Multimodal.dHashes(df).collect()
+    assert(got.length === 1 && got(0).isNullAt(1))
+  }
+
   test("dHashes: even ids hash, odd/undecodable ids are NULL") {
     val df = (0L to 7L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val got = Multimodal.dHashes(Multimodal.attachDHashMedia(df, "doc_id", "text"))
