@@ -81,15 +81,38 @@ object Sampling {
 
   /** Per-source quota: keep at most `cap` documents per source, chosen
     * deterministically (lowest ids win — any stable priority column works).
-    * One shuffle on source; a skewed mega-source concentrates in one task
-    * but only until its first `cap` rows are ranked — row_number short-
-    * circuits nothing in Spark, so at 100 TB pair this with a pre-filter
-    * (e.g. stratifiedKeep) when sources are pathological. */
+    *
+    * `salts = 1` (default): one shuffle on source; a skewed mega-source is
+    * ONE window task — fine until sources get pathological (a source holding
+    * 50% of a 100 TB corpus serializes half the scan through one core).
+    *
+    * `salts > 1` (the scale route): classic two-phase top-k. Phase 1 windows
+    * within (source, md5-salt lane) — the mega-source spreads over `salts`
+    * tasks — keeping each lane's `cap` lowest ids; the global lowest-`cap`
+    * set is a subset of the union of lane winners (every global winner wins
+    * its own lane), so phase 2's exact re-rank runs over ≤ salts·cap rows
+    * per source — BOUNDED, corpus-size-independent — and emits the identical
+    * keep set (spec-pinned equal, plus hash-checked by the
+    * `x_source_cap_salted` gate against the same oracle as the plain route).
+    * Cost: one extra (tiny) shuffle; pick salts ≈ executor count. */
   def sourceCapKeep(docs: DataFrame, idCol: String, sourceCol: String,
-                    cap: Int): DataFrame =
-    docs.withColumn("__rn", row_number().over(
-        Window.partitionBy(sourceCol).orderBy(idCol)))
-      .filter(col("__rn") <= cap).drop("__rn")
+                    cap: Int, salts: Int = 1): DataFrame =
+    if (salts <= 1)
+      docs.withColumn("__rn", row_number().over(
+          Window.partitionBy(sourceCol).orderBy(idCol)))
+        .filter(col("__rn") <= cap).drop("__rn")
+    else {
+      val lanes = docs.withColumn("__lane",
+        conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("long") % salts)
+      val laneWinners = lanes.withColumn("__rn", row_number().over(
+          Window.partitionBy(col(sourceCol), col("__lane")).orderBy(idCol)))
+        .filter(col("__rn") <= cap)
+      laneWinners.withColumn("__rn2", row_number().over(
+          Window.partitionBy(sourceCol).orderBy(idCol)))
+        .filter(col("__rn2") <= cap)
+        .drop("__rn", "__rn2", "__lane")
+    }
 
   /** Per-source audit of the quota: total vs kept vs the cap. */
   def sourceCapSummary(docs: DataFrame, idCol: String, sourceCol: String,
@@ -111,20 +134,59 @@ object Sampling {
     * after it in priority order (its tokens still count toward later
     * cumsums), so the kept set is a stable prefix that only moves at the
     * tail as the budget moves; greedy fill-then-stop, not bin packing.
-    * Tokens are the engine's whitespace count. One shuffle (window by
-    * source): same shape as [[sourceCapKeep]] — per-source ordering is the
-    * operator's semantics, so a giant source IS the partition; the window
-    * needs no frame buffer (running sum), and sources parallelize across
-    * executors. */
+    * Tokens are the engine's whitespace count.
+    *
+    * `rangeBuckets = 1` (default): one shuffle (window by source) — per-
+    * source ordering is the operator's semantics, so a giant source IS the
+    * partition; fine until a mega-source serializes its whole scan through
+    * one window task.
+    *
+    * `rangeBuckets = 16 | 256` (the scale route): a distributed prefix scan.
+    * The priority key IS an md5 string, so its first 1–2 hex chars are a
+    * DETERMINISTIC, uniform range partitioning of the sort order (every key
+    * in bucket b sorts before every key in bucket b+1 — the bucket is a
+    * prefix of the key itself; no sampling, no skew). Phase 1 runs the
+    * running sum within (source, bucket) — the mega-source spreads over
+    * `rangeBuckets` tasks; phase 2 computes per-(source, bucket) totals (a
+    * tiny frame: |sources|·buckets rows), turns them into prefix offsets
+    * with a window over that frame, and broadcast-joins them back:
+    * cum = local_cum + offset, EXACTLY the single-window number (spec-pinned
+    * equal, plus hash-checked by `x_token_budget_salted` against the same
+    * oracle). Unlike [[sourceCapKeep]]'s top-k route this cannot prune —
+    * the contract emits cum_tokens for every row, kept or not. */
   def tokenBudgetKeep(docs: DataFrame, idCol: String, sourceCol: String,
-                      textCol: String, budgetTokens: Long): DataFrame = {
+                      textCol: String, budgetTokens: Long,
+                      rangeBuckets: Int = 1): DataFrame = {
     val nTok = size(split(coalesce(col(textCol), lit("")), " ")).cast("long")
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.withColumn("n_tokens", nTok)
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .withColumn("keep", (col("cum_tokens") <= budgetTokens).cast("int"))
+    if (rangeBuckets <= 1) {
+      val w = Window.partitionBy(sourceCol)
+        .orderBy(md5(col(idCol).cast("string")), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.withColumn("n_tokens", nTok)
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("keep", (col("cum_tokens") <= budgetTokens).cast("int"))
+    } else {
+      require(rangeBuckets == 16 || rangeBuckets == 256,
+        "rangeBuckets must be a hex-prefix width: 16 (1 char) or 256 (2 chars)")
+      val pfx = if (rangeBuckets == 256) 2 else 1
+      val withK = docs.withColumn("n_tokens", nTok)
+        .withColumn("__k", md5(col(idCol).cast("string")))
+        .withColumn("__b", conv(substring(col("__k"), 1, pfx), 16, 10).cast("long"))
+      val wLoc = Window.partitionBy(col(sourceCol), col("__b"))
+        .orderBy(col("__k"), col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = withK.withColumn("__cum_loc", sum(col("n_tokens")).over(wLoc))
+      val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = withK.groupBy(col(sourceCol), col("__b"))
+        .agg(sum("n_tokens").as("__t"))
+        .withColumn("__off", sum(col("__t")).over(wOff) - col("__t"))
+        .select(col(sourceCol), col("__b"), col("__off"))
+      local.join(broadcast(offsets), Seq(sourceCol, "__b"))
+        .withColumn("cum_tokens", col("__cum_loc") + col("__off"))
+        .withColumn("keep", (col("cum_tokens") <= budgetTokens).cast("int"))
+        .drop("__k", "__b", "__cum_loc", "__off")
+    }
   }
 
   /** Per-source audit of the token budget: totals vs kept tokens/docs. */

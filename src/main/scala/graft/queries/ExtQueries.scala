@@ -2027,6 +2027,43 @@ object ExtQueries {
         s"(PARTITION BY source ORDER BY doc_id) AS rn FROM $Docs) " +
         "GROUP BY source ORDER BY source")),
 
+    ("x_source_cap_salted", // the sourceCapKeep SCALE route: two-phase
+      // top-k over md5-salt lanes (phase 1 ranks within (source, lane) so a
+      // mega-source spreads over `salts` tasks; phase 2 re-ranks the ≤
+      // salts·cap lane winners exactly). The keep SET is identical to the
+      // single-window route — hash-checked here against the same oracle
+      // ranking the plain x_source_cap uses.
+      (s: SparkSession, d: String) =>
+        Sampling.sourceCapKeep(t(s, d, "documents"), "doc_id", "source", 40,
+            salts = 8)
+          .select("doc_id", "source").orderBy("doc_id"),
+      Some("SELECT doc_id, source FROM " +
+        "(SELECT doc_id, source, row_number() OVER " +
+        s"(PARTITION BY source ORDER BY doc_id) AS rn FROM $Docs) " +
+        "WHERE rn <= 40 ORDER BY doc_id")),
+
+    ("x_token_budget_salted", // the tokenBudgetKeep SCALE route: the md5
+      // priority key's own hex prefix is a deterministic range partitioning
+      // of the sort order, so the running sum distributes as a prefix scan
+      // (local cumsum within (source, bucket) + broadcast per-bucket
+      // offsets). cum_tokens for EVERY row equals the single-window scan —
+      // same oracle as x_token_budget, hash-exact.
+      (s: SparkSession, d: String) =>
+        Sampling.tokenBudgetKeep(t(s, d, "documents"), "doc_id", "source",
+            "text", 20000L, rangeBuckets = 16)
+          .select("doc_id", "source", "n_tokens", "cum_tokens", "keep")
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(cum AS BIGINT) AS cum_tokens, " +
+        "CAST(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END AS INT) AS keep " +
+        "FROM (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER " +
+        "(PARTITION BY source ORDER BY h, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum " +
+        "FROM (SELECT doc_id, source, " +
+        "len(string_split(coalesce(text, ''), ' ')) AS n_tokens, " +
+        s"md5(CAST(doc_id AS VARCHAR)) AS h FROM $Docs)) " +
+        "ORDER BY doc_id")),
+
     ("x_split_assign", // hash-derived train/val/test split: assignment is a
       // pure function of doc_id, so eval membership survives corpus growth.
       // 90/5/5; audited per (lang, split).

@@ -237,9 +237,21 @@ object StreamingIngest {
     val chunkDir = s"$stage/chunks"; val inDir = s"$stage/in"
     val wh = s"$stage/wh"; val ckpt = s"$stage/ckpt"
 
-    envelopes
-      .repartitionByRange(chunks, col("height"))
-      .write.mode("overwrite").parquet(chunkDir)
+    // Phase timing on stderr: stage / per-batch / redelivery — the
+    // measurement that separates harness constants (per-micro-batch ingest
+    // cost is ~13 write commits + the chunk's flatten compute) from the
+    // engine's own throughput when this gate moves between rounds.
+    def phase[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      System.err.println(f"[flatrun] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    phase("stage") {
+      envelopes
+        .repartitionByRange(chunks, col("height"))
+        .write.mode("overwrite").parquet(chunkDir)
+    }
 
     val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(new Path(chunkDir)).map(_.getPath)
@@ -252,16 +264,22 @@ object StreamingIngest {
       format = "parquet")
     try {
       parts.zipWithIndex.foreach { case (part, i) =>
-        fs.rename(part, new Path(inDir, f"chunk-$i%05d.parquet"))
-        q.processAllAvailable()
+        phase(s"batch$i") {
+          fs.rename(part, new Path(inDir, f"chunk-$i%05d.parquet"))
+          q.processAllAvailable()
+        }
       }
     } finally q.stop()
 
     if (replayLastBatch && parts.nonEmpty) {
       val lastId = parts.length - 1L
+      // read through the split-tuned session: the replay must pay the same
+      // (parallel) scan shape as the stream's own delivery did
       val redelivered = spark.read.schema(Schemas.envelope)
         .parquet(s"$inDir/chunk-${"%05d".format(parts.length - 1)}.parquet")
-      ingestBatchExactlyOnce(wh, redelivered, lastId, cacheInput = false)
+      phase("redelivery") {
+        ingestBatchExactlyOnce(wh, redelivered, lastId, cacheInput = false)
+      }
     }
     wh
   }

@@ -118,17 +118,24 @@ object StreamingNearDup {
       else {
         val sorted = rows.toSeq.sortBy(r => (r.event_time.getTime, r.doc_id))
         // members in REVERSE arrival order (list prepend); emission order of
-        // pairs is irrelevant — downstream is a DISTINCT set
-        var st = state.getOption.getOrElse(BucketMembers(Nil))
+        // pairs is irrelevant — downstream is a DISTINCT set. The persisted
+        // state stays the plain List (stable encoder); membership and size
+        // are tracked in a LOCAL Set/counter built once per invocation, so
+        // the per-arrival registered-id check is O(1) instead of an O(cap)
+        // list scan (O(cap²) per bucket lifetime at the default cap 1000).
+        var members = state.getOption.map(_.members).getOrElse(Nil)
+        var seen = members.toSet
+        var size = seen.size
         val out = Seq.newBuilder[Cand]
         sorted.foreach { r =>
-          val ms = st.members
-          if (ms.length < maxBucket && !ms.contains(r.doc_id)) {
-            ms.foreach(m => out += Cand(m, r.doc_id, key._1, key._2))
-            st = BucketMembers(r.doc_id :: ms)
+          if (size < maxBucket && !seen.contains(r.doc_id)) {
+            members.foreach(m => out += Cand(m, r.doc_id, key._1, key._2))
+            members = r.doc_id :: members
+            seen += r.doc_id
+            size += 1
           }
         }
-        state.update(st)
+        state.update(BucketMembers(members))
         val maxEvent = sorted.last.event_time.getTime
         state.setTimeoutTimestamp(
           math.max(state.getCurrentWatermarkMs(), maxEvent) + ttlMs)
@@ -195,6 +202,13 @@ object StreamingNearDup {
       .schema("doc_id LONG, text STRING, event_time TIMESTAMP")
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
+      // A staged chunk file arrives as ONE input partition, and the per-row
+      // signature (one md5 per shingle) is a narrow map — without this it
+      // runs single-threaded per micro-batch and dominates the gate
+      // (measured 17 s of the sf1 run). One tiny shuffle of raw text spreads
+      // it across the cores; the (band, bucket) state shuffle downstream is
+      // unchanged (still the session's 4 state partitions).
+      .repartition(spark.sparkContext.defaultParallelism)
     val bandStream = bandRows(inStream, "text", "doc_id", "event_time")
       .as[BandRow]
     val q = candidateStream(bandStream, lateness, stateTtlMs, maxBucket)

@@ -121,6 +121,45 @@ class SamplingSpec extends SparkTestBase {
     assert(summary.values.sum === kept.size.toLong)
   }
 
+  test("salted source cap equals the single-window route (any salts)") {
+    val cap = 5
+    val plain = Sampling.sourceCapKeep(docs, "doc_id", "source", cap)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    for (salts <- Seq(2, 8, 64)) {
+      val salted = Sampling.sourceCapKeep(docs, "doc_id", "source", cap, salts)
+        .select("source", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(salted === plain, s"salts=$salts")
+    }
+    // degenerate inputs: cap larger than any source, and a 1-doc source
+    import spark.implicits._
+    val tiny = Seq((1L, "solo"), (2L, "solo"), (3L, "other"))
+      .toDF("doc_id", "source")
+    val p = Sampling.sourceCapKeep(tiny, "doc_id", "source", 10)
+      .collect().map(_.getLong(0)).toSet
+    val s = Sampling.sourceCapKeep(tiny, "doc_id", "source", 10, salts = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(p === Set(1L, 2L, 3L) && s === p)
+  }
+
+  test("range-bucketed token budget equals the single-window scan per row") {
+    val plain = Sampling.tokenBudgetKeep(docs, "doc_id", "source", "text", 5000L)
+      .select("doc_id", "n_tokens", "cum_tokens", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    for (buckets <- Seq(16, 256)) {
+      val bucketed = Sampling.tokenBudgetKeep(
+          docs, "doc_id", "source", "text", 5000L, rangeBuckets = buckets)
+        .select("doc_id", "n_tokens", "cum_tokens", "keep").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+      assert(bucketed === plain, s"rangeBuckets=$buckets")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetKeep(docs, "doc_id", "source", "text", 5000L,
+        rangeBuckets = 7)
+    }
+  }
+
   test("split assignment: partitions the corpus, stable under growth") {
     val split = docs.select(col("doc_id"),
         Sampling.splitAssign(col("doc_id"), 90, 5).as("s")).collect()
