@@ -168,6 +168,50 @@ object SkewProbe {
     }
     results += "segment_dedup_dropped" -> ((tSeg, segDropped))
 
+    // ---- mega-source capping: single-window vs the salted two-phase ----
+    // A source holding ~50% of the corpus is the documented skew edge of
+    // sourceCapKeep/tokenBudgetKeep (one window task owns half the scan).
+    // Same docs, a planted source column: half the corpus lands in "mega",
+    // the rest spreads over 32 small sources. The salted routes must return
+    // IDENTICAL results (checksummed here; hash-gated at sf0.01) while the
+    // wall clock flattens from one-task-bound to parallel.
+    val srcDocs = docs.withColumn("source",
+      when(pmod(xxhash64(col("doc_id"), lit(7L)), lit(2L)) === 0, lit("mega"))
+        .otherwise(concat(lit("s"),
+          pmod(xxhash64(col("doc_id"), lit(11L)), lit(32L)))))
+      .localCheckpoint()
+    val (tCapPlain, capPlain) = time {
+      val r = graft.ext.Sampling.sourceCapKeep(srcDocs, "doc_id", "source", 1000)
+        .agg(count(lit(1)), sum("doc_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (tCapSalted, capSalted) = time {
+      val r = graft.ext.Sampling.sourceCapKeep(srcDocs, "doc_id", "source", 1000,
+          salts = 64)
+        .agg(count(lit(1)), sum("doc_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    require(capPlain == capSalted,
+      s"salted cap diverged: $capPlain vs $capSalted")
+    results += "source_cap_plain" -> ((tCapPlain, capPlain._1))
+    results += "source_cap_salted64" -> ((tCapSalted, capSalted._1))
+    val (tBudPlain, budPlain) = time {
+      val r = graft.ext.Sampling.tokenBudgetKeep(
+          srcDocs, "doc_id", "source", "text", 100000L)
+        .agg(sum("cum_tokens"), sum("keep")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (tBudSalted, budSalted) = time {
+      val r = graft.ext.Sampling.tokenBudgetKeep(
+          srcDocs, "doc_id", "source", "text", 100000L, rangeBuckets = 256)
+        .agg(sum("cum_tokens"), sum("keep")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    require(budPlain == budSalted,
+      s"bucketed budget diverged: $budPlain vs $budSalted")
+    results += "token_budget_plain" -> ((tBudPlain, budPlain._2))
+    results += "token_budget_bucketed256" -> ((tBudSalted, budSalted._2))
+
     val json = results.map { case (k, (t, v)) =>
       f""""$k":{"sec":$t%.3f,"n":$v}"""
     }.mkString(", ")

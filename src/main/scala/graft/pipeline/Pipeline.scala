@@ -28,7 +28,14 @@ final case class PipelineConfig(
     backfillWindow: Long = 50000L,
     maxRetries: Int = 10,
     // injected clock for deterministic tests (epoch seconds)
-    now: () => Long = () => System.currentTimeMillis() / 1000)
+    now: () => Long = () => System.currentTimeMillis() / 1000,
+    // FINAL-by-default for state-table reads (VERDICT r9 item 8 trial →
+    // r10 green → flipped): readTable of work_queue / index_state /
+    // failed_blocks returns the latest-per-key view — ClickHouse's
+    // `final = 1` stance for exactly the tables with update semantics.
+    // Raw-append readers (requeue-loop detection, file-layout audits)
+    // opt out EXPLICITLY via readTableRaw, never by flipping this off.
+    autoFinal: Boolean = true)
 
 class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 
@@ -44,7 +51,33 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Read a state/analytic table, empty-but-typed when not yet written.
+  /** State tables with genuine update semantics — the set `autoFinal`
+    * applies to. `blocks` is ALSO registry-versioned (for the FINAL hint /
+    * compaction), but its pipeline reads are observational — gap detection
+    * counts arrivals, max-height over appends equals max over FINAL — and
+    * injecting a window over the largest fact table on every internal read
+    * would buy nothing, so it stays raw here. */
+  private val autoFinalTables = Set("work_queue", "index_state", "failed_blocks")
+
+  /** Read a state/analytic table. With `cfg.autoFinal` (the default), reads
+    * of the versioned STATE tables return the latest-per-key view — the same
+    * window plan `Store.latest` / the FINAL hint build, so hinted, explicit
+    * and default reads are plan-identical. Append-audit readers use
+    * [[readTableRaw]]. */
+  def readTable(table: String): DataFrame = {
+    val raw = readTableRaw(table)
+    if (cfg.autoFinal && autoFinalTables.contains(table)) {
+      val spec = Store.versionedTables(table)
+      Store.latest(raw, spec.keys, spec.ver, spec.tieBreak)
+    } else raw
+  }
+
+  /** Raw-append read: every inserted row, superseded versions included,
+    * empty-but-typed when not yet written. The explicit opt-out for call
+    * sites whose SEMANTICS are the insert log (requeue-loop detection counts
+    * re-inserts; file-layout audits count appends) and for internal reads
+    * that wrap their own latest() view.
+    *
     * The existence probe lives INSIDE Store.withReadRetry (a miss throws and
     * is retried): a concurrent Store.compact publish has a millisecond
     * window where the directory is mid-swap, and a single miss must NOT
@@ -55,7 +88,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
     * during the retries, exhaustion rethrows instead of returning the empty
     * frame — a compact mid-swap outlasting the backoff is a loud failure,
     * never a silent resume-height reset. */
-  def readTable(table: String): DataFrame = {
+  def readTableRaw(table: String): DataFrame = {
     @volatile var everExisted = false
     try Store.withReadRetry(attempts = 4, backoffMs = 30) {
       if (!tableExists(table))
@@ -134,7 +167,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   /** A2 resume point: GREATEST(recorded index_state height, observed
     * MAX(blocks.height)), defaulting to startHeight-1 (orchestrator.js:373-385). */
   def lastIndexedHeight(): Long = {
-    val recorded = Store.latest(readTable("index_state"), Seq("index_name"), "updated_at")
+    val recorded = Store.latest(readTableRaw("index_state"), Seq("index_name"), "updated_at")
       .filter(col("index_name") === cfg.component)
       .agg(coalesce(max("last_processed_height"), lit(cfg.startHeight - 1)))
       .collect()(0).getLong(0)
@@ -154,7 +187,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   /** Latest view of the work queue (FINAL). */
   def workQueue(): DataFrame =
-    Store.latest(readTable("work_queue"), Seq("id"), "updated_at")
+    Store.latest(readTableRaw("work_queue"), Seq("id"), "updated_at")
 
   /** Seed work items for [from, to], subtracting already-queued
     * pending/processing ranges (J4; orchestrator.js:574-636). */
@@ -173,7 +206,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
       // so concurrent in-process seeders can't mint colliding ids. (Multi-
       // process seeders would need a coordinator-issued range, like the
       // reference's DB sequence — documented single-driver invariant.)
-      val base = 1L + readTable("work_queue")
+      val base = 1L + readTableRaw("work_queue")
         .agg(coalesce(max("id"), lit(0L))).head.getLong(0)
       val stamp = timestamp_micros(lit(nextMicros()))
       val rows = items.zipWithIndex.map { case (iv, i) =>
@@ -266,7 +299,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
   def recordFailedBlocks(heights: DataFrame, errorType: String,
                          errorMessage: String,
                          workerId: String = "driver"): Unit = {
-    val prior = Store.latest(readTable("failed_blocks"), Seq("block_height"),
+    val prior = Store.latest(readTableRaw("failed_blocks"), Seq("block_height"),
         "last_retry_at", tieBreak = Seq("id"))
       .select(col("block_height").as("height"),
         col("retry_count").as("__prior_retry"))
@@ -294,7 +327,7 @@ class Pipeline(spark: SparkSession, cfg: PipelineConfig) {
 
   /** P7: blocks eligible for retry now. */
   def retryEligible(): DataFrame =
-    Store.latest(readTable("failed_blocks"), Seq("block_height"), "last_retry_at",
+    Store.latest(readTableRaw("failed_blocks"), Seq("block_height"), "last_retry_at",
         tieBreak = Seq("id"))
       .filter(col("status") === "pending" &&
         col("retry_count") < col("max_retries") &&

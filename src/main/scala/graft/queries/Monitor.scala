@@ -33,7 +33,7 @@ class Monitor(spark: SparkSession, p: Pipeline, nowSecs: () => Long) {
 
   /** Failure analysis by (status, error_type) (A5; monitor_indexer.js:65-72). */
   def failureReport(): DataFrame =
-    Store.latest(p.readTable("failed_blocks"), Seq("block_height"), "last_retry_at")
+    Store.latest(p.readTableRaw("failed_blocks"), Seq("block_height"), "last_retry_at")
       .groupBy("status", "error_type").agg(
         count(lit(1)).as("cnt"),
         min("block_height").as("min_height"),
@@ -64,7 +64,7 @@ class Monitor(spark: SparkSession, p: Pipeline, nowSecs: () => Long) {
     * range over ALL inserts (the raw table, not the FINAL view — requeues of
     * one id are re-inserts). */
   def loopingRanges(withinMinutes: Int = 120): DataFrame =
-    p.readTable("work_queue")
+    p.readTableRaw("work_queue") // raw BY SEMANTICS: requeues are re-inserts
       .filter(col("created_at") > now - expr(s"INTERVAL $withinMinutes MINUTES"))
       .filter(col("start_height") =!= 0 || col("end_height") =!= 0)
       .groupBy("start_height", "end_height")

@@ -81,6 +81,31 @@ class PipelineSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.plans.AutoFinalResolution.ConfKey)
   }
 
+  test("readTable is FINAL by default for state tables; readTableRaw keeps appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_af").toString
+    def mk(auto: Boolean) = new Pipeline(spark, PipelineConfig(
+      warehouse = dir, startHeight = 1, assignRange = 10, numWorkers = 2,
+      backfillMode = true, now = () => { clock += 1; clock }, autoFinal = auto))
+    val p = mk(auto = true)
+    p.runOnce(tip = 10, fetch = iv => envelopes(iv.start to iv.end))
+    // the claim→processing→done transitions appended multiple versions of
+    // the one queue item: FINAL collapses them, raw keeps the insert log
+    val fin = p.readTable("work_queue")
+    val raw = p.readTableRaw("work_queue")
+    assert(raw.count() > fin.count(), "superseded versions only in raw")
+    assert(fin.count() === fin.select("id").distinct().count())
+    // default read row-identical to the explicit latest view
+    assert(fin.orderBy("id", "updated_at").collect().toSeq ===
+      p.workQueue().orderBy("id", "updated_at").collect().toSeq)
+    // blocks stays raw under the default (observational fact reads)
+    assert(p.readTable("blocks").queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty, "blocks reads must not grow a window")
+    // autoFinal = false restores raw readTable for the same warehouse
+    val pOff = mk(auto = false)
+    assert(pOff.readTable("work_queue").count() === raw.count())
+  }
+
   test("failed ingest: incomplete range -> failed status + failed_blocks with backoff") {
     val p = mkPipeline()
     // fetch drops height 3 -> gap
