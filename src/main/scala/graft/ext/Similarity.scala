@@ -572,22 +572,39 @@ object Similarity {
 
   private def tieInclusive(scored: DataFrame, idCol: String,
                            rerank: Int): DataFrame = {
-    // the rerank-th smallest adc is tie-order-independent, so the
-    // TakeOrdered needs no id tie-break. NULL adc rows (malformed/short
-    // vectors fail the encode) are excluded BEFORE the limit window: Spark
-    // sorts NULLs first, so they would consume rerank slots and shrink the
-    // boundary below the true rerank-th value — and the <= filter drops
-    // them regardless, so they must not count against the budget. When
-    // EVERY adc is NULL the contract still holds: the candidate set is
-    // empty, not the raw corpus (the <= filter would drop all rows anyway).
-    val th = scored.select(col("adc"))
+    // ONE TakeOrdered pass, not a threshold job plus a capped re-scan (the
+    // r10 form paid two scans of the coded corpus and measured as a
+    // consistent ~1.2× on the sf0.1 IVF-PQ gate): the top
+    // TieCapMultiple×rerank rows in (adc, id) order CONTAIN both the
+    // rerank-th threshold and every candidate the cap admits, and the cap
+    // bounds them to a driver-safe collect (32×50 = 1600 (id, adc) pairs at
+    // the gate settings). NULL adc rows (malformed/short vectors fail the
+    // encode) are excluded before the limit: Spark sorts NULLs first, so
+    // they would consume slots and shrink the boundary below the true
+    // rerank-th value. When EVERY adc is NULL the candidate set is empty,
+    // not the raw corpus.
+    // Semantics identical to the two-pass form: rows with adc <= (rerank-th
+    // smallest adc) all sort within the first `count(adc <= th)` positions,
+    // so below the cap the kept set is exactly the tie-inclusive set, and
+    // at the cap the cut is the same deterministic (adc, id) prefix.
+    val spark = scored.sparkSession
+    val top = scored
+      .select(col(idCol), col("adc"))
       .where(col("adc").isNotNull)
-      .orderBy(col("adc").asc).limit(rerank)
-      .agg(max("adc")).first()
-    if (th.isNullAt(0)) scored.filter(col("adc").isNotNull)
-    else scored.filter(col("adc") <= th.getDouble(0))
       .orderBy(col("adc").asc, col(idCol).asc)
       .limit(TieCapMultiple * rerank)
+      .collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      scored.schema(idCol),
+      org.apache.spark.sql.types.StructField("adc",
+        org.apache.spark.sql.types.DoubleType)))
+    val kept =
+      if (top.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else {
+        val th = top(math.min(rerank, top.length) - 1).getDouble(1)
+        top.filter(_.getDouble(1) <= th)
+      }
+    spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
   }
 
   /** The query's ADC lookup tables: distance from each query subvector to
@@ -616,24 +633,24 @@ object Similarity {
     * PQ-then-refine shape; `rerank` is the recall/cost dial. Plan: map +
     * TakeOrdered for the candidate cut (no shuffle), then a `rerank`-row
     * re-rank. This form encodes inline (self-contained, the gate query) —
-    * and the encode runs ONCE: the (id, adc) projection is localCheckpoint'd
-    * before the tie-inclusive cut, because that cut evaluates its input
-    * twice (threshold job + filter scan) and pqEncode over every corpus
-    * vector is the expensive half of the plan. The checkpoint is the narrow
-    * 2-column frame, never the vectors. The write-time shape is
-    * [[pqWriteCodes]] + [[pqTopKCoded]], where codes are already on disk. */
+    * and the encode runs ONCE: the tie-inclusive cut is a single bounded
+    * TakeOrdered pass over the (id, adc) projection, so pqEncode — the
+    * expensive half of the plan — is evaluated exactly once per corpus
+    * vector. The write-time shape is [[pqWriteCodes]] + [[pqTopKCoded]],
+    * where codes are already on disk. */
   def pqTopKAdc(em: DataFrame, idCol: String, vecCol: String,
                 queryVec: DataFrame, k: Int,
                 codebooks: Array[Array[Array[Double]]],
                 rerank: Int = 50): DataFrame = {
     val q = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
     val luts = adcLuts(codebooks, q)
+    // no checkpoint needed: tieInclusive is a SINGLE TakeOrdered pass now,
+    // so the inline pqEncode over the corpus runs exactly once regardless
     val scored = em
       .select(col(idCol),
         pqEncode(col(vecCol), codebooks).as("__codes"))
       .withColumn("adc", round(adcCol(luts, col("__codes")), 6))
       .select(col(idCol), col("adc"))
-      .localCheckpoint()
     val cands = tieInclusive(scored, idCol, rerank)
     em.join(broadcast(cands), Seq(idCol))
       .crossJoin(broadcast(queryVec))
@@ -800,15 +817,17 @@ object Similarity {
     * probed-partition row count this equals ivfTopKIndexed bit-for-bit
     * (spec-asserted) — `rerank` below that trades the PQ quantization
     * error for an ~32× lighter candidate scan. */
-  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
-                idCol: String, vecCol: String, queryVec: DataFrame, k: Int,
-                centroids: Array[Array[Double]],
-                codebooks: Array[Array[Array[Double]]],
-                nProbe: Int = 2, rerank: Int = 50): DataFrame = {
-    val qv = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
-    val probeLists = centroids.zipWithIndex
-      .map { case (c, i) => (sqdist(qv, c), i) }
-      .sortBy(identity).take(nProbe).map(_._2)
+  /** The ADC candidate stage of [[ivfPqTopK]] pre-cut: the pruned (id, adc)
+    * frame [[tieInclusive]]'s TakeOrdered pass consumes. Factored out so the
+    * plan-shape spec can pin its scan properties — partition pruning on the
+    * probe lists and a (id, codes)-only ReadSchema (the vector column stays
+    * unread in the compressed stage) — now that the cut itself is a bounded
+    * collect whose scan no longer appears in the final query's plan. */
+  private[graft] def ivfPqAdcStage(
+      spark: org.apache.spark.sql.SparkSession, path: String, idCol: String,
+      qv: Array[Double], centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nProbe: Int): DataFrame = {
+    val probeLists = ivfProbeLists(qv, centroids, nProbe)
     val lutByList = probeLists.map { l =>
       val c = centroids(l)
       l -> adcLuts(codebooks, Array.tabulate(qv.length)(i => qv(i) - c(i)))
@@ -818,11 +837,29 @@ object Similarity {
         adcCol(lutByList.head._2, col("codes")))) { case (acc, (l, lut)) =>
       acc.when(col("list") === l, adcCol(lut, col("codes")))
     }
+    spark.read.parquet(path)
+      .filter(col("list").isin(probeLists.map(_.asInstanceOf[Any]): _*))
+      .select(col(idCol), col("codes"), col("list"))
+      .withColumn("adc", round(adc, 6))
+  }
+
+  private def ivfProbeLists(qv: Array[Double], centroids: Array[Array[Double]],
+                            nProbe: Int): Array[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (sqdist(qv, c), i) }
+      .sortBy(identity).take(nProbe).map(_._2)
+
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                idCol: String, vecCol: String, queryVec: DataFrame, k: Int,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                nProbe: Int = 2, rerank: Int = 50): DataFrame = {
+    val qv = queryVec.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
+    val probeLists = ivfProbeLists(qv, centroids, nProbe)
     val pruned = spark.read.parquet(path)
       .filter(col("list").isin(probeLists.map(_.asInstanceOf[Any]): _*))
     val cands = tieInclusive(
-        pruned.select(col(idCol), col("codes"), col("list"))
-          .withColumn("adc", round(adc, 6)),
+        ivfPqAdcStage(spark, path, idCol, qv, centroids, codebooks, nProbe),
         idCol, rerank)
       .select(col(idCol), col("adc"))
     pruned.select(col(idCol), col(vecCol))

@@ -483,9 +483,17 @@ class SimilaritySpec extends SparkTestBase {
     assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(planStr).isDefined,
       planStr.take(1200))
     // the ADC candidate stage must not read the embedding column: its scan
-    // schema carries only id + codes (parquet column projection)
-    assert(planStr.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
-      planStr.take(1200))
+    // schema carries only id + codes (parquet column projection). The stage
+    // runs as tieInclusive's bounded TakeOrdered collect, so its scan is no
+    // longer part of the final query's plan — assert on the factored stage.
+    val qvArr = q.select("qv").head.getSeq[Float](0).toArray.map(_.toDouble)
+    val adcPlan = Similarity.ivfPqAdcStage(
+        spark, idx, "vec_id", qvArr, cents, cbs, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(adcPlan.contains("ReadSchema: struct<vec_id:bigint,codes:array<int>>"),
+      adcPlan.take(1200))
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(adcPlan).isDefined,
+      adcPlan.take(1200))
     // with rerank >= probed rows, IVF-PQ degrades to exact IVF — bit-equal
     // to ivfTopKIndexed over the same probe lists
     val n = em.count().toInt
