@@ -1,0 +1,145 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL curation operators — the first stage of published web-corpus
+  * pipelines (RefinedWeb §3.1, CCNet, C4 all dedup/filter on URL before
+  * touching text): canonicalize, extract host/registrable domain, exact-dup
+  * by canonical key, cap and blocklist by domain.
+  *
+  * Everything here is pure column expressions (lower/regexp chains —
+  * codegen'd, zero shuffle) except the dedup/cap operators, which shuffle
+  * once on their key like the rest of the dedup family. Every regex sticks
+  * to the common RE2/Java subset (character classes, alternation, anchors)
+  * so the DuckDB oracle twins replay them verbatim with the 'g' flag.
+  *
+  * [[canonicalKey]] is a deterministic DEDUP KEY, not a fetchable URL: the
+  * query separator is normalized to '&' so tracking-parameter removal is
+  * one global regex regardless of parameter position. Two URLs that differ
+  * only in scheme, www, default port, fragment, tracking params, separator
+  * spelling, or trailing slash map to one key.
+  */
+object Url {
+
+  /** Tracking parameters stripped by [[canonicalKey]] — the standard
+    * click-identifier set (utm_* campaign tags, Facebook/Google click ids,
+    * bare ref). */
+  val TrackingParams = "utm_[a-z0-9]*|fbclid|gclid|ref"
+
+  /** Second-level labels that act as public suffixes under a 2-letter ccTLD
+    * (co.uk, com.au, ...): the approximation [[registrableDomain]] uses in
+    * place of the full public-suffix list (the full list is a data file;
+    * this subset covers the dominant ccSLD registries and keeps the oracle
+    * twin expressible in one SQL expression). */
+  val CcSlds = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+
+  /** Canonical dedup key of a URL. Steps (each one global regexp_replace,
+    * oracle-twinned verbatim):
+    *  1. lowercase
+    *  2. strip fragment (`#...`)
+    *  3. strip scheme (`http://` / `https://`)
+    *  4. strip leading `www.`
+    *  5. strip default port (`:80`/`:443` at end of authority)
+    *  6. normalize the query separator: `?` -> `&`
+    *  7. drop tracking params (`&(utm_*|fbclid|gclid|ref)=...`)
+    *  8. strip a trailing `/` or `&` */
+  def canonicalKey(url: Column): Column = {
+    val s1 = lower(url)
+    val s2 = regexp_replace(s1, "#.*$", "")
+    val s3 = regexp_replace(s2, "^https?://", "")
+    val s4 = regexp_replace(s3, "^www\\.", "")
+    val s5 = regexp_replace(s4, ":(80|443)(/|$)", "$2")
+    val s6 = regexp_replace(s5, "\\?", "&")
+    val s7 = regexp_replace(s6, "&(" + TrackingParams + ")=[^&]*", "")
+    regexp_replace(s7, "(/|&)$", "")
+  }
+
+  /** Host of a canonical key: everything before the first `/` or `&`. */
+  def hostOf(key: Column): Column =
+    regexp_extract(key, "^([^/&]*)", 1)
+
+  /** Registrable domain (approximate): the last two host labels, or the
+    * last three when the second-to-last label is a [[CcSlds]] entry under a
+    * 2-letter ccTLD — `a.b.example.co.uk` -> `example.co.uk`,
+    * `a.example.com` -> `example.com`. Hosts with fewer labels pass
+    * through unchanged.
+    *
+    * Implemented as two anchored regexp_extracts + coalesce, NOT
+    * split/element_at/CASE: the array form duplicates the full upstream
+    * expression per element access, and composed over [[canonicalKey]] the
+    * generated code blew past janino's 64 KB method limit (whole-stage
+    * codegen fell back to interpreted for the entire stage). The regex form
+    * compiles to three small pattern calls. */
+  def registrableDomain(host: Column): Column = {
+    val ccSld = regexp_extract(host,
+      "([^.]+\\.(" + CcSlds.mkString("|") + ")\\.[a-z][a-z])$", 1)
+    val lastTwo = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    coalesce(
+      when(ccSld =!= "", ccSld),
+      when(lastTwo =!= "", lastTwo),
+      host)
+  }
+
+  /** URL-exact dedup decision: one row per input, keep = lowest `idCol` per
+    * canonical key (the RefinedWeb first-pass rule). One shuffle on the
+    * key; same deterministic-keeper convention as [[Dedup.exactDedup]]. */
+  def urlDedupKeep(docs: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("url_key")).orderBy(col(idCol))
+    docs.withColumn("url_key", canonicalKey(col(urlCol)))
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+  }
+
+  /** Per-key dup groups: canonical keys carried by more than one document,
+    * with the keeper and the collapse count — the audit table a URL-dedup
+    * pass publishes. */
+  def urlDupGroups(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    docs.withColumn("url_key", canonicalKey(col(urlCol)))
+      .groupBy("url_key")
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+
+  /** Domain quota: keep at most `cap` documents per registrable domain —
+    * [[Sampling.sourceCapKeep]] composed over the derived domain column
+    * (same salted scale route available via `salts`). */
+  def domainCapKeep(docs: DataFrame, urlCol: String, idCol: String,
+                    cap: Int, salts: Int = 1): DataFrame =
+    Sampling.sourceCapKeep(
+      docs.withColumn("domain", registrableDomain(hostOf(canonicalKey(col(urlCol))))),
+      idCol, "domain", cap, salts)
+
+  /** Domain blocklist filter: drop documents whose registrable domain is in
+    * `blocked`. The list ships as an expression literal (broadcast-free for
+    * the usual 10^3..10^5 entries; a truly huge list becomes a broadcast
+    * anti-join instead). */
+  def blocklistFilter(docs: DataFrame, urlCol: String,
+                      blocked: Seq[String]): DataFrame = {
+    val domain = registrableDomain(hostOf(canonicalKey(col(urlCol))))
+    docs.filter(!domain.isin(blocked: _*))
+  }
+
+  /** Deterministic URL fixture for gates/specs, attached from the stable id
+    * (the [[Multimodal.attachFakeMedia]] pattern): scheme/www/port/casing/
+    * tracking-param/fragment variation all driven by id residues, with the
+    * HOST keyed by (source, doc_id % 50) so canonical collisions — the
+    * thing URL dedup exists to collapse — actually occur, and ccSLD TLDs in
+    * the rotation so registrableDomain's 3-label rule is exercised. */
+  def attachUrls(docs: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val id = col(idCol)
+    val tld = when(id % 4 === 0, ".co.uk")
+      .when(id % 4 === 1, ".com")
+      .when(id % 4 === 2, ".org")
+      .otherwise(".example.com")
+    val url = concat(
+      when(id % 3 === 0, "HTTPS://WWW.").when(id % 3 === 1, "https://")
+        .otherwise("http://"),
+      col(sourceCol), lit("-"), (id % 50).cast("string"), tld,
+      when(id % 5 === 0, ":443").otherwise(""),
+      lit("/p/"), (id % 20).cast("string"),
+      when(id % 2 === 0, concat(lit("?utm_source=feed&item="), (id % 7).cast("string")))
+        .otherwise(""),
+      when(id % 6 === 0, "#frag").otherwise(""))
+    docs.withColumn("url", url)
+  }
+}

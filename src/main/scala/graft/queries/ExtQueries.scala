@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextFns}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextFns, Url}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (the driver ships both tables alongside the TPC-H-ish ones).
@@ -592,7 +592,89 @@ object ExtQueries {
       "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 " +
       "ORDER BY a_id, b_id"
 
+  /** DuckDB twin of [[Url.attachUrls]] + [[Url.canonicalKey]] over the
+    * documents table: the same id-residue URL synthesis, then the same
+    * 7-step regex chain with the 'g' flag (RE2 and Java agree on this
+    * pattern subset; backreference spelling differs — `\2` here, `$2` in
+    * the engine — by dialect, not semantics). */
+  private val UrlCte: String =
+    "WITH u AS (SELECT doc_id, source, " +
+      "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' " +
+      "WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'http://' END) || " +
+      "source || '-' || CAST(doc_id % 50 AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '.co.uk' WHEN doc_id % 4 = 1 THEN '.com' " +
+      "WHEN doc_id % 4 = 2 THEN '.org' ELSE '.example.com' END) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) || " +
+      "'/p/' || CAST(doc_id % 20 AS VARCHAR) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&item=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END) || " +
+      "(CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url " +
+      s"FROM $Docs), " +
+    "k AS (SELECT doc_id, source, url, " +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "lower(url), '#.*$', '', 'g'), '^https?://', '', 'g'), '^www\\.', '', 'g'), " +
+      "':(80|443)(/|$)', '\\2', 'g'), '\\?', '&', 'g'), " +
+      "'&(utm_[a-z0-9]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '(/|&)$', '', 'g') AS key " +
+    "FROM u)"
+
+  private def urlHostSql(key: String): String =
+    s"regexp_extract($key, '^([^/&]*)', 1)"
+
+  /** DuckDB twin of [[Url.registrableDomain]] (same two anchored extracts +
+    * coalesce, same ccSLD approximation). */
+  private def urlDomainSql(host: String): String = {
+    val cc = s"regexp_extract($host, " +
+      "'([^.]+\\.(co|com|net|org|gov|ac|edu)\\.[a-z][a-z])$', 1)"
+    val lastTwo = s"regexp_extract($host, '([^.]+\\.[^.]+)$$', 1)"
+    s"coalesce(CASE WHEN $cc <> '' THEN $cc END, " +
+      s"CASE WHEN $lastTwo <> '' THEN $lastTwo END, $host)"
+  }
+
   val inventory: Seq[(String, Q, Option[String])] = Seq(
+
+    // --------------------------------------------------------------- url --
+    ("x_url_canon", // URL canonicalization + host/registrable-domain — the
+      // first stage of published web-corpus pipelines (RefinedWeb §3.1 URL
+      // rules, C4/CCNet URL filters). Pure lower/regexp column expressions:
+      // zero shuffles at any scale; the oracle replays the exact regex
+      // chain. The fixture rotates scheme/www/port/case/tracking/fragment
+      // variation and ccSLD TLDs through id residues.
+      (s: SparkSession, d: String) => {
+        val u = Url.attachUrls(t(s, d, "documents"), "doc_id", "source")
+        val key = Url.canonicalKey(col("url"))
+        u.select(col("doc_id"), col("url"), key.as("url_key"),
+            Url.hostOf(key).as("host"),
+            Url.registrableDomain(Url.hostOf(key)).as("domain"))
+          .orderBy("doc_id")
+      },
+      Some(s"$UrlCte SELECT doc_id, url, key AS url_key, " +
+        s"${urlHostSql("key")} AS host, " +
+        s"${urlDomainSql(urlHostSql("key"))} AS domain FROM k ORDER BY doc_id")),
+
+    ("x_url_dedup", // URL-exact dedup: keep = lowest doc_id per canonical
+      // key (the RefinedWeb first-pass rule — collapse trivially re-served
+      // pages before any text work). One shuffle on the key.
+      (s: SparkSession, d: String) =>
+        Url.urlDedupKeep(
+            Url.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+            "url", "doc_id")
+          .select("doc_id", "url_key", "keep").orderBy("doc_id"),
+      Some(s"$UrlCte SELECT doc_id, key AS url_key, " +
+        "CAST(CASE WHEN row_number() OVER (PARTITION BY key ORDER BY doc_id) = 1 " +
+        "THEN 1 ELSE 0 END AS INT) AS keep FROM k ORDER BY doc_id")),
+
+    ("x_domain_cap", // per-registrable-domain quota: sourceCapKeep composed
+      // over the derived domain column (domain caps à la CCNet/C4 host
+      // limits); the salted scale route applies unchanged at 100 TB.
+      (s: SparkSession, d: String) =>
+        Url.domainCapKeep(
+            Url.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+            "url", "doc_id", cap = 25)
+          .select("doc_id", "domain").orderBy("doc_id"),
+      Some(s"$UrlCte, dom AS (SELECT doc_id, " +
+        s"${urlDomainSql(urlHostSql("key"))} AS domain FROM k) " +
+        "SELECT doc_id, domain FROM (SELECT doc_id, domain, row_number() OVER " +
+        "(PARTITION BY domain ORDER BY doc_id) AS rn FROM dom) " +
+        "WHERE rn <= 25 ORDER BY doc_id")),
 
     // ------------------------------------------------------------- dedup --
     ("x_dedup_exact",
