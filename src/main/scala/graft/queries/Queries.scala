@@ -498,7 +498,53 @@ object Queries {
   // S — source/sink-shaped queries
   // ------------------------------------------------------------------------
 
+  /** Deterministic fixture transport shared by the source gates (s1/s2/s3):
+    * status reports tip 42, block_results echoes the height into gas_used,
+    * block carries one base64 tx and a height-derived time/app_hash. The
+    * production path swaps in HttpTransport behind the same seam. */
+  private def fixtureRpcClient(): graft.sources.RpcClient = {
+    val transport: (String, String) => String = (_, pth) => {
+      val h = pth.dropWhile(!_.isDigit)
+      if (pth.startsWith("/status"))
+        """{"result":{"sync_info":{"latest_block_height":"42"}}}"""
+      else if (pth.startsWith("/block_results"))
+        s"""{"result":{"txs_results":[{"code":0,"gas_wanted":"10","gas_used":"$h","data":"","log":"","events":[]}],"finalize_block_events":[]}}"""
+      else
+        s"""{"result":{"block":{"header":{"time":"2025-06-01T12:00:0${h}Z","app_hash":"AH$h"},"data":{"txs":["dGVzdA=="]}}}}"""
+    }
+    new graft.sources.RpcClient(
+      graft.sources.RpcConfig(Seq("http://fixture"), sleeper = _ => ()), transport)
+  }
+
   val sFamily: Seq[(String, Q, Option[String])] = Seq(
+    ("s2_results_fetch", // S2 dedicated gate (VERDICT r10 residue #2: the
+      // block-results source was folded into s1's n_results count): the
+      // results half of the fetch pair flattened to its own fields — code /
+      // gas_wanted / gas_used per height, where the fixture echoes the
+      // height into gas_used, so a results-side parsing or zip drift
+      // changes values, not just counts.
+      (s: SparkSession, d: String) =>
+        graft.sources.RpcSource.fetchEnvelopes(s, fixtureRpcClient(), 1, 3,
+            parallelism = 2)
+          .select(col("height"), explode(col("txs_results")).as("r"))
+          .select(col("height"), col("r.code").as("code"),
+            col("r.gas_wanted").as("gas_wanted"), col("r.gas_used").as("gas_used"))
+          .orderBy("height"),
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(1 AS BIGINT), CAST(0 AS INTEGER), '10', '1'), " +
+        "(CAST(2 AS BIGINT), CAST(0 AS INTEGER), '10', '2'), " +
+        "(CAST(3 AS BIGINT), CAST(0 AS INTEGER), '10', '3')" +
+        ") v(height, code, gas_wanted, gas_used) ORDER BY height")),
+
+    ("s3_tip_discovery", // S3 dedicated gate: tip discovery alone —
+      // latestHeight() through the status endpoint, as the one-row frame a
+      // scheduler would range against.
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        Seq(fixtureRpcClient().latestHeight()).toDF("tip")
+      },
+      Some("SELECT CAST(42 AS BIGINT) AS tip")),
+
     ("s1_fixture_fetch", // S1+S2+S3 driver-checked: the full fetch pair +
       // tip discovery over an embedded deterministic fixture transport
       // (the production path swaps in HttpTransport — same seam). The
