@@ -179,6 +179,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x_url_canon: pure expression pipeline — zero exchanges, codegen'd") {
+    // the URL canonicalization family is all lower/regexp column work; a
+    // shuffle or a codegen fallback here would mean the regex chain
+    // regressed into something janino can't compile (the split/element_at
+    // form it replaced did exactly that — 64KB method blowup)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("x_url_canon")
+      // orderBy("doc_id") in the gate adds the final sort's exchange; the
+      // canonicalization itself must add none beyond it
+      assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
+      assert(p.contains("*("), "canonicalization fell out of codegen: " + p.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen active in flagship plan") {
     // AQE wraps the plan pre-execution; disable it for this one inspection so
     // the WholeStageCodegen spans are visible in the physical plan.
