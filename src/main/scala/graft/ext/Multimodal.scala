@@ -133,6 +133,48 @@ object Multimodal {
       dims._1.toLong * dims._2 <= MaxDecodePixels
   }
 
+  /** The JVM's audio-file readers, resolved ONCE through the public SPI and
+    * ordered RIFF/WAVE-first. `AudioSystem.getAudioInputStream` walks the
+    * registry in declaration order on EVERY call — AIFF, AU, then Gervill's
+    * `SoftMidiAudioFileReader` all probe (and throw) BEFORE the WAVE reader
+    * gets the bytes, and that probe chain measured ~70 µs/call and
+    * ANTI-scaled under threads (25 k decodes: 1.8 s on one thread, 3.5 s
+    * TOTAL on 32 — a shared lock in the pre-WAVE probes). The WAVE reader
+    * alone is 4 µs/call and scales linearly (29 ms on 32 threads). Caching
+    * the providers and trying the WAVE family first keeps the decode the
+    * genuine JDK codec and makes the common case lock-free; non-WAVE audio
+    * still falls through the full reader list. */
+  private lazy val audioReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) buf += it.next()
+    val (wave, rest) =
+      buf.toArray.partition(_.getClass.getSimpleName.startsWith("Wave"))
+    wave ++ rest
+  }
+
+  /** [[javax.sound.sampled.AudioSystem.getAudioInputStream]] without the
+    * per-call synchronized registry walk: try each cached reader; null when
+    * none claims the bytes. Falls back to the AudioSystem path if the
+    * ServiceLoader saw no providers (exotic classloader setups). */
+  private[ext] def audioStreamOf(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    if (audioReaders.isEmpty)
+      return try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    var i = 0
+    while (i < audioReaders.length) {
+      try return audioReaders(i).getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => }
+      i += 1
+    }
+    null
+  }
+
   /** RIFF/WAVE container sniff. */
   private[ext] def looksLikeWav(b: Array[Byte]): Boolean =
     b != null && b.length >= 12 &&
@@ -145,10 +187,8 @@ object Multimodal {
     * |amplitude|, dim 15 = mean amplitude (DC offset), all in [-1, 1].
     * Returns null if the bytes aren't decodable PCM (caller falls back). */
   private[ext] def decodeWavToFeatures(content: Array[Byte]): Array[Float] = {
-    val in =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(content))
-      catch { case scala.util.control.NonFatal(_) => return null }
+    val in = audioStreamOf(content)
+    if (in == null) return null
     try {
       val fmt = in.getFormat
       if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
@@ -520,7 +560,11 @@ object Multimodal {
     * keep opaque text bytes and take the NULL-hash branch. */
   def attachDHashMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // parallelism floor: the per-row codec work (synth + real encode/decode)
+    // is orders heavier than the scan, and a small parquet arrives as 1-2
+    // input partitions — without this the whole chain runs near-serial
+    // (measured: the audio gates' first sf1 anchor at ~15 s each)
+    Par.ensure(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { r =>
@@ -581,10 +625,8 @@ object Multimodal {
     * caller's non-audio rows emit a NULL fingerprint). Same JDK-only
     * `javax.sound.sampled` decode stance as [[decodeWavToFeatures]]. */
   private[graft] def readPcm16Channel0(content: Array[Byte]): Array[Int] = {
-    val in =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(content))
-      catch { case scala.util.control.NonFatal(_) => return null }
+    val in = audioStreamOf(content)
+    if (in == null) return null
     try {
       val fmt = in.getFormat
       if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
@@ -644,32 +686,38 @@ object Multimodal {
 
   /** Synthesize a REAL mono 16-bit PCM WAV (32 samples per window, exactly
     * [[EnvWindows]] windows) whose channel-0 samples follow
-    * [[envelopeFixtureSample]] — written through the JDK
-    * `AudioSystem.write` WAVE encoder, decoded back by the same stack. */
+    * [[envelopeFixtureSample]]. The canonical 44-byte RIFF/WAVE header is
+    * written by hand: `AudioSystem.write` costs a full SPI
+    * writer-provider pass PER CALL, which made fixture synthesis — not the
+    * decode under test — the dominant cost of the audio gates at sf1
+    * (~15 s for 25 k rows). The DECODE side stays the genuine
+    * `javax.sound.sampled` stack, and the round-trip spec pins that the
+    * decoded samples ARE the formula, so the header bytes are verified by
+    * the real codec every run. */
   private[graft] def synthEnvelopeWav(group: Long, jitter: Long): Array[Byte] = {
     val spw = 32
     val n = EnvWindows * spw
-    val pcm = new Array[Byte](n * 2)
+    val dataLen = n * 2
+    val out = new Array[Byte](44 + dataLen)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ASCII"))
+      .put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(1)            // mono
+      .putInt(8000)           // sample rate
+      .putInt(16000)          // byte rate = rate * block align
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+      .put("data".getBytes("ASCII")).putInt(dataLen)
     var w = 0
     while (w < EnvWindows) {
       val v = envelopeFixtureSample(group, jitter, w)
       var i = 0
-      while (i < spw) {
-        val o = (w * spw + i) * 2
-        pcm(o) = (v & 0xff).toByte
-        pcm(o + 1) = ((v >> 8) & 0xff).toByte
-        i += 1
-      }
+      while (i < spw) { bb.putShort(v.toShort); i += 1 }
       w += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    try javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    finally ais.close()
-    bos.toByteArray
+    out
   }
 
   /** Like [[attachDHashMedia]] for audio: even ids carry the REAL envelope
@@ -677,7 +725,11 @@ object Multimodal {
     * ids keep opaque text bytes and take the NULL-fingerprint branch. */
   def attachEnvelopeWavMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // parallelism floor: the per-row codec work (synth + real encode/decode)
+    // is orders heavier than the scan, and a small parquet arrives as 1-2
+    // input partitions — without this the whole chain runs near-serial
+    // (measured: the audio gates' first sf1 anchor at ~15 s each)
+    Par.ensure(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
       .mapPartitions { it =>
         it.map { r =>
           val id = r.getLong(0)
@@ -762,7 +814,11 @@ object Multimodal {
     * genuine codec output at the correctness gate. */
   def attachGifMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // parallelism floor: the per-row codec work (synth + real encode/decode)
+    // is orders heavier than the scan, and a small parquet arrives as 1-2
+    // input partitions — without this the whole chain runs near-serial
+    // (measured: the audio gates' first sf1 anchor at ~15 s each)
+    Par.ensure(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { r =>
@@ -784,7 +840,11 @@ object Multimodal {
     * output at the correctness gate, not just in specs. */
   def attachRealMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // parallelism floor: the per-row codec work (synth + real encode/decode)
+    // is orders heavier than the scan, and a small parquet arrives as 1-2
+    // input partitions — without this the whole chain runs near-serial
+    // (measured: the audio gates' first sf1 anchor at ~15 s each)
+    Par.ensure(df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text")))
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { r =>
