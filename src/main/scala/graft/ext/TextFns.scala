@@ -104,7 +104,20 @@ object TextFns {
     * makes partial-overlap detection affordable at 100 TB (vs indexing
     * every gram). Pure per-row array ops — zero shuffles, stays in
     * whole-stage codegen. Takes a pre-split words column. */
-  def winnowedPrints(ws: Column, k: Int = 3, w: Int = 4): Column = {
+  def winnowedPrints(ws: Column, k: Int = 3, w: Int = 4): Column =
+    // ONE native kernel ([[graft.functions.WinnowPrints]]): the HOF chain
+    // below is kept as its independently-derived reference (spec-asserted
+    // equal on real corpus text + adversarial vectors). coalesce: the
+    // kernel's null contract matches the HOF's — a NULL words array (null
+    // text) degrades to the single empty-string shingle, because concat_ws
+    // over nothing is "".
+    graft.functions.GraftExpressions.winnow_prints(
+      coalesce(ws, typedLit(Seq.empty[String])), k, w)
+
+  /** The HOF/literal form of [[winnowedPrints]] — the cross-checkable
+    * reference the native kernel is spec-pinned against (same shingling,
+    * same 56-bit md5-prefix hash, same window minima and distinct). */
+  private[graft] def winnowedPrintsHof(ws: Column, k: Int = 3, w: Int = 4): Column = {
     val hashes = transform(Dedup.shinglesOfWords(ws, k),
       g => conv(substring(md5(g), 1, 14), 16, 10).cast("long"))
     // Bind the hash array to a LAMBDA VARIABLE before windowing: a lambda

@@ -1102,6 +1102,110 @@ case class DsirScoreMilli(child: Expression, weights: Seq[Long], dim: Int)
     copy(child = newChild)
 }
 
+/** Full winnowing (Schleimer et al. 2003) as ONE native kernel: pre-split
+  * words -> distinct window-min 56-bit shingle hashes. Bit-identical to the
+  * HOF chain ([[graft.ext.TextFns.winnowedPrintsHof]], spec-asserted on
+  * real corpus text + adversarial vectors): k-word shingles joined by a
+  * single space with `concat_ws` null-skipping (`UTF8String.concatWs` IS
+  * the engine primitive behind the SQL function), hash = first 7 digest
+  * bytes big-endian (== `conv(substring(md5(g), 1, 14), 16, 10)`), windows
+  * of `w` consecutive hashes reduced to their minima (one global min when
+  * the doc has <= w shingles), first-occurrence-order distinct. The HOF
+  * form materialized a 32-char hex string + a substring + a base-16 parse
+  * per gram and re-entered the lambda machinery per window; here the md5
+  * is consumed as raw bytes and the window scan is two tight loops. */
+case class WinnowPrints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_prints"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowPrints.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WinnowPrints.compute($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPrints =
+    copy(child = newChild)
+}
+
+object WinnowPrints {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(words: org.apache.spark.sql.catalyst.util.ArrayData,
+              k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = mdPool.get()
+    val n = words.numElements()
+    // shingle layout mirrors shinglesOfWords: n >= k -> sliding k-grams;
+    // short docs -> ONE shingle of all words (including the empty doc ->
+    // the empty-string shingle, concat_ws parity)
+    val m = if (n >= k) n - k + 1 else 1
+    val hs = new Array[Long](m)
+    val parts = new Array[UTF8String](if (n >= k) k else n)
+    var i = 0
+    while (i < m) {
+      val start = if (n >= k) i else 0
+      val len = if (n >= k) k else n
+      var j = 0
+      while (j < len) {
+        // concat_ws skips NULL elements (no separator either) — getUTF8String
+        // of a null slot would be undefined, so map nulls explicitly
+        parts(j) =
+          if (words.isNullAt(start + j)) null else words.getUTF8String(start + j)
+        j += 1
+      }
+      val d = md.digest(UTF8String.concatWs(Space, parts: _*).getBytes)
+      // first 14 hex digits == first 7 bytes, big-endian: the exact value
+      // of conv(substring(md5(g), 1, 14), 16, 10)
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      hs(i) = v
+      i += 1
+    }
+    // window minima: one global min for short docs, else sliding w-min
+    val mins =
+      if (m <= w) {
+        var mn = hs(0); var x = 1
+        while (x < m) { if (hs(x) < mn) mn = hs(x); x += 1 }
+        Array(mn)
+      } else {
+        val out = new Array[Long](m - w + 1)
+        var x = 0
+        while (x <= m - w) {
+          var mn = hs(x); var y = x + 1
+          while (y < x + w) { if (hs(y) < mn) mn = hs(y); y += 1 }
+          out(x) = mn
+          x += 1
+        }
+        out
+      }
+    // first-occurrence-order distinct (array_distinct parity)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](mins.length)
+    var x = 0
+    while (x < mins.length) {
+      if (seen.add(mins(x))) buf += mins(x)
+      x += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+}
+
 object GraftExpressions {
   import GraftBridge.{column, expression}
 
@@ -1138,6 +1242,9 @@ object GraftExpressions {
 
   def simhash16(words: Column): Column =
     column(SimHash16(expression(words)))
+
+  def winnow_prints(words: Column, k: Int, w: Int): Column =
+    column(WinnowPrints(expression(words), k, w))
 
   def normalize_text(c: Column): Column =
     column(NormalizeText(expression(c)))

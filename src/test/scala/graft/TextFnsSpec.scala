@@ -238,6 +238,46 @@ class TextFnsSpec extends SparkTestBase {
     assert(got(0).size < nGrams && got(0).size >= nGrams / (w + 1))
   }
 
+  test("winnow_prints native kernel equals the HOF reference, ORDER included") {
+    val k = 3; val w = 4
+    // real corpus text: every doc, exact array equality (order matters —
+    // downstream explodes are order-insensitive, but the pin is stricter)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(split(col("text"), " ").as("ws"))
+    val both = docs.select(
+        TextFns.winnowedPrints(col("ws"), k, w).as("native"),
+        TextFns.winnowedPrintsHof(col("ws"), k, w).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // adversarial vectors: null text, empty, single word, exactly k words,
+    // exactly w+k-1 words (single window), heavy repetition (distinct path)
+    val edge = Seq(
+      null, "", "solo", "one two three", "a b c d e f",
+      ("dup " * 30).trim, "x y x y x y x y")
+    import spark.implicits._
+    val edgeRows = edge.toDF("t")
+      .select(
+        TextFns.winnowedPrints(split(col("t"), " "), k, w).as("native"),
+        TextFns.winnowedPrintsHof(split(col("t"), " "), k, w).as("hof"))
+      .collect()
+    edgeRows.zip(edge).foreach { case (r, t) =>
+      assert(!r.isNullAt(0), s"native null for '$t'")
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"'$t'")
+    }
+    // null elements INSIDE the words array (concat_ws skips them)
+    val withNulls = Seq(
+      (1L, Seq(Some("a"), None, Some("b"), Some("c"), None)),
+      (2L, Seq(None: Option[String], None, None)),
+      (3L, Seq(Some("only"))))
+      .toDF("id", "ws")
+      .select(
+        TextFns.winnowedPrints(col("ws"), k, w).as("native"),
+        TextFns.winnowedPrintsHof(col("ws"), k, w).as("hof"))
+      .collect()
+    withNulls.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("normalizeText: NFC composition, controls to space, collapse, trim") {
     val vectors = Seq(
       ("café", "café"), //        decomposed -> composed (NFC)
