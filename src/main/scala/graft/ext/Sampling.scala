@@ -149,7 +149,8 @@ object Sampling {
     * running sum within (source, bucket) — the mega-source spreads over
     * `rangeBuckets` tasks; phase 2 computes per-(source, bucket) totals (a
     * tiny frame: |sources|·buckets rows), turns them into prefix offsets
-    * with a window over that frame, and broadcast-joins them back:
+    * with a window over that frame, and joins them back (null-safe keys,
+    * broadcast left to AQE):
     * cum = local_cum + offset, EXACTLY the single-window number (spec-pinned
     * equal, plus hash-checked by `x_token_budget_salted` against the same
     * oracle). Unlike [[sourceCapKeep]]'s top-k route this cannot prune —
@@ -181,11 +182,22 @@ object Sampling {
       val offsets = withK.groupBy(col(sourceCol), col("__b"))
         .agg(sum("n_tokens").as("__t"))
         .withColumn("__off", sum(col("__t")).over(wOff) - col("__t"))
-        .select(col(sourceCol), col("__b"), col("__off"))
-      local.join(broadcast(offsets), Seq(sourceCol, "__b"))
+        .select(col(sourceCol).as("__src_o"), col("__b").as("__b_o"),
+          col("__off"))
+      // NULL-SAFE join keys: a NULL source (or NULL id -> NULL md5 -> NULL
+      // bucket) forms its own window group on BOTH routes, but a plain
+      // equi-join would drop those rows here and silently violate the
+      // "cum_tokens for every row" contract the single-window route keeps.
+      // No broadcast hint either: offsets is |distinct sources|·buckets
+      // rows — tiny for curated source labels, but for per-DOMAIN sources
+      // at web scale it is millions of rows, and a forced broadcast would
+      // fail exactly at the scale this route exists for; AQE broadcasts it
+      // when it is actually small.
+      local.join(offsets,
+          col(sourceCol) <=> col("__src_o") && col("__b") <=> col("__b_o"))
         .withColumn("cum_tokens", col("__cum_loc") + col("__off"))
         .withColumn("keep", (col("cum_tokens") <= budgetTokens).cast("int"))
-        .drop("__k", "__b", "__cum_loc", "__off")
+        .drop("__k", "__b", "__cum_loc", "__off", "__src_o", "__b_o")
     }
   }
 

@@ -570,42 +570,65 @@ object Similarity {
     * recall dial, not an OOM. */
   private val TieCapMultiple = 32
 
+  /** Driver-row budget for the single-pass candidate cut: up to this many
+    * (id, adc) pairs collect to the driver (≈1.6 MB). Above it — the
+    * exact-degradation mode where `rerank` approaches the probed row count
+    * — the cut stays DISTRIBUTED so a corpus-sized candidate set never
+    * lands on the driver. */
+  private val TieCollectBudget = 100000L
+
   private def tieInclusive(scored: DataFrame, idCol: String,
-                           rerank: Int): DataFrame = {
-    // ONE TakeOrdered pass, not a threshold job plus a capped re-scan (the
-    // r10 form paid two scans of the coded corpus and measured as a
-    // consistent ~1.2× on the sf0.1 IVF-PQ gate): the top
-    // TieCapMultiple×rerank rows in (adc, id) order CONTAIN both the
-    // rerank-th threshold and every candidate the cap admits, and the cap
-    // bounds them to a driver-safe collect (32×50 = 1600 (id, adc) pairs at
-    // the gate settings). NULL adc rows (malformed/short vectors fail the
-    // encode) are excluded before the limit: Spark sorts NULLs first, so
-    // they would consume slots and shrink the boundary below the true
-    // rerank-th value. When EVERY adc is NULL the candidate set is empty,
-    // not the raw corpus.
-    // Semantics identical to the two-pass form: rows with adc <= (rerank-th
-    // smallest adc) all sort within the first `count(adc <= th)` positions,
-    // so below the cap the kept set is exactly the tie-inclusive set, and
-    // at the cap the cut is the same deterministic (adc, id) prefix.
-    val spark = scored.sparkSession
-    val top = scored
-      .select(col(idCol), col("adc"))
-      .where(col("adc").isNotNull)
-      .orderBy(col("adc").asc, col(idCol).asc)
-      .limit(TieCapMultiple * rerank)
-      .collect()
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      scored.schema(idCol),
-      org.apache.spark.sql.types.StructField("adc",
-        org.apache.spark.sql.types.DoubleType)))
-    val kept =
-      if (top.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else {
-        val th = top(math.min(rerank, top.length) - 1).getDouble(1)
-        top.filter(_.getDouble(1) <= th)
-      }
-    spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
-  }
+                           rerank: Int): DataFrame =
+    if (TieCapMultiple.toLong * rerank <= TieCollectBudget) {
+      // ONE TakeOrdered pass, not a threshold job plus a capped re-scan
+      // (the r10 form paid two scans of the coded corpus and measured as a
+      // consistent ~1.2× on the sf0.1 IVF-PQ gate): the top
+      // TieCapMultiple×rerank rows in (adc, id) order CONTAIN both the
+      // rerank-th threshold and every candidate the cap admits, and the cap
+      // bounds them to a driver-safe collect (32×50 = 1600 (id, adc) pairs
+      // at the gate settings). NULL adc rows (malformed/short vectors fail
+      // the encode) are excluded before the limit: Spark sorts NULLs first,
+      // so they would consume slots and shrink the boundary below the true
+      // rerank-th value. When EVERY adc is NULL the candidate set is empty,
+      // not the raw corpus.
+      // Semantics identical to the two-pass form: rows with adc <=
+      // (rerank-th smallest adc) all sort within the first
+      // `count(adc <= th)` positions, so below the cap the kept set is
+      // exactly the tie-inclusive set, and at the cap the cut is the same
+      // deterministic (adc, id) prefix.
+      val spark = scored.sparkSession
+      val top = scored
+        .select(col(idCol), col("adc"))
+        .where(col("adc").isNotNull)
+        .orderBy(col("adc").asc, col(idCol).asc)
+        .limit(TieCapMultiple * rerank)
+        .collect()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        scored.schema(idCol),
+        org.apache.spark.sql.types.StructField("adc",
+          org.apache.spark.sql.types.DoubleType)))
+      val kept =
+        if (top.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else {
+          val th = top(math.min(rerank, top.length) - 1).getDouble(1)
+          top.filter(_.getDouble(1) <= th)
+        }
+      spark.createDataFrame(java.util.Arrays.asList(kept: _*), schema)
+    } else {
+      // distributed two-pass form (threshold agg + capped TakeOrdered),
+      // same semantics — the extra scan is irrelevant here because a huge
+      // rerank means the caller asked for (near-)exact ranking anyway
+      val th = scored.select(col("adc"))
+        .where(col("adc").isNotNull)
+        .orderBy(col("adc").asc).limit(rerank)
+        .agg(max("adc")).first()
+      if (th.isNullAt(0))
+        scored.filter(col("adc").isNotNull).select(col(idCol), col("adc"))
+      else scored.filter(col("adc") <= th.getDouble(0))
+        .orderBy(col("adc").asc, col(idCol).asc)
+        .limit(math.min(Int.MaxValue.toLong, TieCapMultiple.toLong * rerank).toInt)
+        .select(col(idCol), col("adc"))
+    }
 
   /** The query's ADC lookup tables: distance from each query subvector to
     * each sub-centroid — m·ksub doubles, driver-computed. */

@@ -41,7 +41,9 @@ object Url {
     *  2. strip fragment (`#...`)
     *  3. strip scheme (`http://` / `https://`)
     *  4. strip leading `www.`
-    *  5. strip default port (`:80`/`:443` at end of authority)
+    *  5. strip default port (`:80`/`:443` at the end of the AUTHORITY —
+    *     the pattern is anchored to the leading host run, so a path or
+    *     query segment that merely ends in `:443` is untouched)
     *  6. normalize the query separator: `?` -> `&`
     *  7. drop tracking params (`&(utm_*|fbclid|gclid|ref)=...`)
     *  8. strip a trailing `/` or `&` */
@@ -50,15 +52,20 @@ object Url {
     val s2 = regexp_replace(s1, "#.*$", "")
     val s3 = regexp_replace(s2, "^https?://", "")
     val s4 = regexp_replace(s3, "^www\\.", "")
-    val s5 = regexp_replace(s4, ":(80|443)(/|$)", "$2")
+    val s5 = regexp_replace(s4, "^([^/:?&]*):(80|443)(/|$)", "$1$3")
     val s6 = regexp_replace(s5, "\\?", "&")
     val s7 = regexp_replace(s6, "&(" + TrackingParams + ")=[^&]*", "")
     regexp_replace(s7, "(/|&)$", "")
   }
 
-  /** Host of a canonical key: everything before the first `/` or `&`. */
+  /** Host of a canonical key: everything before the first `/`, `&` or `:`.
+    * The `:` cut drops a NON-default port (default ones are already gone
+    * from the key): domain policy — blocklists, per-domain caps — must not
+    * be evadable by serving the same host on an alternate port. The
+    * canonical KEY keeps the port (different origin, different page), only
+    * the derived host/domain ignore it. */
   def hostOf(key: Column): Column =
-    regexp_extract(key, "^([^/&]*)", 1)
+    regexp_extract(key, "^([^/&:]*)", 1)
 
   /** Registrable domain (approximate): the last two host labels, or the
     * last three when the second-to-last label is a [[CcSlds]] entry under a

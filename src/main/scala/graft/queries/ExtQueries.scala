@@ -612,12 +612,12 @@ object ExtQueries {
     "k AS (SELECT doc_id, source, url, " +
       "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       "lower(url), '#.*$', '', 'g'), '^https?://', '', 'g'), '^www\\.', '', 'g'), " +
-      "':(80|443)(/|$)', '\\2', 'g'), '\\?', '&', 'g'), " +
+      "'^([^/:?&]*):(80|443)(/|$)', '\\1\\3', 'g'), '\\?', '&', 'g'), " +
       "'&(utm_[a-z0-9]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '(/|&)$', '', 'g') AS key " +
     "FROM u)"
 
   private def urlHostSql(key: String): String =
-    s"regexp_extract($key, '^([^/&]*)', 1)"
+    s"regexp_extract($key, '^([^/&:]*)', 1)"
 
   /** DuckDB twin of [[Url.registrableDomain]] (same two anchored extracts +
     * coalesce, same ccSLD approximation). */

@@ -552,17 +552,7 @@ object Queries {
       // fetch, JSON parsing, or the envelope projection drift, the Spark
       // side changes and the hash fails.
       (s: SparkSession, d: String) => {
-        val transport: (String, String) => String = (_, pth) => {
-          val h = pth.dropWhile(!_.isDigit)
-          if (pth.startsWith("/status"))
-            """{"result":{"sync_info":{"latest_block_height":"42"}}}"""
-          else if (pth.startsWith("/block_results"))
-            s"""{"result":{"txs_results":[{"code":0,"gas_wanted":"10","gas_used":"$h","data":"","log":"","events":[]}],"finalize_block_events":[]}}"""
-          else
-            s"""{"result":{"block":{"header":{"time":"2025-06-01T12:00:0${h}Z","app_hash":"AH$h"},"data":{"txs":["dGVzdA=="]}}}}"""
-        }
-        val client = new graft.sources.RpcClient(
-          graft.sources.RpcConfig(Seq("http://fixture"), sleeper = _ => ()), transport)
+        val client = fixtureRpcClient()
         val tip = client.latestHeight()
         graft.sources.RpcSource.fetchEnvelopes(s, client, 1, 3, parallelism = 2)
           .select(col("height"), col("app_hash"), col("time").as("btime"),

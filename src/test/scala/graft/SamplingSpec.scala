@@ -158,6 +158,24 @@ class SamplingSpec extends SparkTestBase {
       Sampling.tokenBudgetKeep(docs, "doc_id", "source", "text", 5000L,
         rangeBuckets = 7)
     }
+    // NULL source and NULL id rows must survive the bucketed route's join
+    // (null-safe keys) — a plain equi-join would silently drop them while
+    // the single-window route keeps them
+    import spark.implicits._
+    val withNulls = Seq(
+      (Some(1L), "a b c", Some("web")),
+      (Some(2L), "d e", None),
+      (None, "f g h", Some("web")),
+      (None, "i", None))
+      .toDF("doc_id", "text", "source")
+    val p = Sampling.tokenBudgetKeep(withNulls, "doc_id", "source", "text", 4L)
+      .select("doc_id", "source", "cum_tokens", "keep").collect()
+      .map(r => (r.get(0), r.get(1), r.getLong(2), r.getInt(3))).toSet
+    val b = Sampling.tokenBudgetKeep(withNulls, "doc_id", "source", "text", 4L,
+        rangeBuckets = 16)
+      .select("doc_id", "source", "cum_tokens", "keep").collect()
+      .map(r => (r.get(0), r.get(1), r.getLong(2), r.getInt(3))).toSet
+    assert(p.size === 4 && b === p, "null-key rows must match the plain route")
   }
 
   test("split assignment: partitions the corpus, stable under growth") {

@@ -27,6 +27,32 @@ class UrlSpec extends SparkTestBase {
     // by the = after the exact name set)
     assert(canon("http://example.com/p?ref=abc") === Seq("example.com/p"))
     assert(canon("http://example.com/p?refresh=1") === Seq("example.com/p&refresh=1"))
+    // port strip is anchored to the AUTHORITY: a path segment or query
+    // value ending in :443/:80 must NOT collapse into the portless key
+    assert(canon("http://example.com/video:443/x") === Seq("example.com/video:443/x"))
+    assert(canon("http://example.com/p?t=12:80") === Seq("example.com/p&t=12:80"))
+    // non-default ports stay in the key (different origin, different page)
+    assert(canon("http://example.com:8080/x") === Seq("example.com:8080/x"))
+  }
+
+  test("domain policy ignores ports: alternate-port serving cannot evade it") {
+    val rows = Seq(
+      "http://example.com:8080/spam",
+      "http://example.com/spam",
+      "https://example.com:443/ok")
+      .toDF("url")
+      .select(
+        Url.hostOf(Url.canonicalKey(col("url"))).as("h"),
+        Url.registrableDomain(Url.hostOf(Url.canonicalKey(col("url")))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows.forall(_._1 == "example.com"), rows.toString)
+    assert(rows.forall(_._2 == "example.com"), rows.toString)
+    // and the blocklist catches the alt-port URL
+    val docs = Seq((1L, "http://example.com:8080/spam"), (2L, "http://other.org/x"))
+      .toDF("doc_id", "url")
+    val kept = Url.blocklistFilter(docs, "url", Seq("example.com"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(2L))
   }
 
   test("hostOf / registrableDomain: plain, deep, ccSLD, short hosts") {

@@ -13,7 +13,14 @@ for i in $(seq 1 "$PASSES"); do
   for side in r9 r10; do
     tree=$([ "$side" = r9 ] && echo "$R9" || echo "$R10")
     out=$(java -cp "$tree/target/scala-2.13/classes:/opt/spark/jars/*" -Xmx24g \
-      graft.Bench 2>/dev/null | grep '"metric"')
+      graft.Bench 2>/tmp/ann_ab_err.log | grep '"metric"')
+    if [ -z "$out" ]; then
+      # a crashed side must be LOUD, not a malformed JSON line that parses
+      # into a one-sided comparison; keep the stderr for diagnosis
+      echo "FATAL: $side produced no bench line (pass $i); stderr tail:" >&2
+      tail -5 /tmp/ann_ab_err.log >&2
+      exit 1
+    fi
     echo "{\"pass\":$i,\"side\":\"$side\",\"bench\":$out}"
   done
 done
