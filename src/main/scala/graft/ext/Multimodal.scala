@@ -30,19 +30,6 @@ object Multimodal {
     StructField("content", BinaryType),
     StructField("meta", metaSchema)))
 
-  /** Attach a fake media column pair derived from a text column: content =
-    * UTF-8 bytes, metadata deterministic from the id. Stands in for reading
-    * real (bytes, metadata) pairs from a lakehouse table. */
-  def attachFakeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).cast("long").as("doc_id"),
-      col(textCol).cast("binary").as("content"),
-      struct(
-        when(col(idCol) % 2 === 0, "png").otherwise("wav").as("format"),
-        (col(idCol) % 64 + 16).cast("int").as("width"),
-        (col(idCol) % 48 + 16).cast("int").as("height"),
-        (col(idCol) * 40L).as("duration_ms")).as("meta"))
-
   private val NumBins = 16
   private val LumaBins = 12
   private val MaxDecodePixels = 64L * 1024 * 1024
@@ -112,6 +99,12 @@ object Multimodal {
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => return null }
+    // createImageInputStream CONTRACT: null when no ImageInputStreamSpi
+    // claims the stream — getImageReaders(null) would throw OUTSIDE any
+    // catch (and iis.close() would NPE), failing the task instead of
+    // yielding the NULL feature row the NonFatal-total decode contract
+    // promises.
+    if (iis == null) return null
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return null
@@ -327,6 +320,7 @@ object Multimodal {
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => return null }
+    if (iis == null) return null // same no-SPI-claims contract as peekImageDims
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return null
@@ -834,7 +828,7 @@ object Multimodal {
       }(encoder)
   }
 
-  /** Like [[attachFakeMedia]], but even ids carry REAL synthesized PNG bytes
+  /** Like [[graft.fixtures.Fixtures.attachFakeMedia]], but even ids carry REAL synthesized PNG bytes
     * at exactly the declared meta dimensions (odd ids keep opaque text
     * bytes) — so the image branch of decode/resize runs on genuine codec
     * output at the correctness gate, not just in specs. */

@@ -380,4 +380,68 @@ object Sampling {
     import spark.implicits._
     top.toSeq.toDF("w", "n_exact", "sketch_ok")
   }
+
+  // ------------------------------------------------------------------ auto
+  // Measured skew routing for the capping family (VERDICT r11 item 2): the
+  // plain-vs-scale-route knobs (`salts`, `rangeBuckets`) become an auto
+  // decision from a one-aggregation probe, the winnowPairs measured-routing
+  // pattern (Dedup.scala) — route on what the data IS, not on a user guess.
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Largest single-source row count one window task is allowed to sort
+    * before the capping operators switch to their scale routes. The plain
+    * routes put a whole source through ONE task; the 30 M-row CapSkewProbe
+    * receipt (bench_history, r11) measured the flip being worth it well
+    * below this, but the scale routes carry an extra (tiny) shuffle that is
+    * pure overhead at gate scale — so the default only flips when a source
+    * is genuinely window-task-hostile. Overridable per call (and by the
+    * probe/spec) via the `skewRowThreshold` parameter. */
+  val AutoSkewRowThreshold = 2000000L
+
+  /** One-aggregation skew probe: (largest single-source row count, total).
+    * A groupBy-count is map-side-combined — at 100 TB this reads as one
+    * pass producing |sources| rows, orders cheaper than the window sort it
+    * protects against. */
+  def maxSourceRows(docs: DataFrame, sourceCol: String): (Long, Long) = {
+    val r = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(max("__n"), lit(0L)), coalesce(sum("__n"), lit(0L)))
+      .first()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[sourceCapKeep]] with the salts knob decided by [[maxSourceRows]]:
+    * plain single-window below `skewRowThreshold`, the salted two-phase
+    * top-k (salts = shuffle partitions, the executor-count stand-in) above
+    * it. Same keep set either way (spec- and gate-pinned). */
+  def sourceCapAuto(docs: DataFrame, idCol: String, sourceCol: String,
+                    cap: Int,
+                    skewRowThreshold: Long = AutoSkewRowThreshold): DataFrame = {
+    val (maxN, total) = maxSourceRows(docs, sourceCol)
+    val salts =
+      if (maxN > skewRowThreshold)
+        math.max(2, docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      else 1
+    log.info(s"sourceCapAuto: maxSource=$maxN/$total " +
+      s"threshold=$skewRowThreshold -> ${if (salts > 1) s"salted($salts)" else "plain"}")
+    sourceCapKeep(docs, idCol, sourceCol, cap, salts)
+  }
+
+  /** [[tokenBudgetKeep]] with the rangeBuckets knob decided by
+    * [[maxSourceRows]]: plain below `skewRowThreshold`, the 16-bucket
+    * hex-prefix scan above it, 256 buckets past 16x the threshold (each
+    * bucket then still holds ~threshold/16 rows of the worst source). Same
+    * cum_tokens/keep either way (spec- and gate-pinned). */
+  def tokenBudgetAuto(docs: DataFrame, idCol: String, sourceCol: String,
+                      textCol: String, budgetTokens: Long,
+                      skewRowThreshold: Long = AutoSkewRowThreshold): DataFrame = {
+    val (maxN, total) = maxSourceRows(docs, sourceCol)
+    val buckets =
+      if (maxN > 16 * skewRowThreshold) 256
+      else if (maxN > skewRowThreshold) 16
+      else 1
+    log.info(s"tokenBudgetAuto: maxSource=$maxN/$total " +
+      s"threshold=$skewRowThreshold -> ${if (buckets > 1) s"bucketed($buckets)" else "plain"}")
+    tokenBudgetKeep(docs, idCol, sourceCol, textCol, budgetTokens, buckets)
+  }
 }

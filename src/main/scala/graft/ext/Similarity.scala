@@ -578,7 +578,11 @@ object Similarity {
   private val TieCollectBudget = 100000L
 
   private def tieInclusive(scored: DataFrame, idCol: String,
-                           rerank: Int): DataFrame =
+                           rerank: Int): DataFrame = {
+    // rerank <= 0 would index top(min(rerank, len) - 1) = top(-1) below —
+    // an ArrayIndexOutOfBoundsException instead of a usable error. A
+    // degenerate rerank is a caller bug either way; fail it with a message.
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
     if (TieCapMultiple.toLong * rerank <= TieCollectBudget) {
       // ONE TakeOrdered pass, not a threshold job plus a capped re-scan
       // (the r10 form paid two scans of the coded corpus and measured as a
@@ -629,6 +633,7 @@ object Similarity {
         .limit(math.min(Int.MaxValue.toLong, TieCapMultiple.toLong * rerank).toInt)
         .select(col(idCol), col("adc"))
     }
+  }
 
   /** The query's ADC lookup tables: distance from each query subvector to
     * each sub-centroid — m·ksub doubles, driver-computed. */

@@ -43,7 +43,11 @@ object Url {
     *  4. strip leading `www.`
     *  5. strip default port (`:80`/`:443` at the end of the AUTHORITY —
     *     the pattern is anchored to the leading host run, so a path or
-    *     query segment that merely ends in `:443` is untouched)
+    *     query segment that merely ends in `:443` is untouched; `?`/`&`
+    *     are accepted after the port as well as `/` or end-of-string,
+    *     because this step runs BEFORE the `?`->`&` normalization and a
+    *     query-only URL on a default port — `example.com:443?x=1` — must
+    *     merge with its portless spelling)
     *  6. normalize the query separator: `?` -> `&`
     *  7. drop tracking params (`&(utm_*|fbclid|gclid|ref)=...`)
     *  8. strip a trailing `/` or `&` */
@@ -52,7 +56,7 @@ object Url {
     val s2 = regexp_replace(s1, "#.*$", "")
     val s3 = regexp_replace(s2, "^https?://", "")
     val s4 = regexp_replace(s3, "^www\\.", "")
-    val s5 = regexp_replace(s4, "^([^/:?&]*):(80|443)(/|$)", "$1$3")
+    val s5 = regexp_replace(s4, "^([^/:?&]*):(80|443)([/?&]|$)", "$1$3")
     val s6 = regexp_replace(s5, "\\?", "&")
     val s7 = regexp_replace(s6, "&(" + TrackingParams + ")=[^&]*", "")
     regexp_replace(s7, "(/|&)$", "")
@@ -116,37 +120,41 @@ object Url {
       docs.withColumn("domain", registrableDomain(hostOf(canonicalKey(col(urlCol))))),
       idCol, "domain", cap, salts)
 
+  /** Entry count above which [[blocklistFilter]] switches from the
+    * expression-literal (`isInCollection` -> InSet, O(1) probes, zero
+    * exchange) route to the anti-join route: past ~100k entries the
+    * literal stops being free — it is serialized into every task binary
+    * and bloats the plan — while a LEFT ANTI hash join on the domain
+    * carries the same O(1) probe with the list shipped ONCE per executor
+    * as a broadcast relation. */
+  val BlocklistJoinThreshold = 100000
+
   /** Domain blocklist filter: drop documents whose registrable domain is in
-    * `blocked`. The list ships as an expression literal (broadcast-free for
-    * the usual 10^3..10^5 entries; a truly huge list becomes a broadcast
-    * anti-join instead). */
+    * `blocked`. NULL-tolerant: a document with a NULL url (NULL propagates
+    * through the whole canonicalKey/host/domain chain) is KEPT — a
+    * blocklist must only remove documents POSITIVELY matched to a blocked
+    * domain, never rows that merely lack a URL (`!NULL.isin(...)` is NULL
+    * and a bare filter would silently drop them).
+    *
+    * Size-routed: lists up to [[BlocklistJoinThreshold]] ship as an InSet
+    * literal (zero exchange); bigger lists run as a broadcast LEFT ANTI
+    * join on the domain — same semantics (anti-join never emits a row on a
+    * NULL key, so NULL-url rows survive both routes), spec-pinned equal and
+    * probe-receipted at 10M docs x 10^5 entries. */
   def blocklistFilter(docs: DataFrame, urlCol: String,
-                      blocked: Seq[String]): DataFrame = {
+                      blocked: Seq[String],
+                      joinThreshold: Int = BlocklistJoinThreshold): DataFrame = {
     val domain = registrableDomain(hostOf(canonicalKey(col(urlCol))))
-    docs.filter(!domain.isin(blocked: _*))
+    if (blocked.size <= joinThreshold)
+      docs.filter(domain.isNull || !domain.isInCollection(blocked))
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val bl = broadcast(blocked.toDF("__blocked_domain"))
+      docs.withColumn("__bl_domain", domain)
+        .join(bl, col("__bl_domain") === col("__blocked_domain"), "left_anti")
+        .drop("__bl_domain")
+    }
   }
 
-  /** Deterministic URL fixture for gates/specs, attached from the stable id
-    * (the [[Multimodal.attachFakeMedia]] pattern): scheme/www/port/casing/
-    * tracking-param/fragment variation all driven by id residues, with the
-    * HOST keyed by (source, doc_id % 50) so canonical collisions — the
-    * thing URL dedup exists to collapse — actually occur, and ccSLD TLDs in
-    * the rotation so registrableDomain's 3-label rule is exercised. */
-  def attachUrls(docs: DataFrame, idCol: String, sourceCol: String): DataFrame = {
-    val id = col(idCol)
-    val tld = when(id % 4 === 0, ".co.uk")
-      .when(id % 4 === 1, ".com")
-      .when(id % 4 === 2, ".org")
-      .otherwise(".example.com")
-    val url = concat(
-      when(id % 3 === 0, "HTTPS://WWW.").when(id % 3 === 1, "https://")
-        .otherwise("http://"),
-      col(sourceCol), lit("-"), (id % 50).cast("string"), tld,
-      when(id % 5 === 0, ":443").otherwise(""),
-      lit("/p/"), (id % 20).cast("string"),
-      when(id % 2 === 0, concat(lit("?utm_source=feed&item="), (id % 7).cast("string")))
-        .otherwise(""),
-      when(id % 6 === 0, "#frag").otherwise(""))
-    docs.withColumn("url", url)
-  }
 }

@@ -1,0 +1,88 @@
+package graft.fixtures
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic gate/spec fixtures, OUT of the operator namespace
+  * (VERDICT r11 item 5): operators under `graft.ext` carry only engine
+  * surface; the synthetic columns the CORRECTNESS gates attach to the
+  * documents table live here. Every fixture is a pure column expression
+  * driven by id residues, so the DuckDB oracle twins replay it verbatim.
+  */
+object Fixtures {
+
+  /** Deterministic URL fixture (formerly `Url.attachUrls`):
+    * scheme/www/port/casing/tracking-param/fragment variation all driven by
+    * id residues, with the HOST keyed by (source, doc_id % 50) so canonical
+    * collisions — the thing URL dedup exists to collapse — actually occur,
+    * and ccSLD TLDs in the rotation so registrableDomain's 3-label rule is
+    * exercised. */
+  def attachUrls(docs: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val id = col(idCol)
+    val tld = when(id % 4 === 0, ".co.uk")
+      .when(id % 4 === 1, ".com")
+      .when(id % 4 === 2, ".org")
+      .otherwise(".example.com")
+    val url = concat(
+      when(id % 3 === 0, "HTTPS://WWW.").when(id % 3 === 1, "https://")
+        .otherwise("http://"),
+      col(sourceCol), lit("-"), (id % 50).cast("string"), tld,
+      when(id % 5 === 0, ":443").otherwise(""),
+      lit("/p/"), (id % 20).cast("string"),
+      when(id % 2 === 0, concat(lit("?utm_source=feed&item="), (id % 7).cast("string")))
+        .otherwise(""),
+      when(id % 6 === 0, "#frag").otherwise(""))
+    docs.withColumn("url", url)
+  }
+
+  /** Host fixture for the PSL registrable-domain gate: a 12-way rotation
+    * that exercises every PSL rule kind in [[graft.ext.Psl.Snapshot]] —
+    * private-section platform suffixes (github.io, blogspot.com), 2- and
+    * 3-label ICANN rules (co.uk, co.jp, k12.ca.us), wildcard rules with
+    * their exceptions (*.kawasaki.jp / !city.kawasaki.jp, *.ck / !www.ck),
+    * the implicit `*` default (an unlisted TLD), and a dotless host. */
+  def pslHost(id: Column): Column =
+    when(id % 12 === 0, concat(lit("user"), (id % 7).cast("string"), lit(".github.io")))
+      .when(id % 12 === 1, concat(lit("blog"), (id % 5).cast("string"), lit(".blogspot.com")))
+      .when(id % 12 === 2, concat(lit("a.b.shop"), (id % 5).cast("string"), lit(".co.uk")))
+      .when(id % 12 === 3, concat(lit("sub.x"), (id % 3).cast("string"), lit(".kawasaki.jp")))
+      .when(id % 12 === 4, lit("city.kawasaki.jp"))
+      .when(id % 12 === 5, lit("www.ck"))
+      .when(id % 12 === 6, concat(lit("p.biz"), (id % 4).cast("string"), lit(".ck")))
+      .when(id % 12 === 7, concat(lit("school"), (id % 3).cast("string"), lit(".k12.ca.us")))
+      .when(id % 12 === 8, concat(lit("sub.example"), (id % 6).cast("string"), lit(".com")))
+      .when(id % 12 === 9, concat(lit("site"), (id % 5).cast("string"), lit(".something.xyz")))
+      .when(id % 12 === 10, lit("localhost"))
+      .otherwise(concat(lit("news"), (id % 4).cast("string"), lit(".co.jp")))
+
+  /** The [[pslHost]] rotation as DuckDB SQL over a `doc_id` column — the
+    * oracle twin, kept adjacent to the Spark form so they drift together. */
+  def pslHostSql(id: String): String =
+    s"(CASE WHEN $id % 12 = 0 THEN 'user' || CAST($id % 7 AS VARCHAR) || '.github.io' " +
+      s"WHEN $id % 12 = 1 THEN 'blog' || CAST($id % 5 AS VARCHAR) || '.blogspot.com' " +
+      s"WHEN $id % 12 = 2 THEN 'a.b.shop' || CAST($id % 5 AS VARCHAR) || '.co.uk' " +
+      s"WHEN $id % 12 = 3 THEN 'sub.x' || CAST($id % 3 AS VARCHAR) || '.kawasaki.jp' " +
+      s"WHEN $id % 12 = 4 THEN 'city.kawasaki.jp' " +
+      s"WHEN $id % 12 = 5 THEN 'www.ck' " +
+      s"WHEN $id % 12 = 6 THEN 'p.biz' || CAST($id % 4 AS VARCHAR) || '.ck' " +
+      s"WHEN $id % 12 = 7 THEN 'school' || CAST($id % 3 AS VARCHAR) || '.k12.ca.us' " +
+      s"WHEN $id % 12 = 8 THEN 'sub.example' || CAST($id % 6 AS VARCHAR) || '.com' " +
+      s"WHEN $id % 12 = 9 THEN 'site' || CAST($id % 5 AS VARCHAR) || '.something.xyz' " +
+      s"WHEN $id % 12 = 10 THEN 'localhost' " +
+      s"ELSE 'news' || CAST($id % 4 AS VARCHAR) || '.co.jp' END)"
+
+  /** Fake media fixture (formerly `Multimodal.attachFakeMedia`): content =
+    * UTF-8 bytes of a text column, metadata deterministic from the id.
+    * Stands in for reading real (bytes, metadata) pairs from a lakehouse
+    * table; `Multimodal.attachRealMedia` stays with the operator because it
+    * exercises the REAL codec surface (synthesized PNG/GIF bytes). */
+  def attachFakeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("content"),
+      struct(
+        when(col(idCol) % 2 === 0, "png").otherwise("wav").as("format"),
+        (col(idCol) % 64 + 16).cast("int").as("width"),
+        (col(idCol) % 48 + 16).cast("int").as("height"),
+        (col(idCol) * 40L).as("duration_ms")).as("meta"))
+}

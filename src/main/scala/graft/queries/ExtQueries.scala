@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextFns, Url}
+import graft.ext.{Dedup, Multimodal, Psl, Sampling, Similarity, TextFns, Url}
+import graft.fixtures.Fixtures
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
   * (the driver ships both tables alongside the TPC-H-ish ones).
@@ -592,7 +593,7 @@ object ExtQueries {
       "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 " +
       "ORDER BY a_id, b_id"
 
-  /** DuckDB twin of [[Url.attachUrls]] + [[Url.canonicalKey]] over the
+  /** DuckDB twin of [[graft.fixtures.Fixtures.attachUrls]] + [[Url.canonicalKey]] over the
     * documents table: the same id-residue URL synthesis, then the same
     * 7-step regex chain with the 'g' flag (RE2 and Java agree on this
     * pattern subset; backreference spelling differs — `\2` here, `$2` in
@@ -612,12 +613,77 @@ object ExtQueries {
     "k AS (SELECT doc_id, source, url, " +
       "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       "lower(url), '#.*$', '', 'g'), '^https?://', '', 'g'), '^www\\.', '', 'g'), " +
-      "'^([^/:?&]*):(80|443)(/|$)', '\\1\\3', 'g'), '\\?', '&', 'g'), " +
+      "'^([^/:?&]*):(80|443)([/?&]|$)', '\\1\\3', 'g'), '\\?', '&', 'g'), " +
       "'&(utm_[a-z0-9]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '(/|&)$', '', 'g') AS key " +
     "FROM u)"
 
   private def urlHostSql(key: String): String =
     s"regexp_extract($key, '^([^/&:]*)', 1)"
+
+  /** The single-window token-budget scan — shared by the plain, salted and
+    * auto routes: all three emit the same cum_tokens/keep by contract. */
+  private val TokenBudgetOracleSql: String =
+    "SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+      "CAST(cum AS BIGINT) AS cum_tokens, " +
+      "CAST(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END AS INT) AS keep " +
+      "FROM (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER " +
+      "(PARTITION BY source ORDER BY h, doc_id " +
+      "ROWS UNBOUNDED PRECEDING) AS cum " +
+      "FROM (SELECT doc_id, source, " +
+      "len(string_split(coalesce(text, ''), ' ')) AS n_tokens, " +
+      s"md5(CAST(doc_id AS VARCHAR)) AS h FROM $Docs)) " +
+      "ORDER BY doc_id"
+
+  /** [[Psl.Snapshot]] as a DuckDB VALUES table `(suffix, kind, plen)` —
+    * kind 'p'lain / 'w'ildcard (suffix = the base) / 'e'xception, plen =
+    * label count of the STORED suffix. Generated from the same Scala
+    * constant the engine uses, so the two sides cannot drift. */
+  private val PslValuesSql: String =
+    Psl.Snapshot.map { rule =>
+      val (kind, suf) =
+        if (rule.startsWith("*.")) ("w", rule.stripPrefix("*."))
+        else if (rule.startsWith("!")) ("e", rule.stripPrefix("!"))
+        else ("p", rule)
+      s"('$suf', '$kind', ${suf.count(_ == '.') + 1})"
+    }.mkString(", ")
+
+  /** Deepest stored-suffix label count — how many last-k probes the oracle
+    * (and the engine) need. */
+  private val PslMaxProbe: Int = {
+    val r = Psl.parse(Psl.Snapshot)
+    (r.plain ++ r.bases ++ r.exceptions).map(_.count(_ == '.') + 1).max
+  }
+
+  /** The PSL resolution algorithm in DuckDB over a `h(doc_id, host)` CTE:
+    * probe the host's last-1..last-k labels against the VALUES table
+    * (a suffix string only ever equals a probe of its own label count),
+    * pick by PSL precedence (exception first, then longest effective
+    * match), default to the implicit `*` rule (ps_len 1), and emit the
+    * public suffix plus one label — or the host itself when it IS a public
+    * suffix. The engine's [[Psl.registrableDomain]] runs the same algorithm
+    * as an InSet `when` chain. */
+  private def pslDomainSql(hCte: String): String = {
+    val probes = (1 to PslMaxProbe).map { k =>
+      if (k == 1) "regexp_extract(host, '([^.]+)$', 1)"
+      else s"regexp_extract(host, '((?:[^.]+\\.){${k - 1}}[^.]+)$$', 1)"
+    }.mkString(", ")
+    s"$hCte, psl(suffix, kind, plen) AS (VALUES $PslValuesSql), " +
+      s"cand AS (SELECT doc_id, UNNEST([$probes]) AS s FROM h), " +
+      "m AS (SELECT c.doc_id, " +
+      "CASE WHEN p.kind = 'e' THEN p.plen - 1 WHEN p.kind = 'w' THEN p.plen + 1 ELSE p.plen END AS ps_len, " +
+      "(p.kind = 'e') AS is_exc, " +
+      "CASE WHEN p.kind = 'w' THEN p.plen + 1 ELSE p.plen END AS el " +
+      "FROM cand c JOIN psl p ON c.s = p.suffix), " +
+      "picked AS (SELECT doc_id, ps_len, row_number() OVER " +
+      "(PARTITION BY doc_id ORDER BY is_exc DESC, el DESC) AS rn FROM m), " +
+      "f AS (SELECT h.doc_id, h.host, coalesce(p.ps_len, 1) AS ps_len FROM h " +
+      "LEFT JOIN (SELECT doc_id, ps_len FROM picked WHERE rn = 1) p USING (doc_id)) " +
+      "SELECT doc_id, host, " +
+      "CASE WHEN len(string_split(host, '.')) > ps_len " +
+      "THEN array_to_string(string_split(host, '.')[(len(string_split(host, '.')) - ps_len):], '.') " +
+      "ELSE host END AS domain " +
+      "FROM f ORDER BY doc_id"
+  }
 
   /** DuckDB twin of [[Url.registrableDomain]] (same two anchored extracts +
     * coalesce, same ccSLD approximation). */
@@ -639,7 +705,7 @@ object ExtQueries {
       // chain. The fixture rotates scheme/www/port/case/tracking/fragment
       // variation and ccSLD TLDs through id residues.
       (s: SparkSession, d: String) => {
-        val u = Url.attachUrls(t(s, d, "documents"), "doc_id", "source")
+        val u = Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
         val key = Url.canonicalKey(col("url"))
         u.select(col("doc_id"), col("url"), key.as("url_key"),
             Url.hostOf(key).as("host"),
@@ -655,7 +721,7 @@ object ExtQueries {
       // pages before any text work). One shuffle on the key.
       (s: SparkSession, d: String) =>
         Url.urlDedupKeep(
-            Url.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+            Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
             "url", "doc_id")
           .select("doc_id", "url_key", "keep").orderBy("doc_id"),
       Some(s"$UrlCte SELECT doc_id, key AS url_key, " +
@@ -667,7 +733,7 @@ object ExtQueries {
       // limits); the salted scale route applies unchanged at 100 TB.
       (s: SparkSession, d: String) =>
         Url.domainCapKeep(
-            Url.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+            Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
             "url", "doc_id", cap = 25)
           .select("doc_id", "domain").orderBy("doc_id"),
       Some(s"$UrlCte, dom AS (SELECT doc_id, " +
@@ -675,6 +741,22 @@ object ExtQueries {
         "SELECT doc_id, domain FROM (SELECT doc_id, domain, row_number() OVER " +
         "(PARTITION BY domain ORDER BY doc_id) AS rn FROM dom) " +
         "WHERE rn <= 25 ORDER BY doc_id")),
+
+    ("x_url_domain_psl", // public-suffix-list registrable domain (VERDICT
+      // r11 item 1): the exact-policy upgrade over the ccSLD regex — hosts
+      // on platform suffixes (user.github.io) stay DISTINCT domains, and
+      // wildcard/exception rules resolve per the PSL algorithm. Pure InSet
+      // probes + a when chain: zero shuffles at any corpus size. The oracle
+      // replays the algorithm as a VALUES-table suffix join generated from
+      // the SAME snapshot constant.
+      (s: SparkSession, d: String) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), Fixtures.pslHost(col("doc_id")).as("host"))
+          .withColumn("domain", Psl.registrableDomain(col("host")))
+          .orderBy("doc_id"),
+      Some(pslDomainSql(
+        s"WITH h AS (SELECT doc_id, ${Fixtures.pslHostSql("doc_id")} AS host " +
+          s"FROM $Docs)"))),
 
     // ------------------------------------------------------------- dedup --
     ("x_dedup_exact",
@@ -1509,7 +1591,7 @@ object ExtQueries {
       // the driver's comparator cannot sort/hash array cells.
       (s: SparkSession, d: String) =>
         Multimodal.decodeFeatures(
-          Multimodal.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"))
+          Fixtures.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"))
           .select(col("doc_id"), col("n_bytes"),
             concat_ws(",", transform(col("features"),
               f => round(f.cast("double") * col("n_bytes")).cast("long"))).as("bin_counts"))
@@ -1531,7 +1613,7 @@ object ExtQueries {
       // engines (trunc(x+1) == floor(x)+1 for positive x).
       (s: SparkSession, d: String) =>
         Multimodal.frameSample(
-          Multimodal.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"), 8)
+          Fixtures.attachFakeMedia(t(s, d, "documents"), "doc_id", "text"), 8)
           .select(col("doc_id"),
             concat_ws(",", transform(col("frames"), f => lower(hex(f)))).as("frames_hex"))
           .orderBy("doc_id"),
@@ -2075,6 +2157,26 @@ object ExtQueries {
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
         "AND a.doc_id < b.doc_id ORDER BY a_id, b_id")),
 
+    ("x_stream_neardup_ooo", // OUT-OF-ORDER arrival (VERDICT r11 item 8,
+      // promoted from spec to gate): the chunk feed is permuted, so pairs
+      // orient by ARRIVAL (a_id = whoever a bucket registered first) — the
+      // invariant is the UNORDERED pair set, normalized here with
+      // least/greatest before the distinct. Lateness is set far past the
+      // fixture's event-time spread so the permutation exercises state
+      // re-ordering, not watermark drops; same banding-twin oracle.
+      (s: SparkSession, d: String) => {
+        val raw = graft.streaming.StreamingNearDup
+          .candidatesFileRun(s, s"$d/documents.parquet",
+            lateness = "36500 days", arrivalOrder = Seq(2, 0, 3, 1))
+        raw.select(least(col("a_id"), col("b_id")).as("a_id"),
+            greatest(col("a_id"), col("b_id")).as("b_id"))
+          .distinct().orderBy("a_id", "b_id")
+      },
+      Some(s"$SigCte, $BandsCte " +
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM bands a " +
+        "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
+        "AND a.doc_id < b.doc_id ORDER BY a_id, b_id")),
+
     ("x_token_budget", // token-budget source capping: the mixture-spec
       // primitive real training mixes are written in (per-source token
       // quotas, cf. published LLaMA/GPT-3 mix tables). Docs fill each
@@ -2087,16 +2189,7 @@ object ExtQueries {
             "text", 20000L)
           .select("doc_id", "source", "n_tokens", "cum_tokens", "keep")
           .orderBy("doc_id"),
-      Some("SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
-        "CAST(cum AS BIGINT) AS cum_tokens, " +
-        "CAST(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END AS INT) AS keep " +
-        "FROM (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER " +
-        "(PARTITION BY source ORDER BY h, doc_id " +
-        "ROWS UNBOUNDED PRECEDING) AS cum " +
-        "FROM (SELECT doc_id, source, " +
-        "len(string_split(coalesce(text, ''), ' ')) AS n_tokens, " +
-        s"md5(CAST(doc_id AS VARCHAR)) AS h FROM $Docs)) " +
-        "ORDER BY doc_id")),
+      Some(TokenBudgetOracleSql)),
 
     ("x_source_cap", // per-source quota (domain caps à la CCNet): keep the
       // cap lowest-id docs per source; one shuffle on source, deterministic
@@ -2124,6 +2217,19 @@ object ExtQueries {
         s"(PARTITION BY source ORDER BY doc_id) AS rn FROM $Docs) " +
         "WHERE rn <= 40 ORDER BY doc_id")),
 
+    ("x_source_cap_auto", // the AUTO route (VERDICT r11 item 2): the salts
+      // knob becomes a one-aggregation measured-skew decision (largest
+      // single-source row count vs threshold) — plain here at gate scale,
+      // salted on a mega-source; either way the keep set is the same
+      // deterministic rank, so the oracle is the plain route's.
+      (s: SparkSession, d: String) =>
+        Sampling.sourceCapAuto(t(s, d, "documents"), "doc_id", "source", 40)
+          .select("doc_id", "source").orderBy("doc_id"),
+      Some("SELECT doc_id, source FROM " +
+        "(SELECT doc_id, source, row_number() OVER " +
+        s"(PARTITION BY source ORDER BY doc_id) AS rn FROM $Docs) " +
+        "WHERE rn <= 40 ORDER BY doc_id")),
+
     ("x_token_budget_salted", // the tokenBudgetKeep SCALE route: the md5
       // priority key's own hex prefix is a deterministic range partitioning
       // of the sort order, so the running sum distributes as a prefix scan
@@ -2135,16 +2241,18 @@ object ExtQueries {
             "text", 20000L, rangeBuckets = 16)
           .select("doc_id", "source", "n_tokens", "cum_tokens", "keep")
           .orderBy("doc_id"),
-      Some("SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, " +
-        "CAST(cum AS BIGINT) AS cum_tokens, " +
-        "CAST(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END AS INT) AS keep " +
-        "FROM (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER " +
-        "(PARTITION BY source ORDER BY h, doc_id " +
-        "ROWS UNBOUNDED PRECEDING) AS cum " +
-        "FROM (SELECT doc_id, source, " +
-        "len(string_split(coalesce(text, ''), ' ')) AS n_tokens, " +
-        s"md5(CAST(doc_id AS VARCHAR)) AS h FROM $Docs)) " +
-        "ORDER BY doc_id")),
+      Some(TokenBudgetOracleSql)),
+
+    ("x_token_budget_auto", // the AUTO route for the token budget: same
+      // measured-skew decision as x_source_cap_auto (plain at gate scale,
+      // 16/256 hex-prefix buckets on a mega-source), same cum_tokens/keep
+      // contract — the oracle is the single-window scan's.
+      (s: SparkSession, d: String) =>
+        Sampling.tokenBudgetAuto(t(s, d, "documents"), "doc_id", "source",
+            "text", 20000L)
+          .select("doc_id", "source", "n_tokens", "cum_tokens", "keep")
+          .orderBy("doc_id"),
+      Some(TokenBudgetOracleSql)),
 
     ("x_split_assign", // hash-derived train/val/test split: assignment is a
       // pure function of doc_id, so eval membership survives corpus growth.

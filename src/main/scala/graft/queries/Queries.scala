@@ -671,6 +671,68 @@ object Queries {
         "(CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(5 AS BIGINT), true)" +
         ") v(height_bucket, n_rows, min_h, max_h, dir_present) ORDER BY height_bucket")),
 
+    ("s6_sink", // S6 dedicated (VERDICT r11 item 4 — previously folded into
+      // s10): the batched APPEND sink. Two writeTable batches land in the
+      // same partitioned layout; the read-back audits, per partition: both
+      // batches' rows routed correctly, exactly one file per (batch,
+      // partition) (coalesce(1) per batch => 2 files), the within-file sort
+      // order the MergeTree-primary-index analogue relies on, and the
+      // parquet BLOOM FILTER on tx_hash (the reference's bloom_filter(0.01)
+      // skip-index analogue, checked in the footer via ParquetFileReader).
+      // Constants in, constants out — a VALUES oracle.
+      (s: SparkSession, d: String) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_s6").toString
+        def batch(lo: Long, n: Long) = s.range(lo, lo + n).select(
+          col("id").as("height"),
+          concat(lit("h"), col("id")).as("tx_hash"),
+          (col("id") % 3).as("height_bucket"))
+        Seq(0L, 6L).foreach { lo =>
+          Store.writeTable(batch(lo, 6).coalesce(1), s"$dir/t",
+            partitionCols = Seq("height_bucket"), sortCols = Seq("height"),
+            bloomCols = Seq("tx_hash"))
+        }
+        val conf = s.sparkContext.hadoopConfiguration
+        def hasBloom(f: java.io.File): Boolean = {
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            val bg = rd.getRowGroups.get(0)
+            bg.getColumns.asScala.find(_.getPath.toDotString == "tx_hash")
+              .exists(cc =>
+                rd.getBloomFilterDataReader(bg).readBloomFilter(cc) != null)
+          } finally rd.close()
+        }
+        val rows = new java.io.File(s"$dir/t").listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("height_bucket="))
+          .sortBy(_.getName)
+          .map { bd =>
+            val bucket = bd.getName.stripPrefix("height_bucket=").toLong
+            val files = bd.listFiles()
+              .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            val perFile = files.map(f =>
+              s.read.parquet(f.getAbsolutePath).select("height")
+                .collect().map(_.getLong(0)).toSeq)
+            val all = perFile.flatten
+            (bucket, all.length.toLong, all.min, all.max,
+              files.length.toLong,
+              files.forall(hasBloom),
+              perFile.forall(hs => hs == hs.sorted))
+          }
+        import s.implicits._
+        rows.toSeq
+          .toDF("height_bucket", "n_rows", "min_h", "max_h", "n_files",
+            "bloom_present", "sorted_files")
+          .orderBy("height_bucket")
+      },
+      Some("SELECT * FROM (VALUES " +
+        "(CAST(0 AS BIGINT), CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(9 AS BIGINT), CAST(2 AS BIGINT), true, true), " +
+        "(CAST(1 AS BIGINT), CAST(4 AS BIGINT), CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(2 AS BIGINT), true, true), " +
+        "(CAST(2 AS BIGINT), CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(11 AS BIGINT), CAST(2 AS BIGINT), true, true)" +
+        ") v(height_bucket, n_rows, min_h, max_h, n_files, bloom_present, sorted_files) " +
+        "ORDER BY height_bucket")),
+
     ("s11_catalog_stats", // S11 driver-checked: tableStats over a freshly
       // written two-table warehouse — table names, row counts, and file
       // counts are all deterministic (coalesce(1) => one file each).

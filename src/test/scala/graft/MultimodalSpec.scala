@@ -2,13 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.ext.Multimodal
+import graft.fixtures.Fixtures
 
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
   private lazy val docs = Seq((0L, "hello world"), (1L, ""), (2L, "abc"))
     .toDF("doc_id", "text")
-  private lazy val media = Multimodal.attachFakeMedia(docs, "doc_id", "text")
+  private lazy val media = Fixtures.attachFakeMedia(docs, "doc_id", "text")
 
   test("media schema: binary content + typed metadata struct") {
     assert(media.schema("content").dataType ===

@@ -143,6 +143,38 @@ class SamplingSpec extends SparkTestBase {
     assert(p === Set(1L, 2L, 3L) && s === p)
   }
 
+  test("auto capping routes: plain below threshold, scale route above, equal results") {
+    val cap = 5
+    val plain = Sampling.sourceCapKeep(docs, "doc_id", "source", cap)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // default threshold: gate-scale data stays on the plain route
+    val autoPlain = Sampling.sourceCapAuto(docs, "doc_id", "source", cap)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // threshold 0: every source counts as skewed -> salted route
+    val autoSalted = Sampling.sourceCapAuto(docs, "doc_id", "source", cap,
+        skewRowThreshold = 0L)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(autoPlain === plain && autoSalted === plain)
+
+    val budPlain = Sampling.tokenBudgetKeep(docs, "doc_id", "source", "text", 5000L)
+      .select("doc_id", "cum_tokens", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    for (th <- Seq(Sampling.AutoSkewRowThreshold, 10L, 0L)) {
+      val auto = Sampling.tokenBudgetAuto(docs, "doc_id", "source", "text",
+          5000L, skewRowThreshold = th)
+        .select("doc_id", "cum_tokens", "keep").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+      assert(auto === budPlain, s"threshold=$th")
+    }
+    // the probe itself: max single-source count and total
+    val (maxN, total) = Sampling.maxSourceRows(docs, "source")
+    val bySource = docs.groupBy("source").count().collect().map(_.getLong(1))
+    assert(maxN === bySource.max && total === bySource.sum)
+  }
+
   test("range-bucketed token budget equals the single-window scan per row") {
     val plain = Sampling.tokenBudgetKeep(docs, "doc_id", "source", "text", 5000L)
       .select("doc_id", "n_tokens", "cum_tokens", "keep").collect()

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.Url
+import graft.ext.{Psl, Url}
+import graft.fixtures.Fixtures
 
 class UrlSpec extends SparkTestBase {
   import spark.implicits._
@@ -33,6 +34,11 @@ class UrlSpec extends SparkTestBase {
     assert(canon("http://example.com/p?t=12:80") === Seq("example.com/p&t=12:80"))
     // non-default ports stay in the key (different origin, different page)
     assert(canon("http://example.com:8080/x") === Seq("example.com:8080/x"))
+    // a query-only URL on a default port merges with its portless spelling
+    // (the port strip accepts ?/& after the port, not just / or EOS)
+    assert(canon("http://example.com:443?x=1") === Seq("example.com&x=1"))
+    assert(canon("http://example.com?x=1") === Seq("example.com&x=1"))
+    assert(canon("http://example.com:80&x=1") === Seq("example.com&x=1"))
   }
 
   test("domain policy ignores ports: alternate-port serving cannot evade it") {
@@ -78,7 +84,7 @@ class UrlSpec extends SparkTestBase {
   }
 
   test("urlDedupKeep keeps the lowest id per key; fixture really collides") {
-    val docs = Url.attachUrls(
+    val docs = Fixtures.attachUrls(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "source")
     val marked = Url.urlDedupKeep(docs, "url", "doc_id")
       .select("doc_id", "url_key", "keep").collect()
@@ -95,7 +101,7 @@ class UrlSpec extends SparkTestBase {
   }
 
   test("domainCapKeep caps per registrable domain; salted route identical") {
-    val docs = Url.attachUrls(
+    val docs = Fixtures.attachUrls(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "source")
     val plain = Url.domainCapKeep(docs, "url", "doc_id", cap = 5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -112,7 +118,7 @@ class UrlSpec extends SparkTestBase {
   }
 
   test("blocklistFilter drops exactly the blocked domains") {
-    val docs = Url.attachUrls(
+    val docs = Fixtures.attachUrls(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "source")
     val withD = docs.select(col("doc_id"),
       Url.registrableDomain(Url.hostOf(Url.canonicalKey(col("url")))).as("d"))
@@ -125,5 +131,80 @@ class UrlSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === expected)
     assert(kept.size < withD.count())
+  }
+
+  test("blocklistFilter keeps NULL-url rows on both routes") {
+    val docs = Seq((1L, Some("http://spam.com/x")), (2L, None),
+      (3L, Some("http://ok.org/y")))
+      .toDF("doc_id", "url")
+    for (th <- Seq(10, 0)) { // isin-literal route, then forced anti-join route
+      val kept = Url.blocklistFilter(docs, "url", Seq("spam.com"), joinThreshold = th)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(2L, 3L), s"threshold $th")
+    }
+  }
+
+  test("blocklistFilter anti-join route equals the literal route") {
+    val docs = Fixtures.attachUrls(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "source")
+    val domains = docs.select(
+        Url.registrableDomain(Url.hostOf(Url.canonicalKey(col("url")))).as("d"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val blocked = domains.take(domains.length / 2).toSeq ++ Seq("never.example")
+    val viaLiteral = Url.blocklistFilter(docs, "url", blocked)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaJoin = Url.blocklistFilter(docs, "url", blocked, joinThreshold = 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaJoin === viaLiteral)
+    assert(viaJoin.nonEmpty && viaJoin.size < docs.count())
+    // the join route must not leak its helper column
+    assert(!Url.blocklistFilter(docs, "url", blocked, joinThreshold = 0)
+      .columns.contains("__bl_domain"))
+  }
+
+  private def pslDomains(hosts: String*): Seq[String] =
+    hosts.toDF("h").select(Psl.registrableDomain(col("h")).as("d"))
+      .collect().map(r => Option(r.getString(0)).orNull).toSeq
+
+  test("Psl.registrableDomain: plain / private-section / 3-label rules") {
+    assert(pslDomains(
+      "user.github.io", "deep.sub.user.github.io",
+      "blog.blogspot.com", "shop.example.co.uk", "a.b.shop.co.uk",
+      "x.example.com", "news.co.jp", "school.k12.ca.us", "dist.k12.ny.us") ===
+      Seq("user.github.io", "user.github.io",
+        "blog.blogspot.com", "example.co.uk", "shop.co.uk",
+        "example.com", "news.co.jp", "school.k12.ca.us", "dist.k12.ny.us"))
+  }
+
+  test("Psl.registrableDomain: wildcard and exception rules (PSL algorithm)") {
+    assert(pslDomains(
+      "sub.x.kawasaki.jp",  // *.kawasaki.jp: x.kawasaki.jp is the public
+                            // suffix -> ps + 1 label = sub.x.kawasaki.jp
+      "x.kawasaki.jp",      // IS a public suffix -> passthrough
+      "city.kawasaki.jp",   // !city.kawasaki.jp: itself registrable
+      "sub.city.kawasaki.jp", // exception: ps = kawasaki.jp, registrable =
+                            // city.kawasaki.jp
+      "www.ck",             // !www.ck: itself registrable
+      "p.biz.ck",           // *.ck: biz.ck is public -> p.biz.ck registrable
+      "biz.ck")             // IS a public suffix -> passthrough
+      === Seq("sub.x.kawasaki.jp", "x.kawasaki.jp", "city.kawasaki.jp",
+        "city.kawasaki.jp", "www.ck", "p.biz.ck", "biz.ck"))
+  }
+
+  test("Psl.registrableDomain: default rule, short hosts, null") {
+    assert(pslDomains("a.b.unlistedtld", "x.something.xyz", "localhost",
+      "com", "co.uk") ===
+      Seq("b.unlistedtld", "something.xyz", "localhost", "com", "co.uk"))
+    val r = Seq[Option[String]](None).toDF("h")
+      .select(Psl.registrableDomain(col("h")).as("d")).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("Psl.registrableDomain honors custom rule lists") {
+    val rules = Seq("custom.zone", "*.wild.zone", "!ok.wild.zone")
+    val d = Seq("a.custom.zone", "b.x.wild.zone", "ok.wild.zone")
+      .toDF("h").select(Psl.registrableDomain(col("h"), rules).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(d === Seq("a.custom.zone", "b.x.wild.zone", "ok.wild.zone"))
   }
 }
