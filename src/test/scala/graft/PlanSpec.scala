@@ -194,6 +194,21 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("x_url_domain_psl: InSet probes, zero extra exchanges, codegen'd") {
+    // the PSL resolution must stay a pure expression pipeline: membership
+    // probes as InSet (the optimizer's hash-set form of the >10-entry In),
+    // no join/shuffle introduced by the rule lookup, and the whole chain
+    // inside whole-stage codegen — a regression to per-entry Or chains or
+    // an exchange would break the zero-shuffle contract at 100 TB
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("x_url_domain_psl")
+      assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500)) // gate's sort only
+      assert(!p.contains("Join"), "PSL lookup regressed into a join: " + p.take(1500))
+      assert(p.contains("*("), "PSL chain fell out of codegen: " + p.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen active in flagship plan") {
     // AQE wraps the plan pre-execution; disable it for this one inspection so
     // the WholeStageCodegen spans are visible in the physical plan.
