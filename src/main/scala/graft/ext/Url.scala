@@ -113,11 +113,18 @@ object Url {
 
   /** Domain quota: keep at most `cap` documents per registrable domain —
     * [[Sampling.sourceCapKeep]] composed over the derived domain column
-    * (same salted scale route available via `salts`). */
+    * (same salted scale route available via `salts`). `domainOf` selects
+    * the domain policy: the default is the zero-dependency ccSLD regex
+    * [[registrableDomain]]; pass `Psl.registrableDomain(_)` (or a custom
+    * rule set via `Psl.registrableDomain(_, rules)`) for exact
+    * public-suffix-list grouping — the difference is real policy, not
+    * cosmetics: under the regex, every `*.github.io` site shares one
+    * quota; under the PSL, each site gets its own. */
   def domainCapKeep(docs: DataFrame, urlCol: String, idCol: String,
-                    cap: Int, salts: Int = 1): DataFrame =
+                    cap: Int, salts: Int = 1,
+                    domainOf: Column => Column = registrableDomain): DataFrame =
     Sampling.sourceCapKeep(
-      docs.withColumn("domain", registrableDomain(hostOf(canonicalKey(col(urlCol))))),
+      docs.withColumn("domain", domainOf(hostOf(canonicalKey(col(urlCol))))),
       idCol, "domain", cap, salts)
 
   /** Domain blocklist filter: drop documents whose registrable domain is in
@@ -138,12 +145,13 @@ object Url {
     * the list ships once per executor instead of inside every task binary.
     * At 100 TB the same shape holds: zero exchanges on the corpus side. */
   def blocklistFilter(docs: DataFrame, urlCol: String,
-                      blocked: Seq[String]): DataFrame = {
+                      blocked: Seq[String],
+                      domainOf: Column => Column = registrableDomain): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bl = broadcast(blocked.toDF("__blocked_domain"))
     docs.withColumn("__bl_domain",
-        registrableDomain(hostOf(canonicalKey(col(urlCol)))))
+        domainOf(hostOf(canonicalKey(col(urlCol)))))
       .join(bl, col("__bl_domain") === col("__blocked_domain"), "left_anti")
       .drop("__bl_domain")
   }

@@ -662,7 +662,7 @@ object ExtQueries {
     * public suffix plus one label — or the host itself when it IS a public
     * suffix. The engine's [[Psl.registrableDomain]] runs the same algorithm
     * as an InSet `when` chain. */
-  private def pslDomainSql(hCte: String): String = {
+  private def pslDomainCtes(hCte: String): String = {
     val probes = (1 to PslMaxProbe).map { k =>
       if (k == 1) "regexp_extract(host, '([^.]+)$', 1)"
       else s"regexp_extract(host, '((?:[^.]+\\.){${k - 1}}[^.]+)$$', 1)"
@@ -677,13 +677,19 @@ object ExtQueries {
       "picked AS (SELECT doc_id, ps_len, row_number() OVER " +
       "(PARTITION BY doc_id ORDER BY is_exc DESC, el DESC) AS rn FROM m), " +
       "f AS (SELECT h.doc_id, h.host, coalesce(p.ps_len, 1) AS ps_len FROM h " +
-      "LEFT JOIN (SELECT doc_id, ps_len FROM picked WHERE rn = 1) p USING (doc_id)) " +
-      "SELECT doc_id, host, " +
-      "CASE WHEN len(string_split(host, '.')) > ps_len " +
-      "THEN array_to_string(string_split(host, '.')[(len(string_split(host, '.')) - ps_len):], '.') " +
-      "ELSE host END AS domain " +
-      "FROM f ORDER BY doc_id"
+      "LEFT JOIN (SELECT doc_id, ps_len FROM picked WHERE rn = 1) p USING (doc_id))"
   }
+
+  /** The registrable-domain pick over the `f(doc_id, host, ps_len)` CTE
+    * [[pslDomainCtes]] ends with. */
+  private val PslDomainExpr: String =
+    "CASE WHEN len(string_split(host, '.')) > ps_len " +
+      "THEN array_to_string(string_split(host, '.')[(len(string_split(host, '.')) - ps_len):], '.') " +
+      "ELSE host END"
+
+  private def pslDomainSql(hCte: String): String =
+    s"${pslDomainCtes(hCte)} SELECT doc_id, host, $PslDomainExpr AS domain " +
+      "FROM f ORDER BY doc_id"
 
   /** DuckDB twin of [[Url.registrableDomain]] (same two anchored extracts +
     * coalesce, same ccSLD approximation). */
@@ -757,6 +763,25 @@ object ExtQueries {
       Some(pslDomainSql(
         s"WITH h AS (SELECT doc_id, ${Fixtures.pslHostSql("doc_id")} AS host " +
           s"FROM $Docs)"))),
+
+    ("x_domain_cap_psl", // the domain quota under the PSL policy (the
+      // pluggable domainOf hook): same cap operator, but grouping by the
+      // public-suffix-list registrable domain — the URL fixture's ccSLD
+      // hosts group identically to the regex form EXCEPT where policy
+      // genuinely differs, and the oracle recomputes the PSL algorithm over
+      // the same canonical-key hosts.
+      (s: SparkSession, d: String) =>
+        Url.domainCapKeep(
+            Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+            "url", "doc_id", cap = 25,
+            domainOf = h => Psl.registrableDomain(h))
+          .select("doc_id", "domain").orderBy("doc_id"),
+      Some(pslDomainCtes(
+          s"$UrlCte, h AS (SELECT doc_id, ${urlHostSql("key")} AS host FROM k)") +
+        s", dom AS (SELECT doc_id, $PslDomainExpr AS domain FROM f) " +
+        "SELECT doc_id, domain FROM (SELECT doc_id, domain, row_number() OVER " +
+        "(PARTITION BY domain ORDER BY doc_id) AS rn FROM dom) " +
+        "WHERE rn <= 25 ORDER BY doc_id")),
 
     // ------------------------------------------------------------- dedup --
     ("x_dedup_exact",

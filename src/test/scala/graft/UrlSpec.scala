@@ -198,6 +198,27 @@ class UrlSpec extends SparkTestBase {
     assert(r(0).isNullAt(0))
   }
 
+  test("domainOf hook: PSL policy separates platform-hosted sites, regex lumps them") {
+    val docs = Seq(
+      (1L, "https://alice.github.io/p"), (2L, "https://bob.github.io/q"),
+      (3L, "https://carol.github.io/r"), (4L, "https://example.com/x"))
+      .toDF("doc_id", "url")
+    // regex policy: all *.github.io share one domain -> cap 1 keeps one
+    val regexKept = Url.domainCapKeep(docs, "url", "doc_id", cap = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(regexKept === Set(1L, 4L))
+    // PSL policy: each site is its own registrable domain -> all survive
+    val pslKept = Url.domainCapKeep(docs, "url", "doc_id", cap = 1,
+        domainOf = h => Psl.registrableDomain(h))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pslKept === Set(1L, 2L, 3L, 4L))
+    // and the blocklist hook blocks the SITE, not the platform
+    val kept = Url.blocklistFilter(docs, "url", Seq("bob.github.io"),
+        domainOf = h => Psl.registrableDomain(h))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
   test("Psl.registrableDomain honors custom rule lists") {
     val rules = Seq("custom.zone", "*.wild.zone", "!ok.wild.zone")
     val d = Seq("a.custom.zone", "b.x.wild.zone", "ok.wild.zone")
