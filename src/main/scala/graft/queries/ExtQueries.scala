@@ -2190,6 +2190,10 @@ object ExtQueries {
       // fixture's event-time spread so the permutation exercises state
       // re-ordering, not watermark drops; same banding-twin oracle.
       (s: SparkSession, d: String) => {
+        // 4 chunks, same as the eq gate: a 3-chunk variant measured the
+        // SAME wall time (10.4 vs 10.2 s sf1 — the harness cost is the
+        // per-row signature + stream setup, not per-batch commit
+        // constants), so the stronger 4-element permutation stays
         val raw = graft.streaming.StreamingNearDup
           .candidatesFileRun(s, s"$d/documents.parquet",
             lateness = "36500 days", arrivalOrder = Seq(2, 0, 3, 1))
