@@ -1283,30 +1283,45 @@ object Dedup {
     * count (one cheap agg — production passes the known corpus size). */
   def bloomNewDocs(newDf: DataFrame, oldDf: DataFrame,
                    textCol: String, idCol: String,
+                   fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame =
+    bloomNewKeys(
+      newDf.select(col(idCol), md5(col(textCol)).as("content_hash")),
+      oldDf.select(md5(col(textCol)).as("content_hash")),
+      idCol, "content_hash", fpp, expectedItems)
+
+  /** Key-generic core of [[bloomNewDocs]]: rows of `newKeyed` (idCol,
+    * keyCol) whose STRING key is absent from `oldKeys` (a 1-column frame of
+    * the same keyCol). The corpus keys compress to a treeAggregate-built
+    * Bloom filter probed in a codegen'd projection; definitely-new rows
+    * skip the anti-join, might-contain suspects pay the exact backstop —
+    * EXACT output at any fpp. The URL family reuses this verbatim with the
+    * canonical URL key ([[Url.newUrlsOnly]] — incremental-crawl frontier
+    * dedup) where the text family uses md5(text).
+    *
+    * Null keys: dropped from the filter build (putString(null) NPEs) and
+    * routed around the probe — a NULL key never equi-matches, so the row
+    * always comes out "new", matching the plain anti-join twin. */
+  def bloomNewKeys(newKeyed: DataFrame, oldKeys: DataFrame,
+                   idCol: String, keyCol: String,
                    fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
-    val spark = newDf.sparkSession
+    val spark = newKeyed.sparkSession
     import spark.implicits._
-    // Null text hashes to null: drop those fingerprints from the filter
-    // build (putString(null) NPEs in treeAggregate) and route null-hash
-    // batch rows around the bloom probe entirely, so the output matches the
-    // plain anti-join twin, where a NULL content_hash never equi-matches
-    // and the row always comes out "new".
-    val oldFp = oldDf.select(md5(col(textCol)).as("__fp"))
+    val oldFp = oldKeys.select(col(keyCol).as("__fp"))
       .filter(col("__fp").isNotNull)
     val expected = if (expectedItems > 0) expectedItems
       else math.max(1L, oldFp.count())
     val bf = oldFp.as[String].rdd.treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
       (f, s) => { f.putString(s); f }, (a, b) => a.mergeInPlace(b))
-    val probed = newDf.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val probed = newKeyed.select(col(idCol), col(keyCol))
       .withColumn("__might",
         graft.functions.GraftExpressions.bloom_might_contain(
-          col("content_hash"), bf))
-    val definiteNew = probed.filter(col("content_hash").isNull || !col("__might"))
-    val suspects = probed.filter(col("content_hash").isNotNull && col("__might"))
-      .join(oldFp.select(col("__fp").as("content_hash")).distinct(),
-        Seq("content_hash"), "left_anti")
-    definiteNew.unionByName(suspects).select(col(idCol), col("content_hash"))
+          col(keyCol), bf))
+    val definiteNew = probed.filter(col(keyCol).isNull || !col("__might"))
+    val suspects = probed.filter(col(keyCol).isNotNull && col("__might"))
+      .join(oldFp.select(col("__fp").as(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
+    definiteNew.unionByName(suspects).select(col(idCol), col(keyCol))
   }
 
   /** Inline form: derives the old band table from the old text and delegates

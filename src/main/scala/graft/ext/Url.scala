@@ -102,6 +102,22 @@ object Url {
       .withColumn("keep", (row_number().over(w) === 1).cast("int"))
   }
 
+  /** Incremental-crawl frontier dedup: rows of `newDocs` whose CANONICAL
+    * url key is absent from `oldDocs` — the "have we already fetched this
+    * page under any serving variant" primitive a refresh crawl runs before
+    * touching content. [[Dedup.bloomNewKeys]] with the url key as the
+    * fingerprint: the corpus keys compress to a Bloom filter, only
+    * might-contain suspects pay the exact anti-join backstop, output EXACT
+    * at any fpp. Production passes the known corpus size as
+    * `expectedItems` instead of paying the sizing count. */
+  def newUrlsOnly(newDocs: DataFrame, oldDocs: DataFrame, urlCol: String,
+                  idCol: String, fpp: Double = 0.01,
+                  expectedItems: Long = -1L): DataFrame =
+    Dedup.bloomNewKeys(
+      newDocs.select(col(idCol), canonicalKey(col(urlCol)).as("url_key")),
+      oldDocs.select(canonicalKey(col(urlCol)).as("url_key")),
+      idCol, "url_key", fpp, expectedItems)
+
   /** Per-key dup groups: canonical keys carried by more than one document,
     * with the keeper and the collapse count — the audit table a URL-dedup
     * pass publishes. */

@@ -764,6 +764,23 @@ object ExtQueries {
         s"WITH h AS (SELECT doc_id, ${Fixtures.pslHostSql("doc_id")} AS host " +
           s"FROM $Docs)"))),
 
+    ("x_url_incr", // incremental-crawl frontier dedup: the refresh batch
+      // (doc_id % 10 < 2) keeps only URLs whose canonical key is absent
+      // from the already-fetched corpus (the rest). Bloom-compressed corpus
+      // keys + exact anti-join backstop on suspects — EXACT at any fpp, so
+      // the oracle is the plain NOT IN over the same canonical keys.
+      (s: SparkSession, d: String) => {
+        val docs = Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
+        Url.newUrlsOnly(
+          docs.filter(col("doc_id") % 10 < 2),
+          docs.filter(col("doc_id") % 10 >= 2),
+          "url", "doc_id", expectedItems = 10000L)
+          .orderBy("doc_id")
+      },
+      Some(s"$UrlCte SELECT doc_id, key AS url_key FROM k " +
+        "WHERE doc_id % 10 < 2 AND key NOT IN " +
+        "(SELECT key FROM k WHERE doc_id % 10 >= 2) ORDER BY doc_id")),
+
     ("x_domain_cap_psl", // the domain quota under the PSL policy (the
       // pluggable domainOf hook): same cap operator, but grouping by the
       // public-suffix-list registrable domain — the URL fixture's ccSLD

@@ -198,6 +198,25 @@ class UrlSpec extends SparkTestBase {
     assert(r(0).isNullAt(0))
   }
 
+  test("newUrlsOnly: serving variants of fetched pages are not new; null url is") {
+    val corpus = Seq(
+      (1L, "https://www.example.com/a?utm_source=x"),
+      (2L, "http://other.org/b")).toDF("doc_id", "url")
+    val refresh = Seq(
+      (10L, "http://example.com/a"),        // variant of fetched page -> old
+      (11L, "https://other.org/b/"),        // trailing slash variant -> old
+      (12L, "https://fresh.net/c"),         // genuinely new
+      (13L, null.asInstanceOf[String]))     // null url -> "new" (never matches)
+      .toDF("doc_id", "url")
+    val out = Url.newUrlsOnly(refresh, corpus, "url", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(12L, 13L))
+    // exact at a hostile fpp too (the bloom moves cost, not correctness)
+    val hostile = Url.newUrlsOnly(refresh, corpus, "url", "doc_id", fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hostile === Set(12L, 13L))
+  }
+
   test("domainOf hook: PSL policy separates platform-hosted sites, regex lumps them") {
     val docs = Seq(
       (1L, "https://alice.github.io/p"), (2L, "https://bob.github.io/q"),
