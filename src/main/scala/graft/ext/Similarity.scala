@@ -991,4 +991,56 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
+
+  // ------------------------------------------------------------------ sq8
+  // Scalar quantization — the storage rung BELOW product quantization:
+  // each vector compresses to one byte per dimension plus a per-vector
+  // (mn, sc) affine pair (4x smaller than float32 at scan time; PQ's 32x
+  // with codebooks is the next rung). The per-vector affine code is the
+  // standard SQ8 of the ANN literature (FAISS IndexScalarQuantizer QT_8bit
+  // shape): code_i = round((x_i - mn) / sc * 255).
+
+  /** SQ8 encode: struct(mn, sc, codes int[0..255]). A constant vector
+    * takes sc = 1 so every code is 0 and dequantization reconstructs `mn`
+    * exactly. Pure column expressions — encodes in the scan projection. */
+  def sq8Encode(vec: Column): Column = {
+    val mn = array_min(vec).cast("double")
+    val mx = array_max(vec).cast("double")
+    val sc = when(mx > mn, mx - mn).otherwise(lit(1.0))
+    struct(mn.as("mn"), sc.as("sc"),
+      transform(vec, x =>
+        round((x.cast("double") - mn) / sc * 255.0, 0).cast("int")).as("codes"))
+  }
+
+  /** Dequantized vector of an [[sq8Encode]] struct, float-cast per element
+    * (the cosine kernel is ARRAY<FLOAT>; the DuckDB twin casts to REAL at
+    * the same point so both engines round identically). Max per-element
+    * reconstruction error is sc / 255 / 2 (spec-pinned). */
+  def sq8Decode(q: Column): Column =
+    transform(q.getField("codes"), c =>
+      (q.getField("mn") + c.cast("double") / 255.0 * q.getField("sc"))
+        .cast("float"))
+
+  /** SQ8 top-k: score the corpus by cosine in the DEQUANTIZED domain (at
+    * write time the codes live on disk and the scan reads 1 B/dim instead
+    * of 4 — the pqWriteCodes/pqTopKCoded storage split applies verbatim;
+    * this inline form is the self-contained gate query), take the top
+    * `rerank` candidates by (rounded quantized cosine desc, id), then
+    * re-rank exactly on the full vectors — the same quantize-then-refine
+    * shape as the PQ family; `rerank` is the recall/cost dial, and
+    * rerank >= corpus size degenerates to the exact scan (spec-pinned
+    * equal to cosineTopK). */
+  def sq8TopK(em: DataFrame, idCol: String, vecCol: String,
+              queryVec: DataFrame, k: Int, rerank: Int = 50): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    val cands = em
+      .select(col(idCol), sq8Decode(sq8Encode(col(vecCol))).as("__dq"))
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), round(cosine(col("__dq"), col("qv")), 6).as("qcos"))
+      .orderBy(col("qcos").desc, col(idCol)).limit(rerank)
+    em.join(broadcast(cands.select(idCol)), Seq(idCol))
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol)).limit(k)
+  }
 }

@@ -1165,6 +1165,53 @@ object ExtQueries {
           Similarity.pqCodebooksFor(s, d)),
       None),
 
+    ("x_sq8_codes", // SQ8 scalar-quantization encode audit (the storage
+      // rung below PQ: 1 B/dim + a per-vector affine pair, 4x smaller
+      // scans): per-vector (mn, sc) and code-stream aggregates — the
+      // oracle recomputes the affine rounding per element.
+      (s: SparkSession, d: String) =>
+        t(s, d, "embeddings")
+          .select(col("vec_id"), Similarity.sq8Encode(col("embedding")).as("q"))
+          .select(col("vec_id"),
+            round(col("q.mn"), 6).as("mn"),
+            round(col("q.sc"), 6).as("sc"),
+            aggregate(col("q.codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+            array_min(col("q.codes")).as("code_min"),
+            array_max(col("q.codes")).as("code_max"))
+          .orderBy("vec_id"),
+      Some("SELECT vec_id, round(mn, 6) AS mn, round(sc, 6) AS sc, " +
+        "CAST(list_sum(codes) AS BIGINT) AS code_sum, " +
+        "CAST(list_min(codes) AS INT) AS code_min, " +
+        "CAST(list_max(codes) AS INT) AS code_max FROM " +
+        "(SELECT vec_id, mn, sc, " +
+        "[CAST(round((CAST(x AS DOUBLE) - mn) / sc * 255) AS INT) for x in embedding] AS codes FROM " +
+        "(SELECT vec_id, embedding, mn, CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END AS sc FROM " +
+        "(SELECT vec_id, embedding, CAST(list_min(embedding) AS DOUBLE) AS mn, " +
+        s"CAST(list_max(embedding) AS DOUBLE) AS mx FROM $Embs))) ORDER BY vec_id")),
+
+    ("x_ann_sq8", // SQ8 ANN — quantize-then-refine: cosine in the
+      // DEQUANTIZED domain (float-cast on both engines at the same point)
+      // cuts the top-50 by (rounded qcos desc, id), the full vectors
+      // re-rank the survivors exactly. Same shape as x_ann_pq one rung up
+      // the accuracy/storage ladder.
+      (s: SparkSession, d: String) => {
+        val em = t(s, d, "embeddings")
+        val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        Similarity.sq8TopK(em.filter(col("vec_id") =!= 0), "vec_id",
+          "embedding", q, k = 10, rerank = 50)
+      },
+      Some(s"WITH q AS (SELECT embedding AS qv FROM $Embs WHERE vec_id = 0), " +
+        "s AS (SELECT vec_id, embedding, mn, CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END AS sc FROM " +
+        "(SELECT vec_id, embedding, CAST(list_min(embedding) AS DOUBLE) AS mn, " +
+        s"CAST(list_max(embedding) AS DOUBLE) AS mx FROM $Embs WHERE vec_id <> 0)), " +
+        "dq AS (SELECT vec_id, [CAST(mn + round((CAST(x AS DOUBLE) - mn) / sc * 255) / 255 * sc AS REAL) " +
+        "for x in embedding] AS dv FROM s), " +
+        s"cand AS (SELECT vec_id, round(${cosSql("dv", "qv")}, 6) AS qcos " +
+        "FROM dq, q ORDER BY qcos DESC, vec_id LIMIT 50) " +
+        s"SELECT vec_id, cos FROM (SELECT embeddings.vec_id, round($CosExpr, 6) AS cos " +
+        s"FROM $Embs AS embeddings JOIN cand USING (vec_id), q) " +
+        "ORDER BY cos DESC, vec_id LIMIT 10")),
+
     ("x_ann_pq", // PQ/ADC ANN — the compressed-domain scan: per-row distance
       // is 8 lookup-table reads summed over the row's CODES (no full vectors
       // touched), top-50 candidates by (rounded ADC asc, id) are then

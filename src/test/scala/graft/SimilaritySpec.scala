@@ -601,6 +601,51 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.head === 500L, s"true neighbor beyond the id cut must win: $top")
   }
 
+  test("sq8: reconstruction error bounded by sc/510 per element; constants exact") {
+    val em = Td.t(spark, sf0001, "embeddings").limit(200)
+    val rows = em.select(col("embedding"),
+        Similarity.sq8Decode(Similarity.sq8Encode(col("embedding"))).as("dq"),
+        Similarity.sq8Encode(col("embedding")).getField("sc").as("sc"))
+      .collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0); val dq = r.getSeq[Float](1)
+      val sc = r.getDouble(2)
+      assert(orig.length == dq.length)
+      orig.zip(dq).foreach { case (o, d) =>
+        // half-step rounding bound plus float-cast slack
+        assert(math.abs(o - d) <= sc / 510.0 + 1e-4, s"err ${math.abs(o - d)} sc $sc")
+      }
+    }
+    // constant vector: sc defaults to 1, all codes 0, dequant == mn exactly
+    val const = Seq(Seq(2.5f, 2.5f, 2.5f)).toDF("v")
+      .select(Similarity.sq8Encode(col("v")).as("q"))
+      .select(col("q.sc"), col("q.codes"),
+        Similarity.sq8Decode(col("q")).as("dq")).collect()(0)
+    assert(const.getDouble(0) == 1.0)
+    assert(const.getSeq[Int](1).forall(_ == 0))
+    assert(const.getSeq[Float](2).forall(_ == 2.5f))
+  }
+
+  test("sq8TopK degenerates to the exact scan at rerank >= corpus; sane at 50") {
+    val em = Td.t(spark, sf0001, "embeddings")
+    val q = em.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = em.filter(col("vec_id") =!= 0)
+    val n = corpus.count().toInt
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .withColumn("cos", round(col("cos"), 6))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.sq8TopK(corpus, "vec_id", "embedding", q, 10, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact)
+    // the default rerank keeps high overlap (8-bit cosine is a tight proxy)
+    val approx = Similarity.sq8TopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((approx & exact.map(_._1).toSet).size >= 8, approx.toString)
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopK(corpus, "vec_id", "embedding", q, 10, rerank = 0)
+    }
+  }
+
   test("semDedup: keep-first within a cluster; cross-cluster pairs never compared") {
     val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
     // a/b: near-identical, both cluster 0 -> b (higher id) dropped.
