@@ -208,6 +208,26 @@ object AnnProbe {
     }
     val rResD = resDIds.count(bruteIds.contains).toDouble / k
 
+    // SQ8 rung (r12): write-time codes, dequantized-domain cut + exact
+    // re-rank; recall under duplication needs the same rerank dial as PQ
+    val sq8Path = s"$dir/sq8_codes.parquet"
+    val (tSq8Build, _) = time {
+      Similarity.sq8WriteCodes(corpus, "vec_id", "embedding", sq8Path)
+    }
+    val sq8Codes = spark.read.parquet(sq8Path)
+    val (tSq8, sq8Ids) = time {
+      Similarity.sq8TopKCoded(sq8Codes, corpus, "vec_id", "embedding", q, k,
+          rerank = 50)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val rSq8 = sq8Ids.count(bruteIds.contains).toDouble / k
+    val (tSq8D, sq8DIds) = time {
+      Similarity.sq8TopKCoded(sq8Codes, corpus, "vec_id", "embedding", q, k,
+          rerank = dupRerank)
+        .collect().map(_.getLong(0)).toSeq
+    }
+    val rSq8D = sq8DIds.count(bruteIds.contains).toDouble / k
+
     println(s"""{"metric":"ann_probe","n_vecs":$nVecs,"n_lists":$nLists,"k":$k,""" +
       s""""brute_sec":${f"$tBrute%.2f"},"train_sec":${f"$tTrain%.2f"},""" +
       s""""build_sec":${f"$tBuild%.2f"},"probe_sec":${f"$tProbe%.2f"},""" +
@@ -227,6 +247,9 @@ object AnnProbe {
       s""""ivfpq_train_sec":${f"$tRTrain%.2f"},"ivfpq_build_sec":${f"$tRBuild%.2f"},""" +
       s""""ivfpq_query_sec":${f"$tRQuery%.2f"},"ivfpq_recall":$rRes,""" +
       s""""ivfpq_dup_query_sec":${f"$tRQueryD%.2f"},"ivfpq_dup_recall":$rResD,""" +
+      s""""sq8_build_sec":${f"$tSq8Build%.2f"},"sq8_query_sec":${f"$tSq8%.2f"},""" +
+      s""""sq8_recall":$rSq8,"sq8_dup_query_sec":${f"$tSq8D%.2f"},""" +
+      s""""sq8_dup_recall":$rSq8D,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1031,10 +1031,35 @@ object Similarity {
     * rerank >= corpus size degenerates to the exact scan (spec-pinned
     * equal to cosineTopK). */
   def sq8TopK(em: DataFrame, idCol: String, vecCol: String,
-              queryVec: DataFrame, k: Int, rerank: Int = 50): DataFrame = {
+              queryVec: DataFrame, k: Int, rerank: Int = 50): DataFrame =
+    sq8TopKFrom(
+      em.select(col(idCol), sq8Encode(col(vecCol)).as("q")),
+      em, idCol, vecCol, queryVec, k, rerank)
+
+  /** SQ8 write-time split — the [[pqWriteCodes]] analogue: persist
+    * struct(mn, sc, codes) per id, so the candidate scan reads ~1 B/dim
+    * (+16 B/vector affine) instead of the 4 B/dim float column. */
+  def sq8WriteCodes(em: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit =
+    em.select(col(idCol), sq8Encode(col(vecCol)).as("q"))
+      .write.mode("overwrite").parquet(path)
+
+  /** SQ8 top-k over a PRE-ENCODED codes table (the production shape, per
+    * [[pqTopKCoded]]): the candidate cut scans only (id, q); the `rerank`
+    * winners (a tiny broadcast) fetch their full vectors via an equi-join
+    * for the exact re-rank. Same result contract as [[sq8TopK]]
+    * (spec-asserted equal). */
+  def sq8TopKCoded(codes: DataFrame, em: DataFrame, idCol: String,
+                   vecCol: String, queryVec: DataFrame, k: Int,
+                   rerank: Int = 50): DataFrame =
+    sq8TopKFrom(codes, em, idCol, vecCol, queryVec, k, rerank)
+
+  private def sq8TopKFrom(coded: DataFrame, em: DataFrame, idCol: String,
+                          vecCol: String, queryVec: DataFrame, k: Int,
+                          rerank: Int): DataFrame = {
     require(rerank >= 1, s"rerank must be >= 1, got $rerank")
-    val cands = em
-      .select(col(idCol), sq8Decode(sq8Encode(col(vecCol))).as("__dq"))
+    val cands = coded
+      .select(col(idCol), sq8Decode(col("q")).as("__dq"))
       .crossJoin(broadcast(queryVec))
       .select(col(idCol), round(cosine(col("__dq"), col("qv")), 6).as("qcos"))
       .orderBy(col("qcos").desc, col(idCol)).limit(rerank)

@@ -644,6 +644,15 @@ class SimilaritySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Similarity.sq8TopK(corpus, "vec_id", "embedding", q, 10, rerank = 0)
     }
+    // write-time split: the pre-encoded codes table answers identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    Similarity.sq8WriteCodes(corpus, "vec_id", "embedding", s"$dir/codes")
+    val coded = Similarity.sq8TopKCoded(
+        spark.read.parquet(s"$dir/codes"), corpus, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.sq8TopK(corpus, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(coded === inline)
   }
 
   test("semDedup: keep-first within a cluster; cross-cluster pairs never compared") {
