@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions._
   * All pure column expressions (whole-stage-codegen friendly). */
 object TextFns {
 
+  /** HTML-to-text extraction — the step BEFORE every text operator in a
+    * web-corpus pipeline (the trafilatura/jusText slot, reduced to the
+    * deterministic core that needs no DOM): script/style/comment blocks
+    * die WITH their content (a `<script>if (a<b)...` body must not leak
+    * into the text, and its inner `<` must not derail tag stripping),
+    * remaining tags become spaces, the five ubiquitous entities decode
+    * (`&amp;` strictly LAST — decoding it first would double-decode
+    * `&amp;lt;` into a real `<`), and whitespace runs collapse. Pure
+    * regexp chain in the common RE2/Java subset (inline `(?s)` for the
+    * block rules, non-greedy bodies), oracle-twinned verbatim. NOT a
+    * sanitizer: this extracts text for analysis, it does not make HTML
+    * safe. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val e1 = regexp_replace(noTags, "&nbsp;", " ")
+    val e2 = regexp_replace(e1, "&lt;", "<")
+    val e3 = regexp_replace(e2, "&gt;", ">")
+    val e4 = regexp_replace(e3, "&quot;", "\"")
+    val e5 = regexp_replace(e4, "&#39;", "'")
+    val e6 = regexp_replace(e5, "&amp;", "&")
+    trim(regexp_replace(e6, "\\s+", " "))
+  }
+
   /** Unicode cleanup (CCNet/ftfy-style, run BEFORE fingerprinting/dedup so
     * encoding noise can't defeat exact matching): NFC composition, C0/DEL
     * controls → space, space runs collapsed, trimmed. Native codegen

@@ -71,6 +71,33 @@ object Fixtures {
       s"WHEN $id % 12 = 10 THEN 'localhost' " +
       s"ELSE 'news' || CAST($id % 4 AS VARCHAR) || '.co.jp' END)"
 
+  /** HTML fixture for the extraction gate: wraps a text column in a page
+    * skeleton exercising every stripHtml rule — a script body containing a
+    * REAL `<` (must die with its block, not derail tag stripping), a style
+    * block, a comment, attribute-carrying tags, and the entity set with
+    * `&amp;lt;` planted to catch double-decoding. */
+  def attachHtml(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("html", concat(
+      lit("<html><head><title>Doc "), col(idCol).cast("string"),
+      lit("</title><style>p { color: red; }</style>" +
+        "<script type=\"text/javascript\">if (a<b) { x = 1; }</script>" +
+        "</head><body><!-- header --><h1 class=\"t\">Doc "),
+      col(idCol).cast("string"),
+      lit("</h1><p>"), col(textCol),
+      lit("</p><br><div>footer &amp; more&nbsp;&lt;end&gt; &amp;lt;raw" +
+        "&quot;q&quot;&#39;s</div></body></html>")))
+
+  /** The [[attachHtml]] skeleton as a DuckDB SQL expression over `id` and
+    * `text` column references — the oracle twin. */
+  def htmlSql(id: String, text: String): String =
+    s"'<html><head><title>Doc ' || CAST($id AS VARCHAR) || " +
+      "'</title><style>p { color: red; }</style>" +
+      "<script type=\"text/javascript\">if (a<b) { x = 1; }</script>" +
+      "</head><body><!-- header --><h1 class=\"t\">Doc ' || " +
+      s"CAST($id AS VARCHAR) || '</h1><p>' || $text || " +
+      "'</p><br><div>footer &amp; more&nbsp;&lt;end&gt; &amp;lt;raw" +
+      "&quot;q&quot;&#39;s</div></body></html>'"
+
   /** Fake media fixture (formerly `Multimodal.attachFakeMedia`): content =
     * UTF-8 bytes of a text column, metadata deterministic from the id.
     * Stands in for reading real (bytes, metadata) pairs from a lakehouse

@@ -1338,6 +1338,41 @@ object ExtQueries {
         s"round($QualitySql, 6) AS quality " +
         s"FROM $Docs ORDER BY doc_id")),
 
+    ("x_html_extract", // HTML-to-text extraction — the step before every
+      // text operator in a web pipeline: script/style/comment blocks die
+      // WITH their content (the fixture's script body carries a real `<`),
+      // tags become spaces, the five ubiquitous entities decode (&amp;
+      // last — the fixture plants &amp;lt; to catch double-decoding),
+      // whitespace collapses. Pure regexp chain, zero shuffle; the oracle
+      // replays it verbatim over the same synthesized page skeleton.
+      (s: SparkSession, d: String) =>
+        Fixtures.attachHtml(t(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id"),
+            TextFns.stripHtml(col("html")).as("extracted"))
+          .orderBy("doc_id"),
+      Some {
+        // the chain is FOLDED, not hand-nested — one (pattern, replacement)
+        // list shared conceptually with TextFns.stripHtml, in its order
+        val steps = Seq(
+          ("(?s)<script[^>]*>.*?</script>", " "),
+          ("(?s)<style[^>]*>.*?</style>", " "),
+          ("(?s)<!--.*?-->", " "),
+          ("<[^>]+>", " "),
+          ("&nbsp;", " "),
+          ("&lt;", "<"),
+          ("&gt;", ">"),
+          ("&quot;", "\""),
+          ("&#39;", "''"),
+          ("&amp;", "&"),
+          ("\\s+", " "))
+        val chain = steps.foldLeft("h") { case (acc, (pat, rep)) =>
+          s"regexp_replace($acc, '$pat', '$rep', 'g')"
+        }
+        s"WITH p AS (SELECT doc_id, ${Fixtures.htmlSql("doc_id", "text")} AS h " +
+          s"FROM $Docs) " +
+          s"SELECT doc_id, trim($chain) AS extracted FROM p ORDER BY doc_id"
+      }),
+
     ("x_text_normalize", // unicode cleanup (CCNet/ftfy step): NFC compose +
       // controls→space + space-run collapse + trim, run over docs with
       // deterministic synthetic noise injected (decomposed e+combining-

@@ -14,6 +14,27 @@ class TextFnsSpec extends SparkTestBase {
     assert(bpe.toSeq === Seq(3L, 5L, 0L)) // a,1,b,2,!
   }
 
+  test("stripHtml: blocks die with content, entities decode once, ws collapses") {
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(graft.ext.TextFns.stripHtml(col("h")))
+        .collect()(0).getString(0)
+    // script body with a real '<' must vanish entirely
+    assert(strip("<p>a</p><script>if (x<y) { b(); }</script><p>c</p>") === "a c")
+    assert(strip("<style>p < q { }</style>hello") === "hello")
+    assert(strip("x<!-- <b>not text</b> -->y") === "x y")
+    // tags with attributes; whitespace collapse; trim
+    assert(strip("  <div class=\"a\" id='z'>one</div>\n\t<span>two</span> ") === "one two")
+    // entity decoding, &amp; strictly last: &amp;lt; is a literal "&lt;"
+    assert(strip("a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f &amp; &amp;lt;") ===
+      "a <b> \"c\" 'd' e f & &lt;")
+    // no tags at all: pass-through modulo whitespace
+    assert(strip("plain  text") === "plain text")
+    // null propagates
+    val r = Seq[Option[String]](None).toDF("h")
+      .select(graft.ext.TextFns.stripHtml(col("h"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("punct/stopword ratios") {
     val df = Seq("the cat, the hat!").toDF("t")
     val punct = df.select(TextFns.punctRatio(col("t"))).collect()(0).getDouble(0)
