@@ -255,15 +255,36 @@ object Dedup {
     * xxhash64(segment) — 8 bytes/row through the one corpus shuffle
     * regardless of k (see the inline birthday-bound note). */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 4, maxDocs: Int = 1): DataFrame = {
-    val base = segmentsOf(docs, idCol, textCol, k)
-    // The ONE corpus shuffle keys on xxhash64(segment), not the segment
-    // text: 8 bytes/row instead of ~4·k words (the doc comment's "if
-    // profiles demand it" knob, demanded by the 500 k ladder — 141 s with
-    // ~25-byte keys). The broadcast frequent set and the rebuild probes are
-    // hashes too; two distinct segments colliding in 64 bits would merge
-    // their document counts — same negligible birthday bound as
-    // [[hashedSetOf]], and the oracle stays value-equal at any gate scale.
+                   k: Int = 4, maxDocs: Int = 1): DataFrame =
+    unitDedup(segmentsOf(docs, idCol, textCol, k), maxDocs, joiner = " ")
+      .withColumnRenamed("n_units", "n_segments")
+
+  /** Cross-document PARAGRAPH dedup — the same boilerplate-removal
+    * machinery over NATURAL units (the CCNet/Dolma dedup granularity:
+    * paragraphs split on a literal delimiter, trimmed, empties dropped)
+    * instead of aligned k-word blocks. A paragraph carried by more than
+    * `maxDocs` distinct documents (nav bars, cookie banners, footers) is
+    * dropped from every document, which is rebuilt from its surviving
+    * paragraphs in original order, re-joined with the same delimiter.
+    * Output per doc: (doc_id, n_units, n_dropped, cleaned). Identical
+    * scale shape to [[segmentDedup]]: one xxhash64-keyed frequency
+    * shuffle, broadcast frequent set, per-row rebuild. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     delim: String = "\n\n", maxDocs: Int = 1): DataFrame =
+    unitDedup(paragraphsOf(docs, idCol, textCol, delim), maxDocs,
+      joiner = delim)
+
+  /** Shared frequent-unit drop + in-order rebuild over a (doc_id, __segs)
+    * frame — the body [[segmentDedup]] and [[paragraphDedup]] both run. */
+  private def unitDedup(base: DataFrame, maxDocs: Int,
+                        joiner: String): DataFrame = {
+    // The ONE corpus shuffle keys on xxhash64(unit), not the unit text:
+    // 8 bytes/row instead of the words (the doc comment's "if profiles
+    // demand it" knob, demanded by the 500 k ladder — 141 s with ~25-byte
+    // keys). The broadcast frequent set and the rebuild probes are hashes
+    // too; two distinct units colliding in 64 bits would merge their
+    // document counts — same negligible birthday bound as [[hashedSetOf]],
+    // and the oracle stays value-equal at any gate scale.
     val frequent = base
       .select(col("doc_id"), explode(col("__segs")).as("s"))
       .groupBy(xxhash64(col("s")).as("__h"))
@@ -278,10 +299,24 @@ object Dedup {
         col("__freq"), xxhash64(x))
     base.crossJoin(broadcast(frequent))
       .select(col("doc_id"),
-        size(col("__segs")).cast("long").as("n_segments"),
+        size(col("__segs")).cast("long").as("n_units"),
         size(filter(col("__segs"), x => in(x))).cast("long").as("n_dropped"),
-        array_join(filter(col("__segs"), x => !in(x)), " ").as("cleaned"))
+        array_join(filter(col("__segs"), x => !in(x)), joiner).as("cleaned"))
   }
+
+  /** (doc_id, __segs): each doc's trimmed non-empty delimiter units, in
+    * order. The delimiter is LITERAL (Pattern.quote) — a paragraph split
+    * must not interpret regex metacharacters. */
+  private[graft] def paragraphsOf(docs: DataFrame, idCol: String,
+                                  textCol: String, delim: String): DataFrame =
+    Par.ensure(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text")))
+      .select(col("doc_id"),
+        filter(
+          transform(
+            split(col("__text"), java.util.regex.Pattern.quote(delim)),
+            x => trim(x)),
+          x => x =!= "").as("__segs"))
 
   /** (doc_id, __segs): each doc's consecutive k-word segments, in order. */
   private[graft] def segmentsOf(docs: DataFrame, idCol: String,

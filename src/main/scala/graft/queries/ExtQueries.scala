@@ -834,6 +834,36 @@ object ExtQueries {
         "coalesce(array_to_string(list(s ORDER BY pos) FILTER (WHERE dropme IS NULL), ' '), '') AS cleaned " +
         "FROM s2 LEFT JOIN f USING (s) GROUP BY doc_id ORDER BY doc_id")),
 
+    ("x_paragraph_dedup", // cross-document PARAGRAPH dedup — the CCNet/
+      // Dolma dedup granularity: newline units, trimmed, empties dropped;
+      // a paragraph in >1 distinct docs is removed everywhere and docs
+      // rebuild in order. The fixture wraps each doc's text between a
+      // corpus-wide header (always dropped) and a 3-variant footer (each
+      // shared by ~1/3 of docs — dropped); the doc's own text drops only
+      // where the corpus genuinely repeats it. Same one-shuffle shape as
+      // x_segment_dedup.
+      (s: SparkSession, d: String) =>
+        Dedup.paragraphDedup(
+          t(s, d, "documents").withColumn("ptext", concat(
+            lit("subscribe to our newsletter\n"), col("text"),
+            lit("\nfooter variant "), (col("doc_id") % 3).cast("string"))),
+          "doc_id", "ptext", delim = "\n", maxDocs = 1)
+          .orderBy("doc_id"),
+      Some("WITH p AS (SELECT doc_id, 'subscribe to our newsletter' || chr(10) || " +
+        "text || chr(10) || 'footer variant ' || CAST(doc_id % 3 AS VARCHAR) AS t " +
+        s"FROM $Docs), " +
+        "w AS (SELECT doc_id, [trim(x) for x in string_split(t, chr(10)) if trim(x) <> ''] AS us FROM p), " +
+        "seg AS (SELECT doc_id, UNNEST(range(len(us))) AS pos, us FROM w), " +
+        "s2 AS (SELECT doc_id, pos, us[pos + 1] AS s FROM seg), " +
+        "f AS (SELECT s, 1 AS dropme FROM s2 GROUP BY s HAVING count(DISTINCT doc_id) > 1), " +
+        "agg AS (SELECT doc_id, count(*) AS nu, count(dropme) AS nd, " +
+        "coalesce(array_to_string(list(s ORDER BY pos) FILTER (WHERE dropme IS NULL), chr(10)), '') AS cl " +
+        "FROM s2 LEFT JOIN f USING (s) GROUP BY doc_id) " +
+        "SELECT w.doc_id, CAST(coalesce(agg.nu, 0) AS BIGINT) AS n_units, " +
+        "CAST(coalesce(agg.nd, 0) AS BIGINT) AS n_dropped, " +
+        "coalesce(agg.cl, '') AS cleaned " +
+        "FROM w LEFT JOIN agg USING (doc_id) ORDER BY w.doc_id")),
+
     ("x_span_stats", // suffix-array-criterion duplicated-RUN detection
       // (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
       // Better"): any verbatim k-word window occurring >= 2x corpus-wide is

@@ -35,6 +35,29 @@ class DedupSpec extends SparkTestBase {
     assert(got(2).getLong(2) === 0L && got(2).getString(3) === "x y z w")
   }
 
+  test("paragraphDedup: delimiter units, literal delim, order kept, empties dropped") {
+    val in = Seq(
+      (1L, "cookie banner\n\nmy unique story\n\ncookie banner\n\nfooter"),
+      (2L, "cookie banner\n\nanother tale\n\nfooter"),
+      (3L, " \n\nsolo paragraph\n\n")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(in, "doc_id", "text", delim = "\n\n",
+        maxDocs = 1)
+      .orderBy("doc_id").collect()
+    // doc 1: banner (x2 in-doc, cross-doc frequent) + footer dropped
+    assert(got(0).getLong(1) === 4L && got(0).getLong(2) === 3L)
+    assert(got(0).getString(3) === "my unique story")
+    assert(got(1).getLong(1) === 3L && got(1).getLong(2) === 2L)
+    assert(got(1).getString(3) === "another tale")
+    // doc 3: whitespace-only unit never counted; unique paragraph survives
+    assert(got(2).getLong(1) === 1L && got(2).getLong(2) === 0L)
+    assert(got(2).getString(3) === "solo paragraph")
+    // delimiter is literal: a '.' delim must not behave as regex-any
+    val dots = Seq((1L, "aXbXa"), (2L, "c")).toDF("doc_id", "text")
+    val lit = Dedup.paragraphDedup(dots, "doc_id", "text", delim = "X",
+        maxDocs = 1).orderBy("doc_id").collect()
+    assert(lit(0).getLong(1) === 3L) // a, b, a — split on literal X
+  }
+
   test("segmentDedup: short tail segment counts; all-boilerplate doc -> empty cleaned") {
     val in = Seq(
       (1L, "b b b b"),
