@@ -65,32 +65,63 @@ object FunnelProbe {
         .otherwise("http://"),
       lit("site"), letters(ukey % 200000), lit(".com/p/"), letters(ukey),
       when(col("doc_id") % 2 === 0, "?utm_source=feed").otherwise(""))
+    // raw pages: the body text wrapped in an HTML skeleton with a
+    // corpus-wide boilerplate paragraph and a 3-variant footer paragraph —
+    // html-extract must strip the markup (keeping paragraph boundaries)
+    // and paragraph-dedup must remove the boilerplate from every doc
     val docs = spark.range(n).toDF("doc_id")
       .withColumn("source",
         when(pmod(xxhash64(col("doc_id"), lit(7L)), lit(4L)) === 0, lit("mega"))
           .otherwise(concat(lit("s"),
             pmod(xxhash64(col("doc_id"), lit(11L)), lit(40L)))))
-      .withColumn("text", when(isShort, shortText).otherwise(longText))
+      .withColumn("html", concat(
+        lit("<html><head><script>track(1<2);</script></head><body>" +
+          "<p>subscribe to our newsletter</p><p>"),
+        when(isShort, shortText).otherwise(longText),
+        lit("</p><div>footer variant "), (col("doc_id") % 3).cast("string"),
+        lit("</div></body></html>")))
       .withColumn("url", url)
       .localCheckpoint()
     val nTotal = docs.count()
 
     def checkpointed(df: DataFrame): DataFrame = df.localCheckpoint()
 
+    // ---- stage 0: HTML-to-text extraction (zero-shuffle regexp chain)
+    val (tHtml, extracted) = time {
+      checkpointed(docs.select(col("doc_id"), col("source"), col("url"),
+        TextFns.stripHtml(col("html")).as("text")))
+    }
+    extracted.count()
+
     // ---- stage 1: URL-exact dedup (RefinedWeb first pass)
     val (tUrl, afterUrl) = time {
-      checkpointed(Url.urlDedupKeep(docs, "url", "doc_id")
+      checkpointed(Url.urlDedupKeep(extracted, "url", "doc_id")
         .filter(col("keep") === 1)
         .select("doc_id", "source", "url", "text"))
     }
     val nUrl = afterUrl.count()
 
     // ---- stage 2: exact text dedup (hash groupBy, lowest id survives)
-    val (tExact, afterExact) = time {
+    val (tExact, afterExact0) = time {
       val keep = afterUrl.groupBy(md5(col("text")).as("__h"))
         .agg(min("doc_id").as("doc_id"))
         .select("doc_id")
       checkpointed(afterUrl.join(keep, Seq("doc_id"))) // keepers only
+    }
+    afterExact0.count()
+
+    // ---- stage 2.5: paragraph dedup (boilerplate header/footer removal —
+    // one xxhash64 frequency shuffle + broadcast frequent set). maxDocs=3:
+    // after exact dedup a BODY paragraph still legitimately appears in up
+    // to 3 docs (one per surviving footer variant) — the boilerplate
+    // threshold must sit above content multiplicity, which is exactly the
+    // knob's real-world calibration question
+    val (tPara, afterExact) = time {
+      checkpointed(afterExact0
+        .join(Dedup.paragraphDedup(afterExact0, "doc_id", "text",
+            delim = "\n", maxDocs = 3)
+          .select(col("doc_id"), col("cleaned")), Seq("doc_id"))
+        .drop("text").withColumnRenamed("cleaned", "text"))
     }
     val nExact = afterExact.count()
 
@@ -130,8 +161,10 @@ object FunnelProbe {
 
     def frac(k: Long, of: Long): String = f"${k.toDouble / math.max(1L, of)}%.4f"
     println(f"""{"probe":"funnel","n_rows":$nTotal,""" +
+      f""""html_extract_sec":$tHtml%.3f,""" +
       f""""url_dedup_sec":$tUrl%.3f,"n_after_url":$nUrl,"url_kept_frac":${frac(nUrl, nTotal)},""" +
-      f""""exact_sec":$tExact%.3f,"n_after_exact":$nExact,"exact_kept_frac":${frac(nExact, nUrl)},""" +
+      f""""exact_sec":$tExact%.3f,"paragraph_dedup_sec":$tPara%.3f,""" +
+      f""""n_after_exact":$nExact,"exact_kept_frac":${frac(nExact, nUrl)},""" +
       f""""near_dup_sec":$tNear%.3f,"n_after_near":$nNear,"near_kept_frac":${frac(nNear, nExact)},""" +
       f""""quality_sec":$tQual%.3f,"n_after_quality":$nQual,"quality_kept_frac":${frac(nQual, nNear)},""" +
       f""""caps_sec":$tCaps%.3f,"n_after_caps":$nCaps,"caps_kept_frac":${frac(nCaps, nQual)},""" +

@@ -8,31 +8,52 @@ import org.apache.spark.sql.functions._
   * All pure column expressions (whole-stage-codegen friendly). */
 object TextFns {
 
+  /** The [[stripHtml]] rule list, in application order — ONE constant
+    * drives both the Column fold and the DuckDB oracle twin (the gate
+    * renders replacements SQL-side: `\n` as chr(10), `'` doubled), so the
+    * two engines cannot drift. Patterns stay in the common RE2/Java subset
+    * (inline `(?s)`/`(?i)` flags, non-greedy bodies, char classes). */
+  val StripHtmlSteps: Seq[(String, String)] = Seq(
+    // block elements with their CONTENT first — a script body's `a<b` must
+    // not leak into text or derail tag stripping
+    ("(?s)<script[^>]*>.*?</script>", " "),
+    ("(?s)<style[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "),
+    // paragraph boundaries SURVIVE extraction (the behavior every real
+    // text extractor has, and what lets paragraphDedup chain after this):
+    // explicit breaks and block-level closers become newlines...
+    ("(?i)<(br|hr)[^>]*>", "\n"),
+    ("(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)>", "\n"),
+    // ...every remaining tag is inline: a space
+    ("<[^>]+>", " "),
+    // the five ubiquitous entities; &amp; strictly LAST (decoding it first
+    // would double-decode `&amp;lt;` into a real `<`)
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+    // whitespace: horizontal runs collapse to one space, spaces hugging a
+    // newline die, newline runs collapse, outer whitespace trims
+    ("[^\\S\\n]+", " "),
+    ("[ ]*\\n[ ]*", "\n"),
+    ("\\n+", "\n"),
+    ("^\\s+|\\s+$", ""))
+
   /** HTML-to-text extraction — the step BEFORE every text operator in a
     * web-corpus pipeline (the trafilatura/jusText slot, reduced to the
     * deterministic core that needs no DOM): script/style/comment blocks
-    * die WITH their content (a `<script>if (a<b)...` body must not leak
-    * into the text, and its inner `<` must not derail tag stripping),
-    * remaining tags become spaces, the five ubiquitous entities decode
-    * (`&amp;` strictly LAST — decoding it first would double-decode
-    * `&amp;lt;` into a real `<`), and whitespace runs collapse. Pure
-    * regexp chain in the common RE2/Java subset (inline `(?s)` for the
-    * block rules, non-greedy bodies), oracle-twinned verbatim. NOT a
+    * die with their content, block boundaries become newlines (so
+    * paragraph-level ops compose downstream), inline tags become spaces,
+    * the common entities decode once, whitespace normalizes. One
+    * [[StripHtmlSteps]] fold — pure regexp chain, zero shuffle. NOT a
     * sanitizer: this extracts text for analysis, it does not make HTML
     * safe. */
-  def stripHtml(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
-    val e1 = regexp_replace(noTags, "&nbsp;", " ")
-    val e2 = regexp_replace(e1, "&lt;", "<")
-    val e3 = regexp_replace(e2, "&gt;", ">")
-    val e4 = regexp_replace(e3, "&quot;", "\"")
-    val e5 = regexp_replace(e4, "&#39;", "'")
-    val e6 = regexp_replace(e5, "&amp;", "&")
-    trim(regexp_replace(e6, "\\s+", " "))
-  }
+  def stripHtml(html: Column): Column =
+    StripHtmlSteps.foldLeft(html) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
 
   /** Unicode cleanup (CCNet/ftfy-style, run BEFORE fingerprinting/dedup so
     * encoding noise can't defeat exact matching): NFC composition, C0/DEL

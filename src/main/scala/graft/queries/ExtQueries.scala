@@ -1381,26 +1381,22 @@ object ExtQueries {
             TextFns.stripHtml(col("html")).as("extracted"))
           .orderBy("doc_id"),
       Some {
-        // the chain is FOLDED, not hand-nested — one (pattern, replacement)
-        // list shared conceptually with TextFns.stripHtml, in its order
-        val steps = Seq(
-          ("(?s)<script[^>]*>.*?</script>", " "),
-          ("(?s)<style[^>]*>.*?</style>", " "),
-          ("(?s)<!--.*?-->", " "),
-          ("<[^>]+>", " "),
-          ("&nbsp;", " "),
-          ("&lt;", "<"),
-          ("&gt;", ">"),
-          ("&quot;", "\""),
-          ("&#39;", "''"),
-          ("&amp;", "&"),
-          ("\\s+", " "))
-        val chain = steps.foldLeft("h") { case (acc, (pat, rep)) =>
-          s"regexp_replace($acc, '$pat', '$rep', 'g')"
+        // the chain folds THE SAME constant the engine folds
+        // (TextFns.StripHtmlSteps) — replacements rendered SQL-side: a
+        // newline as chr(10) (DuckDB regular strings keep backslashes
+        // literal), quotes doubled; patterns pass through (the REGEX
+        // engine, not the SQL parser, interprets their \n/\s escapes)
+        val chain = TextFns.StripHtmlSteps.foldLeft("h") {
+          case (acc, (pat, rep)) =>
+            val sqlRep = rep match {
+              case "\n" => "chr(10)"
+              case r => "'" + r.replace("'", "''") + "'"
+            }
+            s"regexp_replace($acc, '$pat', $sqlRep, 'g')"
         }
         s"WITH p AS (SELECT doc_id, ${Fixtures.htmlSql("doc_id", "text")} AS h " +
           s"FROM $Docs) " +
-          s"SELECT doc_id, trim($chain) AS extracted FROM p ORDER BY doc_id"
+          s"SELECT doc_id, $chain AS extracted FROM p ORDER BY doc_id"
       }),
 
     ("x_text_normalize", // unicode cleanup (CCNet/ftfy step): NFC compose +

@@ -18,17 +18,21 @@ class TextFnsSpec extends SparkTestBase {
     def strip(s: String): String =
       Seq(s).toDF("h").select(graft.ext.TextFns.stripHtml(col("h")))
         .collect()(0).getString(0)
-    // script body with a real '<' must vanish entirely
-    assert(strip("<p>a</p><script>if (x<y) { b(); }</script><p>c</p>") === "a c")
+    // script body with a real '<' must vanish entirely; block closers
+    // become paragraph boundaries (so paragraphDedup composes downstream)
+    assert(strip("<p>a</p><script>if (x<y) { b(); }</script><p>c</p>") === "a\nc")
     assert(strip("<style>p < q { }</style>hello") === "hello")
     assert(strip("x<!-- <b>not text</b> -->y") === "x y")
-    // tags with attributes; whitespace collapse; trim
-    assert(strip("  <div class=\"a\" id='z'>one</div>\n\t<span>two</span> ") === "one two")
+    // attribute tags; div closer = boundary; inline span = space; trim
+    assert(strip("  <div class=\"a\" id='z'>one</div>\n\t<span>two</span> ") === "one\ntwo")
+    assert(strip("a<br>b<BR/>c<hr>d") === "a\nb\nc\nd")
     // entity decoding, &amp; strictly last: &amp;lt; is a literal "&lt;"
     assert(strip("a &lt;b&gt; &quot;c&quot; &#39;d&#39; e&nbsp;f &amp; &amp;lt;") ===
       "a <b> \"c\" 'd' e f & &lt;")
     // no tags at all: pass-through modulo whitespace
     assert(strip("plain  text") === "plain text")
+    // newline runs and hugging spaces normalize; outer newlines trim
+    assert(strip("<p>one</p>\n\n<p> two </p>\n") === "one\ntwo")
     // null propagates
     val r = Seq[Option[String]](None).toDF("h")
       .select(graft.ext.TextFns.stripHtml(col("h"))).collect()(0)
