@@ -62,7 +62,9 @@ object Psl {
 
   /** Registrable domain of a HOST column under the PSL `rules` (default:
     * [[Snapshot]]). NULL host -> NULL; dotless or public-suffix-only hosts
-    * pass through. */
+    * pass through. Matching is case-SENSITIVE against lowercase rules —
+    * feed hosts derived from [[Url.canonicalKey]] (already lowercased) or
+    * lowercase upstream; the DuckDB oracle twin shares this contract. */
   def registrableDomain(host: Column, rules: Seq[String] = Snapshot): Column = {
     val r = parse(rules)
     val exts: Map[Int, Column] =
