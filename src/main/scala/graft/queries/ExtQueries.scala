@@ -2307,6 +2307,23 @@ object ExtQueries {
         "JOIN bands b ON a.band = b.band AND a.bucket = b.bucket " +
         "AND a.doc_id < b.doc_id ORDER BY a_id, b_id")),
 
+    ("x_stream_dedup_ooo", // exact streaming dedup under PERMUTED arrival
+      // (the symmetric gate to x_stream_neardup_ooo): first-seen-wins
+      // keepers now follow ARRIVAL order, so the per-doc is_first bits are
+      // not the batch ones — the arrival-independent invariant is the
+      // CONTENT-hash partition: exactly ONE keeper and a full duplicate
+      // count per distinct content, which is what the oracle pins.
+      (s: SparkSession, d: String) =>
+        graft.streaming.StreamingDedup
+          .firstSeenWinsFileRun(s, s"$d/documents.parquet",
+            lateness = "36500 days", arrivalOrder = Seq(2, 0, 3, 1))
+          .groupBy(col("content_hash"))
+          .agg(sum(col("is_first").cast("long")).as("n_keepers"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("content_hash"),
+      Some(s"SELECT md5(text) AS content_hash, CAST(1 AS BIGINT) AS n_keepers, " +
+        s"count(*) AS n_docs FROM $Docs GROUP BY 1 ORDER BY 1")),
+
     ("x_stream_neardup_ooo", // OUT-OF-ORDER arrival (VERDICT r11 item 8,
       // promoted from spec to gate): the chunk feed is permuted, so pairs
       // orient by ARRIVAL (a_id = whoever a bucket registered first) — the
