@@ -47,6 +47,18 @@ object Psl {
         exceptions.map(labels)) + 1).max
   }
 
+  /** Parse the standard publicsuffix.org FILE format into a rule list
+    * [[registrableDomain]] accepts: `//` comment lines and blanks are
+    * dropped, rules are whitespace-trimmed and lowercased (the PSL spec
+    * says rules match case-insensitively; this engine matches lowercase
+    * hosts against lowercase rules). Feed it
+    * `Files.readAllLines("public_suffix_list.dat")` for exact coverage:
+    * {{{ Psl.registrableDomain(host, Psl.parseFileLines(lines)) }}} */
+  def parseFileLines(lines: Seq[String]): Seq[String] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map(_.toLowerCase)
+
   def parse(rules: Seq[String]): Rules = Rules(
     plain = rules.filter(r => !r.startsWith("*.") && !r.startsWith("!")).toSet,
     bases = rules.filter(_.startsWith("*.")).map(_.stripPrefix("*.")).toSet,

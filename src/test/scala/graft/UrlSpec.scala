@@ -238,6 +238,19 @@ class UrlSpec extends SparkTestBase {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("Psl.parseFileLines: the publicsuffix.org file format round-trips") {
+    val file = Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "", "  com  ", "co.uk", "*.ck", "!www.ck",
+      "// a comment", "GitHub.IO", "")
+    val rules = Psl.parseFileLines(file)
+    assert(rules === Seq("com", "co.uk", "*.ck", "!www.ck", "github.io"))
+    val d = Seq("a.b.github.io", "x.co.uk", "p.q.ck", "www.ck")
+      .toDF("h").select(Psl.registrableDomain(col("h"), rules).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(d === Seq("b.github.io", "x.co.uk", "p.q.ck", "www.ck"))
+  }
+
   test("Psl.registrableDomain honors custom rule lists") {
     val rules = Seq("custom.zone", "*.wild.zone", "!ok.wild.zone")
     val d = Seq("a.custom.zone", "b.x.wild.zone", "ok.wild.zone")
