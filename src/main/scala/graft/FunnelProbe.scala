@@ -131,7 +131,7 @@ object FunnelProbe {
       // threshold 0.6: the synthetic variants differ in one of 18 words ->
       // 3 of ~19 3-shingles change, J ~ 0.68 — genuinely near-duplicate
       val pairs = Dedup.nearDupPairs(afterExact, "text", "doc_id",
-        threshold = 0.6).select("a_id", "b_id")
+        threshold = 0.6, materialize = true).select("a_id", "b_id")
       val clusters = Dedup.dedupClusters(pairs)
         .select(col("id").as("doc_id"), col("cid"))
       checkpointed(afterExact.join(clusters, Seq("doc_id"), "left")
@@ -153,7 +153,7 @@ object FunnelProbe {
       // domain quota 40 (the corpus averages ~50 surviving docs/domain —
       // the cap must BIND to measure the full window/salt path), then the
       // source quota at n/30 (under the mega-source's surviving share)
-      val dom = Url.domainCapKeep(afterQual, "url", "doc_id", cap = 40)
+      val dom = Url.domainCapAuto(afterQual, "url", "doc_id", cap = 40)
       Sampling.sourceCapAuto(dom, "doc_id", "source",
           cap = math.max(10000, (n / 30).toInt))
         .count()

@@ -312,11 +312,16 @@ object Dedup {
     Par.ensure(docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("__text")))
       .select(col("doc_id"),
-        filter(
-          transform(
-            split(col("__text"), java.util.regex.Pattern.quote(delim)),
-            x => trim(x)),
-          x => x =!= "").as("__segs"))
+        // NULL text coalesces to NO units (not NULL __segs): downstream
+        // size()/array_join must read (0, 0, '') for such docs — the same
+        // shape the DuckDB oracle twins emit (round-12 advice)
+        coalesce(
+          filter(
+            transform(
+              split(col("__text"), java.util.regex.Pattern.quote(delim)),
+              x => trim(x)),
+            x => x =!= ""),
+          array().cast("array<string>")).as("__segs"))
 
   /** (doc_id, __segs): each doc's consecutive k-word segments, in order. */
   private[graft] def segmentsOf(docs: DataFrame, idCol: String,
@@ -324,9 +329,12 @@ object Dedup {
     Par.ensure(docs.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("__text")))
       .select(col("doc_id"), split(col("__text"), " ").as("__ws"))
-      .select(col("doc_id"), expr(
+      // coalesce: NULL text (NULL __ws -> NULL transform) must read as NO
+      // units so n_units/cleaned come out (0, '') — oracle-twin shape
+      .select(col("doc_id"), coalesce(expr(
         s"transform(sequence(0, cast(ceil(size(__ws) / ${k}.0) as int) - 1), " +
-          s"i -> array_join(slice(__ws, i * $k + 1, $k), ' '))").as("__segs"))
+          s"i -> array_join(slice(__ws, i * $k + 1, $k), ' '))"),
+        array().cast("array<string>")).as("__segs"))
 
   /** Segments occurring in more than maxDocs distinct documents — the
     * broadcast side of [[segmentDedup]]; exposed so the scale probe can
@@ -437,23 +445,25 @@ object Dedup {
                  numHashes: Int = 8, shingleK: Int = 3,
                  withSetSize: Boolean = false): DataFrame = {
     require(numHashes <= 16, "56-bit halves guarantee no overflow only for i < 16")
+    // explode the per-doc DISTINCT shingles: min is idempotent, so h0..h7
+    // are unchanged, duplicate-heavy docs explode fewer rows, and __nset
+    // becomes a plain count(1) — the countDistinct form planned an Expand
+    // that DOUBLED every shuffle row (round-13 A/B: 8.4 -> 6.7 s at the
+    // 1 M-doc funnel rung). __nset counts distinct shingle STRINGS where
+    // countDistinct counted distinct md5 halves — equal up to md5 collision,
+    // the same assumption minhash itself rests on.
     val withShingles = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol), explode(shinglesOfWords(col("__ws"), shingleK)).as("s"))
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfWords(col("__ws"), shingleK))).as("s"))
     val halves = withShingles
       .select(col(idCol), md5(col("s")).as("__m"))
       .select(col(idCol),
         conv(substring(col("__m"), 1, 14), 16, 10).cast("long").as("__a"),
         conv(substring(col("__m"), 15, 14), 16, 10).cast("long").as("__b"))
-    // __nset (opt-in) = distinct shingle count, free-riding the signature
-    // shuffle (distinct (__a,__b) = distinct shingles up to md5 collision —
-    // the same assumption minhash itself rests on). Feeds the size-ratio
-    // prefilter without a separate corpus pass.
     val aggs = (0 until numHashes).map(i =>
       min(col("__a") + lit(i.toLong) * col("__b")).as(s"h$i")) ++
-      (if (withSetSize)
-        Seq(countDistinct(col("__a"), col("__b")).cast("int").as("__nset"))
-      else Nil)
+      (if (withSetSize) Seq(count(lit(1)).cast("int").as("__nset")) else Nil)
     halves.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -653,40 +663,74 @@ object Dedup {
         .getOrElse(SizeRatioPrefilterMinBytes))
 
   /** End-to-end MinHash-LSH near-dup dedup: candidates from banding, verified
-    * by true shingle Jaccard ≥ threshold. */
+    * by true shingle Jaccard ≥ threshold.
+    *
+    * ONE corpus pass (round-13 restructure — the funnel's near-dup stage was
+    * 68 % of the 10 M-doc end-to-end receipt): the per-doc DISTINCT shingles
+    * explode once, each computing its md5 halves (the minhash permutation
+    * base — md5 so the DuckDB oracle reproduces values bit-for-bit) AND its
+    * xxhash64 verify identity side by side; one groupBy then folds the
+    * signature mins, the exact set size (plain count — pre-distinct, so no
+    * countDistinct Expand), and the sorted verify set
+    * (sort_array(collect_list)) in the same shuffle. The old shape shingled
+    * the corpus TWICE (signature pass + verify-set pass) and re-finalized
+    * the verify agg per join side; measured at the 1 M-doc funnel rung this
+    * halves the stage (interleaved A/B, NearDupAb receipts in PLANS.md).
+    *
+    * `materialize`: batch callers that consume the result fully (the funnel,
+    * the pair-store writer) should pass true — the fused sig+sets table is
+    * localCheckpoint'd once and all three consumers (bands, a-verify,
+    * b-verify) read materialized rows. Default false keeps the operator
+    * lazy and PERSISTENCE-FREE (DedupSpec pins no leaked RDDs): the three
+    * consumers then share the pre-agg exchange via ReuseExchange where
+    * column pruning leaves the subplans identical, at the cost of
+    * re-finalizing the agg per consumer (~1.5× the materialized form,
+    * measured; the checkpointed RDD is reclaimed by the ContextCleaner once
+    * the caller drops the DataFrame, but is VISIBLE in getPersistentRDDs
+    * until then — the reason it is opt-in).
+    *
+    * Verify math: sets ride as sorted xxhash64 identities so the per-pair
+    * verify is the native long merge ([[graft.functions.GraftExpressions
+    * .sorted_intersect_count_long]]) at 8 B/gram, and
+    * |A∪B| = |A|+|B|−|A∩B| — exact on distinct sets, no union allocation.
+    *
+    * Lossless size-ratio prefilter (the length filter of set-similarity-join
+    * literature, e.g. Arasu et al. 2006): J(A,B) >= t forces
+    * t*max(|A|,|B|) <= min(|A|,|B|). The set size free-rides the signature
+    * aggregation and the band rows (4 ints), so failing pairs die inside
+    * the band join — before the distinct() shuffle and long before any
+    * shingle array moves. Provably no true pair is lost, so results (and
+    * the DuckDB oracle) are unchanged. */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 8, bandSize: Int = 2, shingleK: Int = 3,
                    threshold: Double = 0.7,
-                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    // Lossless size-ratio prefilter (the length filter of set-similarity-join
-    // literature, e.g. Arasu et al. 2006): J(A,B) >= t forces
-    // t*max(|A|,|B|) <= min(|A|,|B|). The set size free-rides the signature
-    // aggregation and the band rows (4 ints), so failing pairs die inside
-    // the band join — before the distinct() shuffle and long before any
-    // shingle array moves. Provably no true pair is lost, so results (and
-    // the DuckDB oracle) are unchanged.
+                   maxBucket: Int = DefaultMaxBucket,
+                   materialize: Boolean = false): DataFrame = {
     val prefilter = sizeRatioPrefilterWorthIt(df)
-    val sig = minhashSig(df, textCol, idCol, numHashes, shingleK,
-      withSetSize = prefilter)
+    val withShingles = Par.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .select(col(idCol),
+        explode(array_distinct(shinglesOfWords(col("__ws"), shingleK))).as("s"))
+    val halves = withShingles
+      .select(col(idCol), md5(col("s")).as("__m"), xxhash64(col("s")).as("__x"))
+      .select(col(idCol),
+        conv(substring(col("__m"), 1, 14), 16, 10).cast("long").as("__a"),
+        conv(substring(col("__m"), 15, 14), 16, 10).cast("long").as("__b"),
+        col("__x"))
+    val aggs = (0 until numHashes).map(i =>
+      min(col("__a") + lit(i.toLong) * col("__b")).as(s"h$i")) ++ Seq(
+      count(lit(1)).cast("int").as("__nset"),
+      sort_array(collect_list(col("__x"))).as("sset"))
+    val sigSets0 = halves.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sigSets = if (materialize) sigSets0.localCheckpoint() else sigSets0
     val cands =
       if (prefilter)
         candidatePairs(
-          lshBands(sig, idCol, numHashes, bandSize, carry = Seq("__nset")),
+          lshBands(sigSets, idCol, numHashes, bandSize, carry = Seq("__nset")),
           idCol, maxBucket, sizeCol = Some("__nset"), sizeRatioMin = threshold)
       else
-        candidatePairs(lshBands(sig, idCol, numHashes, bandSize), idCol, maxBucket)
-    // Probed twice (a-side and b-side) by the verify joins, but NOT cached:
-    // both probes shuffle the identical subplan hashed by the id, so Spark's
-    // ReuseExchange computes the shingle sets once and reuses the shuffle
-    // files for the second join (DedupSpec asserts the ReusedExchange node).
-    // A .cache() here would leak executor storage across invocations — the
-    // caller never gets a handle to unpersist. Sets ride as sorted HASHED
-    // identities ([[hashedSetOf]]) so the per-pair verify is the native
-    // long merge and the shuffled payload is 8 B/gram, and
-    // |A∪B| = |A|+|B|−|A∩B| — exact on distinct sets, no union allocation.
-    val sets = Par.ensure(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .select(col(idCol), hashedSetOf(col("__ws"), shingleK).as("sset"))
+        candidatePairs(lshBands(sigSets, idCol, numHashes, bandSize), idCol, maxBucket)
+    val sets = sigSets.select(col(idCol), col("sset"))
     val inter = graft.functions.GraftExpressions
       .sorted_intersect_count_long(col("sa"), col("sb")).cast("double")
     cands
@@ -1421,7 +1465,7 @@ object Dedup {
             .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
           s"$w/band_store_$tag"
         case None =>
-          java.nio.file.Files.createTempDirectory("graft_band_store").toString
+          graft.Scratch.dir("graft_band_store")
       }
       val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1469,7 +1513,7 @@ object Dedup {
             .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
           s"$w/shingle_store_$tag"
         case None =>
-          java.nio.file.Files.createTempDirectory("graft_shingle_store").toString
+          graft.Scratch.dir("graft_shingle_store")
       }
       // explicit top-level marker: the store is two parquet writes, so the
       // per-table _SUCCESS files can't signal whole-artifact completeness
@@ -1557,14 +1601,16 @@ object Dedup {
             .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
           s"$w/near_dup_pairs_$tag"
         case None =>
-          java.nio.file.Files.createTempDirectory("graft_pair_store").toString
+          graft.Scratch.dir("graft_pair_store")
       }
       val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(marker)) {
         val docs = spark.read.parquet(s"$dir/documents.parquet")
+        // materialize: a batch write consumes the result fully, and the
+        // checkpointed sig+sets RDD is dropped with this local reference
         nearDupPairs(docs, textCol, idCol, numHashes, bandSize, shingleK,
-          threshold, maxBucket)
+          threshold, maxBucket, materialize = true)
           .write.mode("overwrite").parquet(path)
       }
       path

@@ -420,7 +420,11 @@ object Sampling {
     val (maxN, total) = maxSourceRows(docs, sourceCol)
     val salts =
       if (maxN > skewRowThreshold)
-        math.max(2, docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+        // the conf value may be non-numeric on some platforms (e.g. "auto");
+        // degrade to the scheduler's parallelism instead of throwing
+        math.max(2, scala.util.Try(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+          .getOrElse(docs.sparkSession.sparkContext.defaultParallelism))
       else 1
     log.info(s"sourceCapAuto: maxSource=$maxN/$total " +
       s"threshold=$skewRowThreshold -> ${if (salts > 1) s"salted($salts)" else "plain"}")

@@ -285,7 +285,7 @@ object Similarity {
             .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
           s"$w/ivf_idx_$tag"
         case None =>
-          java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+          graft.Scratch.dir("graft_ivf_idx")
       }
       val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -364,7 +364,7 @@ object Similarity {
             .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
           s"$w/ivf_appidx_$tag"
         case None =>
-          java.nio.file.Files.createTempDirectory("graft_ivf_appidx").toString
+          graft.Scratch.dir("graft_ivf_appidx")
       }
       val base = spark.read.parquet(s"$dir/embeddings.parquet")
       val em = excludeId.fold(base)(x => base.filter(col(idCol) =!= x))
@@ -822,7 +822,7 @@ object Similarity {
             .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
           s"$w/ivfpq_idx_$tag"
         case None =>
-          java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+          graft.Scratch.dir("graft_ivfpq_idx")
       }
       val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -49,7 +49,16 @@ object TextFns {
     * the common entities decode once, whitespace normalizes. One
     * [[StripHtmlSteps]] fold — pure regexp chain, zero shuffle. NOT a
     * sanitizer: this extracts text for analysis, it does not make HTML
-    * safe. */
+    * safe.
+    *
+    * Documented non-DOM failure modes (TextFnsSpec pins both): the generic
+    * tag rule `<[^>]+>` stops at the first `>`, so a literal `>` inside a
+    * quoted attribute value (`<a title="a>b">`) leaves the tail of the tag
+    * (`b">`) in the extracted text; and an UNTERMINATED `<script>` block's
+    * content survives (the block rule requires the closing tag — only the
+    * dangling open tag itself is stripped, by the generic rule). Real
+    * extraction over adversarial markup needs a DOM parser; this core is
+    * for the overwhelmingly well-formed bulk of a web corpus. */
   def stripHtml(html: Column): Column =
     StripHtmlSteps.foldLeft(html) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)

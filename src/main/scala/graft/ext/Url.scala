@@ -135,13 +135,33 @@ object Url {
     * rule set via `Psl.registrableDomain(_, rules)`) for exact
     * public-suffix-list grouping — the difference is real policy, not
     * cosmetics: under the regex, every `*.github.io` site shares one
-    * quota; under the PSL, each site gets its own. */
+    * quota; under the PSL, each site gets its own.
+    * Matching is lowercase/ASCII (canonicalKey lowercases the host, and
+    * both domain policies compare ASCII labels): IDN domains must arrive
+    * punycoded (xn--), as they do in crawl data. Prefer [[domainCapAuto]]
+    * unless the salt count is already known. */
   def domainCapKeep(docs: DataFrame, urlCol: String, idCol: String,
                     cap: Int, salts: Int = 1,
                     domainOf: Column => Column = registrableDomain): DataFrame =
     Sampling.sourceCapKeep(
       docs.withColumn("domain", domainOf(hostOf(canonicalKey(col(urlCol))))),
       idCol, "domain", cap, salts)
+
+  /** [[domainCapKeep]] with the salts knob decided by a measured skew probe
+    * — [[Sampling.sourceCapAuto]] composed over the derived domain column
+    * (round-12 verdict: the one capping entry point still taking a manual
+    * `salts`). Plain single-window below the threshold; the salted
+    * two-phase top-k when any single domain's row count exceeds it. Same
+    * keep set either way (UrlSpec pins the flip on a planted mega-domain).
+    * Precondition shared with the whole URL family: hosts are matched
+    * lowercase/ASCII — IDN domains must be punycoded upstream. */
+  def domainCapAuto(docs: DataFrame, urlCol: String, idCol: String,
+                    cap: Int,
+                    domainOf: Column => Column = registrableDomain,
+                    skewRowThreshold: Long = Sampling.AutoSkewRowThreshold): DataFrame =
+    Sampling.sourceCapAuto(
+      docs.withColumn("domain", domainOf(hostOf(canonicalKey(col(urlCol))))),
+      idCol, "domain", cap, skewRowThreshold)
 
   /** Domain blocklist filter: drop documents whose registrable domain is in
     * `blocked`. NULL-tolerant: a document with a NULL url (NULL propagates
@@ -159,7 +179,10 @@ object Url {
     * while the join shape computes the chain exactly ONCE in a Project and
     * probes a broadcast hash relation — 4.2-4.9 s at every list size, and
     * the list ships once per executor instead of inside every task binary.
-    * At 100 TB the same shape holds: zero exchanges on the corpus side. */
+    * At 100 TB the same shape holds: zero exchanges on the corpus side.
+    * `blocked` entries must be lowercase ASCII registrable domains
+    * (punycoded for IDN) — the derived domain column is lowercase ASCII by
+    * construction, so a mixed-case or unicode list entry never matches. */
   def blocklistFilter(docs: DataFrame, urlCol: String,
                       blocked: Seq[String],
                       domainOf: Column => Column = registrableDomain): DataFrame = {

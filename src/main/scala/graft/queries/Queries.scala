@@ -64,6 +64,13 @@ object Queries {
     if (row.isNullAt(0)) default else row.getLong(0)
   }
 
+  /** Scratch dir for the write-then-read-back gates (s6/s10/s11), deleted on
+    * JVM exit: the gates return DataFrames that may still read the files
+    * lazily after this function returns, so eager deletion is unsafe — the
+    * shutdown hook is the correct lifetime (round-12 advice: every gate run
+    * used to leak a parquet tree into /tmp). */
+  private def scratchDir(prefix: String): String = graft.Scratch.dir(prefix)
+
   // ------------------------------------------------------------------------
   // P — projection / filter / predicates
   // ------------------------------------------------------------------------
@@ -645,7 +652,7 @@ object Queries {
       // constants out — the VALUES oracle fails if the writer's layout or
       // routing drifts.
       (s: SparkSession, d: String) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_s10").toString
+        val dir = scratchDir("graft_s10")
         val df = s.range(6).select(
           col("id").as("height"),
           concat(lit("v"), col("id")).as("v"),
@@ -681,7 +688,7 @@ object Queries {
       // skip-index analogue, checked in the footer via ParquetFileReader).
       // Constants in, constants out — a VALUES oracle.
       (s: SparkSession, d: String) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_s6").toString
+        val dir = scratchDir("graft_s6")
         def batch(lo: Long, n: Long) = s.range(lo, lo + n).select(
           col("id").as("height"),
           concat(lit("h"), col("id")).as("tx_hash"),
@@ -737,7 +744,7 @@ object Queries {
       // written two-table warehouse — table names, row counts, and file
       // counts are all deterministic (coalesce(1) => one file each).
       (s: SparkSession, d: String) => {
-        val wh = java.nio.file.Files.createTempDirectory("graft_s11").toString
+        val wh = scratchDir("graft_s11")
         s.range(4).coalesce(1).write.parquet(s"$wh/t_big")
         s.range(2).coalesce(1).write.parquet(s"$wh/t_small")
         Store.tableStats(s, wh)

@@ -147,7 +147,7 @@ object StreamingDedup {
                            stateTtlMs: Long = 7L * 86400000L,
                            arrivalOrder: Seq[Int] = Seq.empty): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage").toString
+    val stage = graft.Scratch.dir("graft_stream_stage")
     val chunkDir = s"$stage/chunks"; val inDir = s"$stage/in"
     val outDir = s"$stage/out"; val ckpt = s"$stage/ckpt"
 

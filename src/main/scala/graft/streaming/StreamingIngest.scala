@@ -233,7 +233,7 @@ object StreamingIngest {
   def flattenFileRun(spark: SparkSession, envelopes: DataFrame, chunks: Int = 4,
                      replayLastBatch: Boolean = true): String = {
     import org.apache.hadoop.fs.Path
-    val stage = java.nio.file.Files.createTempDirectory("graft_sflat").toString
+    val stage = graft.Scratch.dir("graft_sflat")
     val chunkDir = s"$stage/chunks"; val inDir = s"$stage/in"
     val wh = s"$stage/wh"; val ckpt = s"$stage/ckpt"
 

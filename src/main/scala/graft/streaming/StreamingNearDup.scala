@@ -165,7 +165,7 @@ object StreamingNearDup {
                         maxBucket: Int = Dedup.DefaultMaxBucket,
                         arrivalOrder: Seq[Int] = Seq.empty): DataFrame = {
     import org.apache.hadoop.fs.Path
-    val stage = java.nio.file.Files.createTempDirectory("graft_neardup_stage").toString
+    val stage = graft.Scratch.dir("graft_neardup_stage")
     val chunkDir = s"$stage/chunks"; val inDir = s"$stage/in"
     val outDir = s"$stage/out"; val ckpt = s"$stage/ckpt"
 

@@ -58,6 +58,22 @@ class DedupSpec extends SparkTestBase {
     assert(lit(0).getLong(1) === 3L) // a, b, a — split on literal X
   }
 
+  test("paragraph/segment dedup: NULL text reads as (0 units, 0 dropped, '')") {
+    // the DuckDB oracle twins emit 0/'' for NULL text; the Spark side must
+    // not surface NULL n_units/cleaned (round-12 advice — parity at scale,
+    // where NULL-text docs are routine)
+    val in = Seq((1L, null: String), (2L, "real text here ok")).toDF("doc_id", "text")
+    val para = Dedup.paragraphDedup(in, "doc_id", "text", delim = "\n\n",
+        maxDocs = 1).orderBy("doc_id").collect()
+    assert(para(0).getLong(1) === 0L && para(0).getLong(2) === 0L)
+    assert(para(0).getString(3) === "")
+    val seg = Dedup.segmentDedup(in, "doc_id", "text", k = 2, maxDocs = 1)
+      .orderBy("doc_id").collect()
+    assert(seg(0).getLong(1) === 0L && seg(0).getLong(2) === 0L)
+    assert(seg(0).getString(3) === "")
+    assert(seg(1).getLong(1) === 2L) // non-null doc unaffected
+  }
+
   test("segmentDedup: short tail segment counts; all-boilerplate doc -> empty cleaned") {
     val in = Seq(
       (1L, "b b b b"),

@@ -39,6 +39,19 @@ class TextFnsSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("stripHtml: documented non-DOM failure modes stay pinned") {
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(graft.ext.TextFns.stripHtml(col("h")))
+        .collect()(0).getString(0)
+    // '>' inside a quoted attribute: the generic tag rule stops at the
+    // first '>', so the tag's tail leaks into the text (scaladoc-declared)
+    assert(strip("<a title=\"a>b\">link</a>") === "b\">link")
+    // unterminated <script>: the block rule needs the closing tag, so only
+    // the dangling open tag is stripped and the body SURVIVES
+    assert(strip("before <script>var x = 1; alert(2)") ===
+      "before var x = 1; alert(2)")
+  }
+
   test("punct/stopword ratios") {
     val df = Seq("the cat, the hat!").toDF("t")
     val punct = df.select(TextFns.punctRatio(col("t"))).collect()(0).getDouble(0)

@@ -117,6 +117,29 @@ class UrlSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("domainCapAuto flips to the salted route on a planted mega-domain") {
+    import spark.implicits._
+    // 60 docs on one domain + 10 spread: with the threshold at 30 the probe
+    // must measure 60 > 30 and flip; keep set must equal the manual routes
+    val docs = (0L until 60L).map(i => (i, s"https://mega.example.com/p/$i")) ++
+      (60L until 70L).map(i => (i, s"https://site$i.org/x"))
+    val df = docs.toDF("doc_id", "url")
+    val auto = Url.domainCapAuto(df, "url", "doc_id", cap = 7,
+        skewRowThreshold = 30L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Url.domainCapKeep(df, "url", "doc_id", cap = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val salted = Url.domainCapKeep(df, "url", "doc_id", cap = 7, salts = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(auto === plain && auto === salted)
+    assert(auto === ((0L until 7L) ++ (60L until 70L)).toSet)
+    // and below the threshold the auto route is the plain route (same set)
+    val autoPlain = Url.domainCapAuto(df, "url", "doc_id", cap = 7,
+        skewRowThreshold = 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(autoPlain === plain)
+  }
+
   test("blocklistFilter drops exactly the blocked domains") {
     val docs = Fixtures.attachUrls(
       spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "source")
