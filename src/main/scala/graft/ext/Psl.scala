@@ -54,10 +54,27 @@ object Psl {
     * hosts against lowercase rules). Feed it
     * `Files.readAllLines("public_suffix_list.dat")` for exact coverage:
     * {{{ Psl.registrableDomain(host, Psl.parseFileLines(lines)) }}} */
-  def parseFileLines(lines: Seq[String]): Seq[String] =
+  def parseFileLines(lines: Seq[String]): Seq[String] = {
+    // IDN rules appear in the file in UNICODE form (466 of ~9.5k in the
+    // 2025 list) while crawl hosts arrive PUNYCODED (xn--): emit each such
+    // rule in BOTH forms — ASCII via the JDK's IDN.toASCII so punycoded
+    // hosts match, and the raw unicode form for callers matching
+    // un-encoded hosts. ASCII rules pass through once. The `!`/`*.`
+    // markers are stripped before encoding and re-attached (IDN.toASCII
+    // rejects them as labels).
+    def punycoded(rule: String): Option[String] = {
+      val (prefix, body) =
+        if (rule.startsWith("!")) ("!", rule.substring(1))
+        else if (rule.startsWith("*.")) ("*.", rule.substring(2))
+        else ("", rule)
+      scala.util.Try(java.net.IDN.toASCII(body)).toOption
+        .map(a => prefix + a.toLowerCase).filter(_ != rule)
+    }
     lines.map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("//"))
       .map(_.toLowerCase)
+      .flatMap(r => r +: punycoded(r).toSeq)
+  }
 
   def parse(rules: Seq[String]): Rules = Rules(
     plain = rules.filter(r => !r.startsWith("*.") && !r.startsWith("!")).toSet,
@@ -81,16 +98,32 @@ object Psl {
     val r = parse(rules)
     val exts: Map[Int, Column] =
       (1 to (r.maxLen + 1)).map(k => k -> lastK(host, k)).toMap
+    // Rule sets PARTITIONED BY LABEL COUNT: exts(l) extracts exactly l
+    // labels, so probing it against rules of any other length can never
+    // match — with the full ~9.5k-rule PSL the unpartitioned form repeated
+    // ALL rules in every probe (~56k literals across 6 levels, the
+    // analysis/codegen blow-up the round-12 advice flagged); partitioned,
+    // each rule appears in exactly ONE probe set. Result-identical.
+    def ofLen(s: Set[String], l: Int): Set[String] =
+      s.filter(_.count(_ == '.') + 1 == l)
     // Public-suffix length in labels: exceptions first (PSL precedence),
     // then descending effective match length; implicit `*` default is 1.
     val byPrecedence: Seq[(Column, Int)] =
       (r.maxLen to 1 by -1).flatMap { l =>
         Seq.empty[(Column, Int)] ++
-          (if (l >= 2) Seq((inSet(exts(l), r.exceptions), l - 1)) else Nil)
+          (if (l >= 2) Seq((inSet(exts(l), ofLen(r.exceptions, l)), l - 1)) else Nil)
       } ++
       (r.maxLen to 1 by -1).flatMap { l =>
-        Seq((inSet(exts(l), r.plain), l)) ++
-          (if (l >= 2) Seq((inSet(exts(l - 1), r.bases), l)) else Nil)
+        Seq((inSet(exts(l), ofLen(r.plain, l)), l)) ++
+          // a wildcard only MATCHES hosts with at least base+1 labels (the
+          // `*` consumes a real label — publicsuffix.org algorithm): the
+          // exts(l) =!= "" guard skips hosts that merely EQUAL the base.
+          // Found by the full-file property sweep (round 13): with rule
+          // `*.nodebalancer.linode.com`, host nodebalancer.linode.com must
+          // resolve via the `com` rule to linode.com, not pass through.
+          (if (l >= 2)
+            Seq((inSet(exts(l - 1), ofLen(r.bases, l - 1)) && exts(l) =!= "", l))
+          else Nil)
       }
     val psLen = byPrecedence.foldRight(lit(1)) { case ((cond, len), acc) =>
       when(cond, lit(len)).otherwise(acc)

@@ -668,12 +668,16 @@ object ExtQueries {
       else s"regexp_extract(host, '((?:[^.]+\\.){${k - 1}}[^.]+)$$', 1)"
     }.mkString(", ")
     s"$hCte, psl(suffix, kind, plen) AS (VALUES $PslValuesSql), " +
-      s"cand AS (SELECT doc_id, UNNEST([$probes]) AS s FROM h), " +
+      s"cand AS (SELECT doc_id, host, UNNEST([$probes]) AS s FROM h), " +
+      // a wildcard consumes a REAL label: it only matches hosts with more
+      // labels than its base (round-13 fix, mirrored in the engine's
+      // exts(l) =!= '' guard — a host EQUAL to the base falls through)
       "m AS (SELECT c.doc_id, " +
       "CASE WHEN p.kind = 'e' THEN p.plen - 1 WHEN p.kind = 'w' THEN p.plen + 1 ELSE p.plen END AS ps_len, " +
       "(p.kind = 'e') AS is_exc, " +
       "CASE WHEN p.kind = 'w' THEN p.plen + 1 ELSE p.plen END AS el " +
-      "FROM cand c JOIN psl p ON c.s = p.suffix), " +
+      "FROM cand c JOIN psl p ON c.s = p.suffix " +
+      "WHERE p.kind <> 'w' OR len(string_split(c.host, '.')) > p.plen), " +
       "picked AS (SELECT doc_id, ps_len, row_number() OVER " +
       "(PARTITION BY doc_id ORDER BY is_exc DESC, el DESC) AS rn FROM m), " +
       "f AS (SELECT h.doc_id, h.host, coalesce(p.ps_len, 1) AS ps_len FROM h " +

@@ -23,17 +23,17 @@ class PslPropSpec extends SparkTestBase {
   /** Public-suffix label count per publicsuffix.org: all rules that match
     * (rule labels are a suffix of host labels; wildcard matches one extra
     * arbitrary label), exceptions first, else most labels, else 1. */
-  private def refPsLen(host: String): Int = {
+  private def refPsLen(host: String, r: Psl.Rules = rules): Int = {
     val hl = labels(host)
     def suffixMatch(rule: String): Boolean = {
       val rl = labels(rule)
       hl.length >= rl.length && hl.takeRight(rl.length) == rl
     }
-    val exc = rules.exceptions.filter(suffixMatch)
+    val exc = r.exceptions.filter(suffixMatch)
     if (exc.nonEmpty) exc.map(e => labels(e).length - 1).max
     else {
-      val plain = rules.plain.filter(suffixMatch).map(r => labels(r).length)
-      val wild = rules.bases.filter { b =>
+      val plain = r.plain.filter(suffixMatch).map(x => labels(x).length)
+      val wild = r.bases.filter { b =>
         val bl = labels(b)
         hl.length >= bl.length + 1 && hl.takeRight(bl.length) == bl
       }.map(b => labels(b).length + 1)
@@ -41,9 +41,9 @@ class PslPropSpec extends SparkTestBase {
     }
   }
 
-  private def refDomain(host: String): String = {
+  private def refDomain(host: String, r: Psl.Rules = rules): String = {
     val hl = labels(host)
-    val ps = refPsLen(host)
+    val ps = refPsLen(host, r)
     if (hl.length > ps) hl.takeRight(ps + 1).mkString(".") else host
   }
 
@@ -91,5 +91,89 @@ class PslPropSpec extends SparkTestBase {
     assert(refDomain("a.x.ck") === "a.x.ck")
     assert(refDomain("www.ck") === "www.ck") // !www.ck
     assert(refDomain("sub.www.ck") === "www.ck")
+  }
+
+  /** The real publicsuffix.org file as shipped on this machine (Debian
+    * `publicsuffix` package, MPL-2.0 public data) — the full-scale rule
+    * set the round-12 advice asked to pin. */
+  private val realPslPath =
+    java.nio.file.Paths.get("/usr/share/publicsuffix/public_suffix_list.dat")
+
+  test("full ~9.5k-rule PSL file: plan builds fast, stays codegen'd, resolves correctly") {
+    assume(java.nio.file.Files.exists(realPslPath), "no system PSL file")
+    import scala.jdk.CollectionConverters._
+    val fileRules = Psl.parseFileLines(
+      java.nio.file.Files.readAllLines(realPslPath).asScala.toSeq)
+    assert(fileRules.size > 9000, s"parsed only ${fileRules.size} rules")
+    val full = Psl.parse(fileRules)
+
+    // plan-build cost pin: building + analyzing + executing the projection
+    // with ALL rules must not blow up in the analyzer/optimizer (the round-12
+    // advice scenario: multi-thousand-literal In expressions per probe —
+    // defused by the per-label-count rule partitioning)
+    val hosts = Seq(
+      "a.b.example.co.uk", "deep.sub.example.com", "example.com",
+      "site.github.io", "a.x.ck", "www.ck", "sub.www.ck",
+      "host.example.kawasaki.jp", "city.kawasaki.jp", "x.city.kawasaki.jp",
+      "foo.xn--55qx5d.cn", // 公司.cn in punycode — must match via IDN encoding
+      "nohost", "a.unknowntld")
+    val t0 = System.nanoTime()
+    val df = hosts.toDF("h")
+      .select(col("h"), Psl.registrableDomain(col("h"), fileRules).as("d"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val buildAndRunSec = (System.nanoTime() - t0) / 1e9
+    assert(buildAndRunSec < 30.0, f"full-PSL plan build+run took $buildAndRunSec%.1f s")
+
+    // correctness vs the spec-text reference resolver under the SAME rules
+    hosts.foreach(h => assert(got(h) === refDomain(h, full), s"host $h"))
+    // and a few absolute anchors so the reference can't mask a shared bug
+    assert(got("a.b.example.co.uk") === "example.co.uk")
+    assert(got("site.github.io") === "site.github.io") // private-section rule
+    assert(got("foo.xn--55qx5d.cn") === "foo.xn--55qx5d.cn")
+    assert(got("x.city.kawasaki.jp") === "city.kawasaki.jp") // !city exception
+
+    // codegen gate: the whole projection must sit inside WholeStageCodegen
+    // with NO fallback (janino's 64KB method bound is the documented risk);
+    // fallback=false turns a silent interpreted fallback into a test failure
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val wide = spark.range(10000)
+        .select(concat(lit("h"), col("id"), lit(".example.co.uk")).as("h"))
+        .select(Psl.registrableDomain(col("h"), fileRules).as("d"))
+      // co.uk is the public suffix, so every hN.example.co.uk host
+      // registers as example.co.uk
+      assert(wide.filter(col("d") === "example.co.uk").count() === 10000L)
+      // compact plan strings render WholeStageCodegen as a '*(n)' prefix
+      val plan = wide.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), plan.take(800))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("full-PSL property sweep: column form == spec reference on file-anchored hosts") {
+    assume(java.nio.file.Files.exists(realPslPath), "no system PSL file")
+    import scala.jdk.CollectionConverters._
+    val fileRules = Psl.parseFileLines(
+      java.nio.file.Files.readAllLines(realPslPath).asScala.toSeq)
+    // ASCII-only anchors: the column form matches lowercase ASCII hosts
+    // (unicode rules are carried punycoded by parseFileLines)
+    val full = Psl.parse(fileRules.filter(_.forall(c => c < 128)))
+    val anchors = Gen.oneOf(
+      Gen.oneOf(full.plain.toSeq), Gen.oneOf(full.bases.toSeq),
+      Gen.oneOf(full.exceptions.toSeq), label)
+    val gen = for {
+      anchor <- anchors
+      depth <- Gen.chooseNum(0, 3)
+      pre <- Gen.listOfN(depth, label)
+    } yield (pre :+ anchor).mkString(".")
+    val hosts = Gen.listOfN(400, gen).sample.get.distinct
+    val got = hosts.toDF("h")
+      .select(col("h"), Psl.registrableDomain(col("h"),
+        fileRules.filter(_.forall(c => c < 128))).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    hosts.foreach(h => assert(got(h) === refDomain(h, full), s"host $h"))
   }
 }
