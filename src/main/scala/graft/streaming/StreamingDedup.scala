@@ -148,21 +148,13 @@ object StreamingDedup {
                            arrivalOrder: Seq[Int] = Seq.empty): DataFrame = {
     import org.apache.hadoop.fs.Path
     val stage = graft.Scratch.dir("graft_stream_stage")
-    val chunkDir = s"$stage/chunks"; val inDir = s"$stage/in"
+    val inDir = s"$stage/in"
     val outDir = s"$stage/out"; val ckpt = s"$stage/ckpt"
 
-    spark.read.parquet(docsParquetDir)
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"),
-        timestamp_seconds(lit(1000000000L) + col("doc_id")).as("event_time"))
-      .repartitionByRange(chunks, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(chunkDir)
-
-    // part-file name order == range-partition order == doc_id order
+    // chunk staging is SHARED across the four replay gates (same frame,
+    // same range partitioning — StreamStage builds it once per JVM)
+    val parts = StreamStage.stagedParts(spark, docsParquetDir, chunks)
     val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
-    val parts = fs.listStatus(new Path(chunkDir)).map(_.getPath)
-      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
     val order = if (arrivalOrder.nonEmpty) arrivalOrder else parts.indices.toSeq
     require(order.sorted == parts.indices.toSeq,
       s"arrivalOrder must be a permutation of 0 until ${parts.length}, got $order")
@@ -195,7 +187,7 @@ object StreamingDedup {
       .outputMode("append").start()
     try {
       order.zipWithIndex.foreach { case (part, i) =>
-        fs.rename(parts(part), new Path(inDir, f"chunk-$i%05d.parquet"))
+        StreamStage.feed(spark, parts(part), inDir, i)
         q.processAllAvailable()
       }
     } finally q.stop()

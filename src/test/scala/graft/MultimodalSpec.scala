@@ -67,6 +67,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(white(11) === 1f) // luma 255 -> top bin
   }
 
+  test("synthJpeg: real ffd8ff bytes, sniffed, admitted, and dims decode exactly") {
+    val bytes = Multimodal.synthJpeg(20, 14, 7L)
+    // JPEG magic — the sniffer routes it down the image tier
+    assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8)
+    assert(Multimodal.looksLikeImage(bytes))
+    assert(Multimodal.decodeAdmissible(bytes))
+    assert(Multimodal.peekImageDims(bytes) === ((20, 14)))
+    // full decode: dims exact under lossy JPEG
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth === 20 && img.getHeight === 14)
+  }
+
+  test("attachRealMediaJpeg + actualDims: gate shape — decoded dims match the id formula") {
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.actualDims(
+        Multimodal.attachRealMediaJpeg(docs, "doc_id", "text"))
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === (if (id % 2 == 0) "jpg" else "wav"))
+      assert(r.getInt(2) === (id % 64 + 16).toInt, s"w of $id")
+      assert(r.getInt(3) === (id % 48 + 16).toInt, s"h of $id")
+    }
+  }
+
   /** Fixture WAV bytes: 16-bit PCM mono sine wave, encoded with the same
     * JDK codec the decode path reads with. */
   private def wavBytes(freq: Double, sr: Float = 8000f, nSamples: Int = 8000,
