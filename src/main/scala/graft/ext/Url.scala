@@ -195,4 +195,101 @@ object Url {
       .drop("__bl_domain")
   }
 
+  /** href values of `<a>` tags, double-quoted then single-quoted matches
+    * (extraction order, not document order — callers sort or dedup).
+    * Same non-DOM regime as [[TextFns.stripHtml]], and the same two
+    * documented failure modes: a literal `>` inside another quoted
+    * attribute ends the `[^>]*` scan early, and an href mentioned inside a
+    * DIFFERENT attribute's value (`data-x="href='u'"`) is extracted as if
+    * it were real. Fine for the overwhelmingly well-formed bulk of a web
+    * corpus; adversarial markup needs a DOM parser. Patterns live in the
+    * Java-regex/RE2 common subset so the DuckDB oracle replays them. */
+  def extractLinks(html: Column): Column = concat(
+    regexp_extract_all(html,
+      lit("(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+    regexp_extract_all(html,
+      lit("(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"), lit(1)))
+
+  /** Resolve an extracted href against its page URL — the reduced RFC 3986
+    * merge a crawl frontier needs (absolute / protocol-relative /
+    * root-relative / directory-relative, non-fetchable schemes and
+    * fragment-only links to NULL), as pure when/regexp column expressions:
+    * zero shuffle, codegen'd, oracle-replayable.
+    *
+    * Dot-segment normalization is BOUNDED, not recursive: two passes of
+    * `/./` collapse and four of `/seg/../` (a fold of fixed regexes — a
+    * while-loop needs a UDF, which this family bans). Paths nested deeper
+    * than 4 `../` levels, or `..` climbing past the root, keep their
+    * residue — the canonical key still dedups them consistently because
+    * both engines fold the same chain. The collapse runs on the PATH part
+    * only (origin split off first), so a host label can never be eaten by
+    * an `/x/../` rewrite. Precondition: `base` is an absolute http(s) page
+    * URL, as every fetch-table url column is. */
+  def resolveLink(base: Column, link: Column): Column = {
+    val l = trim(link)
+    val schemeRaw = regexp_extract(base, "(?i)^(https?):", 1)
+    val scheme = when(schemeRaw === "", lit("https")).otherwise(lower(schemeRaw))
+    val origin = regexp_extract(base, "(?i)^(https?://[^/?#]*)", 1)
+    val noQf = regexp_extract(base, "^([^?#]*)", 1)
+    val dir = when(noQf.rlike("(?i)^https?://[^/]+/.+"),
+      regexp_replace(noQf, "/[^/]*$", "")).otherwise(origin)
+    val raw = when(l.isNull || l === "", lit(null).cast("string"))
+      .when(l.rlike("(?i)^(javascript|mailto|data|tel):") || l.rlike("^#"),
+        lit(null).cast("string"))
+      .when(l.rlike("(?i)^https?://"), l)
+      .when(l.rlike("^//"), concat(scheme, lit(":"), l))
+      .when(l.rlike("^/"), concat(origin, l))
+      .otherwise(concat(dir, lit("/"), l))
+    val rawOrigin = regexp_extract(raw, "(?i)^(https?://[^/]*)", 1)
+    val rawPath = regexp_replace(raw, "(?i)^https?://[^/]*", "")
+    val dots = (1 to 2).foldLeft(rawPath)((c, _) =>
+      regexp_replace(c, "/\\.(/|$)", "$1"))
+    val ups = (1 to 4).foldLeft(dots)((c, _) =>
+      regexp_replace(c, "/[^/.][^/]*/\\.\\.(/|$)", "$1"))
+    concat(rawOrigin, ups)
+  }
+
+  /** Outlink table of a fetched-page corpus: one row per (source doc,
+    * distinct resolved link), with the link's canonical key — the edge list
+    * a crawl frontier, link-graph rank, or anchor-text pass consumes.
+    * Extraction, resolution, and PER-DOC dedup all happen inside the row's
+    * own array (transform/filter/array_distinct before the explode), so the
+    * operator is a zero-shuffle per-row map at any corpus size; only
+    * consumers that need cross-doc grouping pay a shuffle. */
+  def outlinks(docs: DataFrame, idCol: String, urlCol: String,
+               htmlCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("src_id"),
+        explode(array_distinct(filter(
+          transform(extractLinks(col(htmlCol)),
+            h => resolveLink(col(urlCol), h)),
+          x => x.isNotNull))).as("link"))
+      .withColumn("link_key", canonicalKey(col("link")))
+
+  /** Newly discovered frontier URLs: [[outlinks]] grouped to one row per
+    * canonical link key (representative spelling = min link, discoverer =
+    * min src, in-degree = n_refs), minus every key the corpus has already
+    * fetched — [[Dedup.bloomNewKeys]] again, so the fetched-corpus side
+    * compresses to a Bloom filter and only might-contain suspects pay the
+    * exact anti-join backstop (EXACT output at any fpp). This closes the
+    * crawl loop: fetch → [[TextFns.stripHtml]] for text, [[outlinks]] for
+    * edges, this for the next fetch batch. One shuffle (the link-key
+    * groupBy); the corpus ships as a bloom + a suspects-only anti-join,
+    * never a corpus-wide exchange. */
+  def discoveredUrls(docs: DataFrame, idCol: String, urlCol: String,
+                     htmlCol: String, fpp: Double = 0.01,
+                     expectedItems: Long = -1L): DataFrame = {
+    val links = outlinks(docs, idCol, urlCol, htmlCol)
+      .groupBy("link_key")
+      .agg(min("link").as("link"), min("src_id").as("first_src"),
+        count(lit(1)).as("n_refs"))
+    val newKeys = Dedup.bloomNewKeys(
+      links.select(col("link"), col("link_key")),
+      docs.select(canonicalKey(col(urlCol)).as("link_key")),
+      "link", "link_key", fpp, expectedItems)
+    // no broadcast hint: in a refresh crawl newKeys is tiny (AQE will
+    // broadcast it); in a discovery crawl it is most of `links` and must
+    // stay a shuffled semi-join on the key links is already grouped by
+    links.join(newKeys.select("link_key"), Seq("link_key"), "left_semi")
+  }
+
 }

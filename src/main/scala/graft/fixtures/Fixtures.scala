@@ -98,6 +98,49 @@ object Fixtures {
       "'</p><br><div>footer &amp; more&nbsp;&lt;end&gt; &amp;lt;raw" +
       "&quot;q&quot;&#39;s</div></body></html>'"
 
+  /** Page-with-links fixture for the outlink/frontier gates: an html body
+    * whose anchors rotate every [[graft.ext.Url.resolveLink]] branch through
+    * id residues — absolute external, protocol-relative, root-relative
+    * (planted TWICE, exercising per-doc dedup), directory-relative, `./` and
+    * `../` forms, a padded href (trim), uppercase HREF, single-quoted href,
+    * a SELF link back to the page's own url column (so the frontier gate has
+    * already-fetched keys to subtract), and three non-fetchables (fragment,
+    * mailto, javascript) that must resolve to NULL. */
+  def attachLinksHtml(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val id = col(idCol)
+    docs.withColumn("html", concat(
+      lit("<html><body><p>See <a href=\"https://ext-"), (id % 9).cast("string"),
+      lit(".org/a/"), (id % 13).cast("string"), lit("?x="), (id % 5).cast("string"),
+      lit("\">abs</a> <a href='//cdn-"), (id % 5).cast("string"),
+      lit(".net/l/"), (id % 11).cast("string"),
+      lit("'>proto</a> <A HREF=\"/r/"), (id % 11).cast("string"),
+      lit("\">root</A> <a class=\"n\" href=\"sub/"), (id % 7).cast("string"),
+      lit(".html\">rel</a> <a href=\"../up/"), (id % 3).cast("string"),
+      lit("\">up</a> <a href=\"./here/"), (id % 4).cast("string"),
+      lit("\">dot</a> <a href=\" sp/"), (id % 2).cast("string"),
+      lit(" \">sp</a> <a href=\""), col(urlCol),
+      lit("\">self</a> <a href=\"#sec\">f</a> <a href=\"mailto:u@ex.org\">m</a>" +
+        " <a href=\"JavaScript:void(0)\">j</a> <a href=\"/r/"), (id % 11).cast("string"),
+      lit("\">dup</a></p></body></html>")))
+  }
+
+  /** The [[attachLinksHtml]] body as a DuckDB SQL expression over `id` and
+    * `url` column references — the oracle twin. */
+  def linksHtmlSql(id: String, url: String): String =
+    s"'<html><body><p>See <a href=\"https://ext-' || CAST($id % 9 AS VARCHAR) || " +
+      s"'.org/a/' || CAST($id % 13 AS VARCHAR) || '?x=' || CAST($id % 5 AS VARCHAR) || " +
+      s"'\">abs</a> <a href=''//cdn-' || CAST($id % 5 AS VARCHAR) || " +
+      s"'.net/l/' || CAST($id % 11 AS VARCHAR) || " +
+      s"'''>proto</a> <A HREF=\"/r/' || CAST($id % 11 AS VARCHAR) || " +
+      s"'\">root</A> <a class=\"n\" href=\"sub/' || CAST($id % 7 AS VARCHAR) || " +
+      s"'.html\">rel</a> <a href=\"../up/' || CAST($id % 3 AS VARCHAR) || " +
+      s"'\">up</a> <a href=\"./here/' || CAST($id % 4 AS VARCHAR) || " +
+      s"'\">dot</a> <a href=\" sp/' || CAST($id % 2 AS VARCHAR) || " +
+      s"' \">sp</a> <a href=\"' || $url || " +
+      s"'\">self</a> <a href=\"#sec\">f</a> <a href=\"mailto:u@ex.org\">m</a>" +
+      s" <a href=\"JavaScript:void(0)\">j</a> <a href=\"/r/' || CAST($id % 11 AS VARCHAR) || " +
+      s"'\">dup</a></p></body></html>'"
+
   /** Fake media fixture (formerly `Multimodal.attachFakeMedia`): content =
     * UTF-8 bytes of a text column, metadata deterministic from the id.
     * Stands in for reading real (bytes, metadata) pairs from a lakehouse

@@ -593,12 +593,10 @@ object ExtQueries {
       "WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3 " +
       "ORDER BY a_id, b_id"
 
-  /** DuckDB twin of [[graft.fixtures.Fixtures.attachUrls]] + [[Url.canonicalKey]] over the
-    * documents table: the same id-residue URL synthesis, then the same
-    * 7-step regex chain with the 'g' flag (RE2 and Java agree on this
-    * pattern subset; backreference spelling differs — `\2` here, `$2` in
-    * the engine — by dialect, not semantics). */
-  private val UrlCte: String =
+  /** The [[graft.fixtures.Fixtures.attachUrls]] synthesis alone (the `u` CTE) — shared by [[UrlCte]]
+    * and the outlink gates, which canonicalize the RESOLVED links rather
+    * than the page url. */
+  private val UrlSrcCte: String =
     "WITH u AS (SELECT doc_id, source, " +
       "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' " +
       "WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'http://' END) || " +
@@ -609,16 +607,67 @@ object ExtQueries {
       "'/p/' || CAST(doc_id % 20 AS VARCHAR) || " +
       "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&item=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END) || " +
       "(CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url " +
-      s"FROM $Docs), " +
-    "k AS (SELECT doc_id, source, url, " +
-      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      "lower(url), '#.*$', '', 'g'), '^https?://', '', 'g'), '^www\\.', '', 'g'), " +
+      s"FROM $Docs)"
+
+  /** DuckDB twin of [[Url.canonicalKey]] applied to an arbitrary
+    * expression: the same 7-step regex chain with the 'g' flag (RE2 and
+    * Java agree on this pattern subset; backreference spelling differs —
+    * `\2` here, `$2` in the engine — by dialect, not semantics). */
+  private def canonKeySql(e: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "lower(" + e + "), '#.*$', '', 'g'), '^https?://', '', 'g'), '^www\\.', '', 'g'), " +
       "'^([^/:?&]*):(80|443)([/?&]|$)', '\\1\\3', 'g'), '\\?', '&', 'g'), " +
-      "'&(utm_[a-z0-9]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '(/|&)$', '', 'g') AS key " +
+      "'&(utm_[a-z0-9]*|fbclid|gclid|ref)=[^&]*', '', 'g'), '(/|&)$', '', 'g')"
+
+  private val UrlCte: String =
+    UrlSrcCte + ", " +
+    "k AS (SELECT doc_id, source, url, " + canonKeySql("url") + " AS key " +
     "FROM u)"
 
   private def urlHostSql(key: String): String =
     s"regexp_extract($key, '^([^/&:]*)', 1)"
+
+  /** Shared oracle body for the outlink gates — the DuckDB twin of
+    * [[graft.fixtures.Fixtures.attachLinksHtml]] + [[Url.extractLinks]] +
+    * [[Url.resolveLink]]: synthesize the links page over the url fixture,
+    * extract both href quote forms, resolve through the same reduced
+    * RFC 3986 CASE chain, apply the same BOUNDED dot-segment collapse
+    * (2 x `/./`, 4 x `/seg/../`, path part only), drop non-fetchables,
+    * per-doc DISTINCT. Ends in a CTE `d(src_id, link)`. Replacement
+    * spelling differs by dialect (`\1` here, `$1` in the engine); every
+    * pattern lives in the RE2/Java common subset. */
+  private val OutlinksCte: String = {
+    val dq = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
+    val sq = "(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''"
+    val schemeE = "lower(regexp_extract(url, '(?i)^(https?):', 1))"
+    val sch = "CASE WHEN " + schemeE + " = '' THEN 'https' ELSE " + schemeE + " END"
+    val org = "regexp_extract(url, '(?i)^(https?://[^/?#]*)', 1)"
+    val noqf = "regexp_extract(url, '^([^?#]*)', 1)"
+    val dir = "CASE WHEN regexp_matches(" + noqf + ", '(?i)^https?://[^/]+/.+') " +
+      "THEN regexp_replace(" + noqf + ", '/[^/]*$', '') ELSE " + org + " END"
+    val p0 = "regexp_replace(raw, '(?i)^https?://[^/]*', '')"
+    val dots = (1 to 2).foldLeft(p0)((c, _) =>
+      "regexp_replace(" + c + ", '/\\.(/|$)', '\\1', 'g')")
+    val ups = (1 to 4).foldLeft(dots)((c, _) =>
+      "regexp_replace(" + c + ", '/[^/.][^/]*/\\.\\.(/|$)', '\\1', 'g')")
+    UrlSrcCte +
+      ", p AS (SELECT doc_id, url, " + Fixtures.linksHtmlSql("doc_id", "url") +
+      " AS html FROM u), " +
+      "l AS (SELECT doc_id, url, trim(h0) AS h FROM (" +
+      "SELECT doc_id, url, unnest(list_concat(" +
+      "regexp_extract_all(html, '" + dq + "', 1), " +
+      "regexp_extract_all(html, '" + sq + "', 1))) AS h0 FROM p)), " +
+      "r AS (SELECT doc_id, CASE WHEN h = '' THEN NULL " +
+      "WHEN regexp_matches(h, '(?i)^(javascript|mailto|data|tel):') " +
+      "OR regexp_matches(h, '^#') THEN NULL " +
+      "WHEN regexp_matches(h, '(?i)^https?://') THEN h " +
+      "WHEN regexp_matches(h, '^//') THEN " + sch + " || ':' || h " +
+      "WHEN regexp_matches(h, '^/') THEN " + org + " || h " +
+      "ELSE " + dir + " || '/' || h END AS raw FROM l), " +
+      "n AS (SELECT doc_id, regexp_extract(raw, '(?i)^(https?://[^/]*)', 1) || " +
+      ups + " AS link FROM r WHERE raw IS NOT NULL), " +
+      "d AS (SELECT DISTINCT doc_id AS src_id, link FROM n)"
+  }
 
   /** The single-window token-budget scan — shared by the plain, salted and
     * auto routes: all three emit the same cum_tokens/keep by contract. */
@@ -784,6 +833,50 @@ object ExtQueries {
       Some(s"$UrlCte SELECT doc_id, key AS url_key FROM k " +
         "WHERE doc_id % 10 < 2 AND key NOT IN " +
         "(SELECT key FROM k WHERE doc_id % 10 >= 2) ORDER BY doc_id")),
+
+    ("x_html_links", // outlink extraction + reduced-RFC3986 resolution —
+      // the crawl-graph edge list (fetch -> stripHtml for text, THIS for
+      // edges). Extraction, resolution and per-doc dedup all run inside the
+      // row's own array (transform/filter/array_distinct before the
+      // explode): a zero-shuffle per-row map at any corpus size. The
+      // fixture rotates every resolve branch (absolute / protocol-relative
+      // / root-relative / directory-relative / ./ / ../ / padded /
+      // single-quoted / uppercase HREF / self-link) plus three
+      // non-fetchables that must resolve away; the oracle replays the
+      // extraction regexes, the CASE chain and the bounded dot-segment
+      // collapse verbatim.
+      (s: SparkSession, d: String) =>
+        Url.outlinks(
+            Fixtures.attachLinksHtml(
+              Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+              "doc_id", "url"),
+            "doc_id", "url", "html")
+          .orderBy("src_id", "link"),
+      Some(OutlinksCte + " SELECT src_id, link, " + canonKeySql("link") +
+        " AS link_key FROM d ORDER BY src_id, link")),
+
+    ("x_crawl_frontier", // newly discovered frontier URLs: outlinks grouped
+      // to one row per canonical link key (representative spelling, first
+      // discoverer, in-degree), minus every key the corpus already fetched
+      // — bloomNewKeys again, so the fetched side compresses to a Bloom
+      // filter and only might-contain suspects pay the exact anti-join
+      // backstop (EXACT at any fpp -> the oracle is the plain NOT IN). The
+      // fixture's self-links are exactly the already-fetched keys and must
+      // vanish; one shuffle (the link-key groupBy) at any scale.
+      (s: SparkSession, d: String) =>
+        Url.discoveredUrls(
+            Fixtures.attachLinksHtml(
+              Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+              "doc_id", "url"),
+            "doc_id", "url", "html", expectedItems = 100000L)
+          .orderBy("link_key"),
+      Some(OutlinksCte + ", kc AS (SELECT " + canonKeySql("url") +
+        " AS key FROM u), " +
+        "g AS (SELECT " + canonKeySql("link") + " AS link_key, " +
+        "min(link) AS link, min(src_id) AS first_src, count(*) AS n_refs " +
+        "FROM d GROUP BY 1) " +
+        "SELECT link_key, link, first_src, CAST(n_refs AS BIGINT) AS n_refs " +
+        "FROM g WHERE link_key NOT IN (SELECT key FROM kc) ORDER BY link_key")),
 
     ("x_domain_cap_psl", // the domain quota under the PSL policy (the
       // pluggable domainOf hook): same cap operator, but grouping by the

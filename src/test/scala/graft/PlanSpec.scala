@@ -209,6 +209,20 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("x_html_links: extract+resolve+dedup inside the row — zero extra exchanges") {
+    // the outlink edge list must stay a per-row map (the whole point of
+    // doing transform/filter/array_distinct INSIDE the array before the
+    // explode): a shuffle here would mean per-doc dedup regressed into a
+    // distinct(), which at 100 TB exchanges the full edge list
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("x_html_links")
+      // the gate's own orderBy adds the final sort exchange; nothing else may
+      assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
+      assert(!p.contains("Join"), "outlinks grew a join: " + p.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen active in flagship plan") {
     // AQE wraps the plan pre-execution; disable it for this one inspection so
     // the WholeStageCodegen spans are visible in the physical plan.

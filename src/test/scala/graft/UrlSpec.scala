@@ -281,4 +281,81 @@ class UrlSpec extends SparkTestBase {
       .collect().map(_.getString(0)).toSeq
     assert(d === Seq("a.custom.zone", "b.x.wild.zone", "ok.wild.zone"))
   }
+
+  private def resolve(base: String, links: String*): Seq[String] =
+    links.map(l => (base, l)).toDF("base", "l")
+      .select(Url.resolveLink(col("base"), col("l")).as("r"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+
+  test("resolveLink: every branch of the reduced RFC 3986 merge") {
+    val base = "HTTPS://WWW.Site.co.uk:443/dir/page.html?q=1#top"
+    assert(resolve(base,
+      "https://other.org/x",        // absolute: untouched
+      "HTTP://UPPER.ORG/Y",         // absolute, case-insensitive scheme test
+      "//cdn.net/lib",              // protocol-relative: base scheme (lowered)
+      "/rooted/p",                  // root-relative: origin (incl. port) + path
+      "child.html",                 // directory-relative
+      " padded ",                   // trim before classifying
+      "./same/x",                   // ./ collapses
+      "../up/x",                    // ../ climbs one level
+      "#frag", "mailto:a@b.c", "javascript:void(0)", "tel:123", "") ===
+      Seq(
+        "https://other.org/x",
+        "HTTP://UPPER.ORG/Y",
+        "https://cdn.net/lib",
+        "HTTPS://WWW.Site.co.uk:443/rooted/p",
+        "HTTPS://WWW.Site.co.uk:443/dir/child.html",
+        "HTTPS://WWW.Site.co.uk:443/dir/padded",
+        "HTTPS://WWW.Site.co.uk:443/dir/same/x",
+        "HTTPS://WWW.Site.co.uk:443/up/x",
+        null, null, null, null, null))
+    // base with no path: dir falls back to the origin
+    assert(resolve("https://h.com", "a/b") === Seq("https://h.com/a/b"))
+    assert(resolve("https://h.com/", "a/b") === Seq("https://h.com/a/b"))
+    // nested ../ up to the documented 4-level bound (nested matches overlap,
+    // so each global pass collapses ONE level); a 5th level keeps residue
+    assert(resolve("https://h.com/a/b/c/d/e/f.html", "../../../../x") ===
+      Seq("https://h.com/a/x"))
+    assert(resolve("https://h.com/a/b/c/d/e/g/f.html", "../../../../../x") ===
+      Seq("https://h.com/a/b/../x"))
+    // ../ can never eat the host: the collapse runs on the path part only,
+    // so climbing past the root leaves /../ residue instead of swallowing
+    // a host label
+    assert(resolve("https://h.com/a/x.html", "../../../up") ===
+      Seq("https://h.com/../../up"))
+  }
+
+  test("outlinks: per-doc dedup, quote/case variants, non-fetchables dropped") {
+    val docs = Seq((7L,
+      "https://h.com/d/p.html",
+      "<a href=\"/x\">1</a> <A HREF='/x'>same key</A> " +
+        "<a class=\"z\" href=\"y.html\">rel</a> " +
+        "<a href=\"#s\">f</a> <a href=\"mailto:m@x.y\">m</a>"))
+      .toDF("doc_id", "url", "html")
+    val got = Url.outlinks(docs, "doc_id", "url", "html")
+      .orderBy("link").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (7L, "https://h.com/d/y.html", "h.com/d/y.html"),
+      (7L, "https://h.com/x", "h.com/x")))
+  }
+
+  test("discoveredUrls: already-fetched keys vanish, audit columns correct") {
+    // doc 1 links to doc 2's page (already fetched -> not discovered), to
+    // a fresh external page, and to itself; doc 2 links to the SAME fresh
+    // page (n_refs=2) under a tracking-param spelling variant (same key)
+    val docs = Seq(
+      (1L, "https://a.com/1",
+        "<a href=\"https://b.com/2\">peer</a> " +
+          "<a href=\"https://new.org/p?utm_source=x\">fresh</a> " +
+          "<a href=\"https://a.com/1\">self</a>"),
+      (2L, "https://b.com/2",
+        "<a href=\"https://new.org/p\">fresh too</a>"))
+      .toDF("doc_id", "url", "html")
+    val got = Url.discoveredUrls(docs, "doc_id", "url", "html")
+      .select("link_key", "link", "first_src", "n_refs")
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(("new.org/p", "https://new.org/p", 1L, 2L)))
+  }
 }
