@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality over a crawl's edge list — the URL-level quality
+  * signal web-corpus pipelines rank fetch queues and weight documents with
+  * (Common Crawl publishes exactly this as its host/domain ranking; OPIC /
+  * harmonic-centrality frontier ordering is the same consumer). Composes
+  * with [[Url.outlinks]]: page canonical key → link canonical key edges in,
+  * per-node rank out.
+  *
+  * The rank is FIXED-POINT INTEGER PageRank, not float: every quantity is a
+  * scaled long (`scale` = 1.0), the damping factor a permille int, and each
+  * edge's contribution `(rank * dampingMilli) div (1000 * outdeg)` an exact
+  * integer floor-division. Long addition is associative and commutative, so
+  * the result is bit-identical regardless of partitioning, aggregation
+  * order, or engine — a float implementation cannot promise that (partial
+  * sums re-order under shuffle), and this operator's correctness gate
+  * hash-compares against an independent engine. The cost is the classical
+  * PageRank invariants holding only approximately (each floor drops < 1
+  * rank unit per edge per iteration; dangling-node mass is dropped rather
+  * than redistributed — both documented, both deterministic).
+  *
+  * Scale stance: the canonical two-shuffle-per-iteration Spark shape —
+  * contributions shuffle on src (the edges⋈ranks equi-join), fold on dst
+  * (one groupBy), ranks rebuild from the static node table. The edge list
+  * is never exchanged more than once per iteration and nothing is ever
+  * collected; `materialize` truncates the iterative lineage (localCheckpoint
+  * per iteration) for long runs — without it a 20-iteration plan doubles
+  * its depth per pass and the optimizer re-plans the whole history.
+  */
+object LinkGraph {
+
+  /** Fixed-point PageRank. Input: an edge list (duplicate edges count —
+    * a multigraph link is a stronger endorsement); output: (node, rank_fp)
+    * with rank_fp the scaled-integer rank (divide by `scale` for the ~1.0
+    * interpretation). Isolated DESTINATIONS (no out-edges) keep the base
+    * rank plus what they receive; their own mass is dropped, not
+    * redistributed. `scale` must be divisible by 1000 so the base term
+    * `(1000 - dampingMilli) * scale / 1000` is exact. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, dampingMilli: Int = 850,
+               scale: Long = 1000000L,
+               materialize: Boolean = false): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingMilli >= 0 && dampingMilli <= 1000,
+      s"dampingMilli must be a permille in [0,1000], got $dampingMilli")
+    require(scale % 1000L == 0L,
+      s"scale must be divisible by 1000 for an exact base term, got $scale")
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+      col(dstCol).cast("string").as("__dst"))
+    // static per-iteration inputs: the node universe and src out-degrees
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node"))).distinct()
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
+    val base = (1000L - dampingMilli) * scale / 1000L
+    var ranks = nodes.withColumn("rank_fp", lit(scale))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
+        .join(deg, Seq("__src"))
+        .select(col("__dst").as("node"),
+          expr(s"(rank_fp * $dampingMilli) div (1000L * __outdeg)").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__contrib"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("__contrib"), lit(0L))).as("rank_fp"))
+      if (materialize) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** [[pageRank]] over [[Url.outlinks]] edges: one row per canonical URL
+    * key with its rank — pages link pages, so both endpoints are canonical
+    * keys (the page's own url collapsed through the same [[Url.canonicalKey]]
+    * as its links). The crawl-quality table a frontier orders its fetch
+    * queue by. */
+  def urlRank(docs: DataFrame, idCol: String, urlCol: String,
+              htmlCol: String, iterations: Int = 3,
+              dampingMilli: Int = 850): DataFrame = {
+    // edge construction stays the zero-shuffle per-row map: the page's own
+    // key rides the same select as its resolved links (no join-back on id)
+    val edges = docs.select(
+        Url.canonicalKey(col(urlCol)).as("src_key"),
+        explode(Url.resolvedLinks(col(urlCol), col(htmlCol))).as("link"))
+      .select(col("src_key"), Url.canonicalKey(col("link")).as("dst_key"))
+    pageRank(edges, "src_key", "dst_key", iterations, dampingMilli)
+  }
+}

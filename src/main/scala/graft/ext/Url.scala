@@ -259,11 +259,18 @@ object Url {
   def outlinks(docs: DataFrame, idCol: String, urlCol: String,
                htmlCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("src_id"),
-        explode(array_distinct(filter(
-          transform(extractLinks(col(htmlCol)),
-            h => resolveLink(col(urlCol), h)),
-          x => x.isNotNull))).as("link"))
+        explode(resolvedLinks(col(urlCol), col(htmlCol))).as("link"))
       .withColumn("link_key", canonicalKey(col("link")))
+
+  /** The per-row core of [[outlinks]]: the page's distinct resolved,
+    * fetchable links as an array column — extract, resolve, drop NULLs,
+    * dedup, all inside the row. Shared with [[LinkGraph.urlRank]], which
+    * carries the page's own key through the same select instead of joining
+    * it back on afterwards. */
+  private[ext] def resolvedLinks(url: Column, html: Column): Column =
+    array_distinct(filter(
+      transform(extractLinks(html), h => resolveLink(url, h)),
+      x => x.isNotNull))
 
   /** Newly discovered frontier URLs: [[outlinks]] grouped to one row per
     * canonical link key (representative spelling = min link, discoverer =

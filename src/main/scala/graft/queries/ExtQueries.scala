@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Psl, Sampling, Similarity, TextFns, Url}
+import graft.ext.{Dedup, LinkGraph, Multimodal, Psl, Sampling, Similarity, TextFns, Url}
 import graft.fixtures.Fixtures
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`
@@ -669,6 +669,33 @@ object ExtQueries {
       "d AS (SELECT DISTINCT doc_id AS src_id, link FROM n)"
   }
 
+  /** DuckDB twin of [[LinkGraph.urlRank]] (3 iterations, damping 850/1000,
+    * scale 1e6) over the [[OutlinksCte]] fixture graph: the iteration is
+    * UNROLLED (r0 → c1/r1 → c2/r2 → c3/r3) because the engine's loop is a
+    * fixed count, and every quantity is integer (the operator's whole
+    * bit-parity design — `//` here is the same floor division as `div`
+    * there). Edges re-derive the page key by joining `d` back to `u`; the
+    * engine carries it through the same select instead, an execution-shape
+    * difference with an identical edge multiset. */
+  private val LinkRankSql: String = {
+    def iter(i: Int): String =
+      s"c$i AS (SELECT e.dst AS node, " +
+        s"sum((r${i - 1}.rank_fp * 850) // (1000 * deg.outdeg)) AS contrib " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node " +
+        "JOIN deg ON e.src = deg.src GROUP BY 1), " +
+      s"r$i AS (SELECT n.node, 150000 + coalesce(c$i.contrib, 0) AS rank_fp " +
+        s"FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)"
+    OutlinksCte + ", " +
+      "e AS (SELECT " + canonKeySql("u.url") + " AS src, " +
+      canonKeySql("d.link") + " AS dst FROM d JOIN u ON d.src_id = u.doc_id), " +
+      "nodes AS (SELECT DISTINCT node FROM " +
+      "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)), " +
+      "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
+      "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes), " +
+      (1 to 3).map(iter).mkString(", ") + " " +
+      "SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r3 ORDER BY node"
+  }
+
   /** The single-window token-budget scan — shared by the plain, salted and
     * auto routes: all three emit the same cum_tokens/keep by contract. */
   private val TokenBudgetOracleSql: String =
@@ -877,6 +904,24 @@ object ExtQueries {
         "FROM d GROUP BY 1) " +
         "SELECT link_key, link, first_src, CAST(n_refs AS BIGINT) AS n_refs " +
         "FROM g WHERE link_key NOT IN (SELECT key FROM kc) ORDER BY link_key")),
+
+    ("x_link_rank", // fixed-point integer PageRank over the crawl's URL
+      // graph (the Common-Crawl-style URL-quality signal a frontier orders
+      // its fetch queue by): edges from the same outlink fixture, 3
+      // iterations, damping 850 permille, scale 1e6. Every quantity is a
+      // scaled long and every division an integer floor — long addition
+      // commutes exactly, so the result is bit-identical under any
+      // partitioning AND across engines (a float PageRank could never
+      // hash-gate). Two shuffles per iteration (contribution join on src,
+      // fold on dst); nothing collected.
+      (s: SparkSession, d: String) =>
+        LinkGraph.urlRank(
+            Fixtures.attachLinksHtml(
+              Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+              "doc_id", "url"),
+            "doc_id", "url", "html", iterations = 3)
+          .orderBy("node"),
+      Some(LinkRankSql)),
 
     ("x_domain_cap_psl", // the domain quota under the PSL policy (the
       // pluggable domainOf hook): same cap operator, but grouping by the
