@@ -50,10 +50,16 @@ object LinkGraph {
       s"scale must be divisible by 1000 for an exact base term, got $scale")
     val e = edges.select(col(srcCol).cast("string").as("__src"),
       col(dstCol).cast("string").as("__dst"))
-    // static per-iteration inputs: the node universe and src out-degrees
-    val nodes = e.select(col("__src").as("node"))
+    // static per-iteration inputs: the node universe and src out-degrees —
+    // under materialize they are computed ONCE (each eager per-iteration
+    // checkpoint job would otherwise redo both distincts from the edges)
+    var nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
-    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
+    var deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
+    if (materialize) {
+      nodes = nodes.localCheckpoint(true)
+      deg = deg.localCheckpoint(true)
+    }
     val base = (1000L - dampingMilli) * scale / 1000L
     var ranks = nodes.withColumn("rank_fp", lit(scale))
     for (_ <- 1 to iterations) {
@@ -78,13 +84,12 @@ object LinkGraph {
     * queue by. */
   def urlRank(docs: DataFrame, idCol: String, urlCol: String,
               htmlCol: String, iterations: Int = 3,
-              dampingMilli: Int = 850): DataFrame = {
-    // edge construction stays the zero-shuffle per-row map: the page's own
-    // key rides the same select as its resolved links (no join-back on id)
-    val edges = docs.select(
-        Url.canonicalKey(col(urlCol)).as("src_key"),
-        explode(Url.resolvedLinks(col(urlCol), col(htmlCol))).as("link"))
-      .select(col("src_key"), Url.canonicalKey(col("link")).as("dst_key"))
-    pageRank(edges, "src_key", "dst_key", iterations, dampingMilli)
-  }
+              dampingMilli: Int = 850): DataFrame =
+    // [[Url.outlinks]] carries the page's own key through its per-row
+    // select, so the edge list needs no join-back on id. Inline form for
+    // the gate; production iterates a MATERIALIZED outlinks table via
+    // [[pageRank]] directly (re-extracting html per iteration is the
+    // dominant avoidable cost — LinkProbe measures the difference).
+    pageRank(Url.outlinks(docs, idCol, urlCol, htmlCol),
+      "src_key", "link_key", iterations, dampingMilli)
 }

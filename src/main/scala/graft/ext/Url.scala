@@ -225,14 +225,36 @@ object Url {
     * only (origin split off first), so a host label can never be eaten by
     * an `/x/../` rewrite. Precondition: `base` is an absolute http(s) page
     * URL, as every fetch-table url column is. */
-  def resolveLink(base: Column, link: Column): Column = {
-    val l = trim(link)
+  def resolveLink(base: Column, link: Column): Column =
+    resolveWithParts(baseScheme(base), baseOrigin(base), baseDir(base), link)
+
+  /** The base URL's scheme (lowered, `https` fallback) — per-PAGE constant,
+    * hoisted out of the per-href lambda by [[outlinks]]. */
+  private[ext] def baseScheme(base: Column): Column = {
     val schemeRaw = regexp_extract(base, "(?i)^(https?):", 1)
-    val scheme = when(schemeRaw === "", lit("https")).otherwise(lower(schemeRaw))
-    val origin = regexp_extract(base, "(?i)^(https?://[^/?#]*)", 1)
+    when(schemeRaw === "", lit("https")).otherwise(lower(schemeRaw))
+  }
+
+  /** The base URL's origin (`scheme://host[:port]`) — per-page constant. */
+  private[ext] def baseOrigin(base: Column): Column =
+    regexp_extract(base, "(?i)^(https?://[^/?#]*)", 1)
+
+  /** The base URL's directory (path up to the last `/`; origin when there
+    * is no path) — per-page constant. */
+  private[ext] def baseDir(base: Column): Column = {
     val noQf = regexp_extract(base, "^([^?#]*)", 1)
-    val dir = when(noQf.rlike("(?i)^https?://[^/]+/.+"),
-      regexp_replace(noQf, "/[^/]*$", "")).otherwise(origin)
+    when(noQf.rlike("(?i)^https?://[^/]+/.+"),
+      regexp_replace(noQf, "/[^/]*$", "")).otherwise(baseOrigin(base))
+  }
+
+  /** [[resolveLink]] body over precomputed base parts. Lambda bodies get no
+    * common-subexpression elimination, so a per-href resolve that derives
+    * scheme/origin/dir from the base INSIDE the lambda re-runs those three
+    * regex extractions for every anchor on the page; hoisting them to row
+    * columns cut the outlinks stage ~2x at the 1 M-page rung (LinkProbe). */
+  private def resolveWithParts(scheme: Column, origin: Column, dir: Column,
+                               link: Column): Column = {
+    val l = trim(link)
     val raw = when(l.isNull || l === "", lit(null).cast("string"))
       .when(l.rlike("(?i)^(javascript|mailto|data|tel):") || l.rlike("^#"),
         lit(null).cast("string"))
@@ -259,18 +281,72 @@ object Url {
   def outlinks(docs: DataFrame, idCol: String, urlCol: String,
                htmlCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("src_id"),
-        explode(resolvedLinks(col(urlCol), col(htmlCol))).as("link"))
+        canonicalKey(col(urlCol)).as("src_key"),
+        // per-page constants hoisted OUT of the per-href lambda (no CSE
+        // inside lambda bodies — see resolveWithParts)
+        baseScheme(col(urlCol)).as("__sch"),
+        baseOrigin(col(urlCol)).as("__org"),
+        baseDir(col(urlCol)).as("__dir"),
+        extractLinks(col(htmlCol)).as("__hrefs"))
+      .select(col("src_id"), col("src_key"),
+        explode(array_distinct(filter(
+          transform(col("__hrefs"),
+            h => resolveWithParts(col("__sch"), col("__org"), col("__dir"), h)),
+          x => x.isNotNull))).as("link"))
       .withColumn("link_key", canonicalKey(col("link")))
 
-  /** The per-row core of [[outlinks]]: the page's distinct resolved,
-    * fetchable links as an array column — extract, resolve, drop NULLs,
-    * dedup, all inside the row. Shared with [[LinkGraph.urlRank]], which
-    * carries the page's own key through the same select instead of joining
-    * it back on afterwards. */
-  private[ext] def resolvedLinks(url: Column, html: Column): Column =
-    array_distinct(filter(
-      transform(extractLinks(html), h => resolveLink(url, h)),
-      x => x.isNotNull))
+  /** Whole `<a ...>text</a>` elements of a page — the anchor-TEXT variant
+    * of [[extractLinks]]: group 0 of one pass, href and inner text pulled
+    * per element AFTER the explode (plain row expressions, no lambda).
+    * Same non-DOM regime, one more documented limit: the inner text must
+    * be tag-free (`[^<]*`) — an anchor wrapping markup is skipped. */
+  def extractAnchors(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?i)<a\\s[^>]*>[^<]*</a>"), lit(0))
+
+  /** Anchor-text table: one row per (source doc, anchor occurrence) with
+    * the resolved target's canonical key and the anchor's inner text — the
+    * relevance/quality signal search and curation pipelines aggregate per
+    * TARGET (anchor text describes the page it points AT, written by
+    * someone other than its author). Occurrences are kept, not deduped: ten
+    * pages calling a target "official docs" is evidence with a count.
+    * Same zero-shuffle per-row shape as [[outlinks]]; anchors without a
+    * usable href (or with a non-fetchable one) drop. */
+  def outAnchors(docs: DataFrame, idCol: String, urlCol: String,
+                 htmlCol: String): DataFrame = {
+    // Evaluation-shape notes (the anchor gate first measured 4.5x the link
+    // gate's cost for identical work — two engine behaviors explain it and
+    // shape this code): (1) lambda bodies get NO common-subexpression
+    // elimination, and the resolve when-chain references its link ~10
+    // times, so href extraction must be MATERIALIZED (here: a first
+    // transform builds (href, text) structs; the resolve pass then reads
+    // cheap struct fields); (2) a Filter above the resolving Project would
+    // be pushed back through it by alias substitution and re-run the chain
+    // (the round-12 blocklist finding), so the null-drop happens inside
+    // the array, like outlinks.
+    def f(p: Column, n: String) = p.getField(n)
+    docs.select(col(idCol).cast("long").as("src_id"),
+        baseScheme(col(urlCol)).as("__sch"),
+        baseOrigin(col(urlCol)).as("__org"),
+        baseDir(col(urlCol)).as("__dir"),
+        transform(extractAnchors(col(htmlCol)), e => struct(
+          coalesce(
+            nullif(regexp_extract(e, "(?i)href\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+            nullif(regexp_extract(e, "(?i)href\\s*=\\s*'([^']*)'", 1), lit("")))
+            .as("href"),
+          trim(regexp_extract(e, "(?i)>([^<]*)</a>", 1)).as("text")))
+          .as("__raw"))
+      .select(col("src_id"),
+        explode(filter(
+          transform(col("__raw"), p => struct(
+            resolveWithParts(col("__sch"), col("__org"), col("__dir"),
+              f(p, "href")).as("link"),
+            f(p, "text").as("text"))),
+          q => f(q, "link").isNotNull)).as("__a"))
+      .select(col("src_id"),
+        canonicalKey(col("__a").getField("link")).as("link_key"),
+        col("__a").getField("text").as("anchor_text"))
+  }
 
   /** Newly discovered frontier URLs: [[outlinks]] grouped to one row per
     * canonical link key (representative spelling = min link, discoverer =
@@ -284,19 +360,33 @@ object Url {
     * never a corpus-wide exchange. */
   def discoveredUrls(docs: DataFrame, idCol: String, urlCol: String,
                      htmlCol: String, fpp: Double = 0.01,
-                     expectedItems: Long = -1L): DataFrame = {
-    val links = outlinks(docs, idCol, urlCol, htmlCol)
-      .groupBy("link_key")
+                     expectedItems: Long = -1L): DataFrame =
+    discoveredFromLinks(outlinks(docs, idCol, urlCol, htmlCol),
+      docs.select(canonicalKey(col(urlCol)).as("__fetched_key")),
+      fpp, expectedItems)
+
+  /** [[discoveredUrls]] over an ALREADY-MATERIALIZED [[outlinks]] table —
+    * the production form: the edge list is a pipeline product (the frontier
+    * reads it, [[LinkGraph.pageRank]] iterates it, anchor/graph analyses
+    * consume it), so it is extracted once and persisted, and the lazy
+    * inline form's re-extraction (the resolve regex chain is the dominant
+    * cost, and bloomNewKeys probes its input on two branches) never
+    * re-runs. `fetchedKeys`' single column is the already-crawled canonical
+    * key set, any column name. */
+  def discoveredFromLinks(links: DataFrame, fetchedKeys: DataFrame,
+                          fpp: Double = 0.01,
+                          expectedItems: Long = -1L): DataFrame = {
+    val grouped = links.groupBy("link_key")
       .agg(min("link").as("link"), min("src_id").as("first_src"),
         count(lit(1)).as("n_refs"))
     val newKeys = Dedup.bloomNewKeys(
-      links.select(col("link"), col("link_key")),
-      docs.select(canonicalKey(col(urlCol)).as("link_key")),
+      grouped.select(col("link"), col("link_key")),
+      fetchedKeys.toDF("link_key"),
       "link", "link_key", fpp, expectedItems)
     // no broadcast hint: in a refresh crawl newKeys is tiny (AQE will
     // broadcast it); in a discovery crawl it is most of `links` and must
     // stay a shuffled semi-join on the key links is already grouped by
-    links.join(newKeys.select("link_key"), Seq("link_key"), "left_semi")
+    grouped.join(newKeys.select("link_key"), Seq("link_key"), "left_semi")
   }
 
 }

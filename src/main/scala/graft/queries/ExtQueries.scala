@@ -636,38 +636,71 @@ object ExtQueries {
     * per-doc DISTINCT. Ends in a CTE `d(src_id, link)`. Replacement
     * spelling differs by dialect (`\1` here, `$1` in the engine); every
     * pattern lives in the RE2/Java common subset. */
-  private val OutlinksCte: String = {
-    val dq = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
-    val sq = "(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''"
+  /** The resolve CASE chain over columns `h` (trimmed href) and `url` —
+    * shared by the outlink and anchor-text oracles. */
+  private val ResolveCaseSql: String = {
     val schemeE = "lower(regexp_extract(url, '(?i)^(https?):', 1))"
     val sch = "CASE WHEN " + schemeE + " = '' THEN 'https' ELSE " + schemeE + " END"
     val org = "regexp_extract(url, '(?i)^(https?://[^/?#]*)', 1)"
     val noqf = "regexp_extract(url, '^([^?#]*)', 1)"
     val dir = "CASE WHEN regexp_matches(" + noqf + ", '(?i)^https?://[^/]+/.+') " +
       "THEN regexp_replace(" + noqf + ", '/[^/]*$', '') ELSE " + org + " END"
-    val p0 = "regexp_replace(raw, '(?i)^https?://[^/]*', '')"
-    val dots = (1 to 2).foldLeft(p0)((c, _) =>
-      "regexp_replace(" + c + ", '/\\.(/|$)', '\\1', 'g')")
-    val ups = (1 to 4).foldLeft(dots)((c, _) =>
-      "regexp_replace(" + c + ", '/[^/.][^/]*/\\.\\.(/|$)', '\\1', 'g')")
-    UrlSrcCte +
-      ", p AS (SELECT doc_id, url, " + Fixtures.linksHtmlSql("doc_id", "url") +
-      " AS html FROM u), " +
-      "l AS (SELECT doc_id, url, trim(h0) AS h FROM (" +
-      "SELECT doc_id, url, unnest(list_concat(" +
-      "regexp_extract_all(html, '" + dq + "', 1), " +
-      "regexp_extract_all(html, '" + sq + "', 1))) AS h0 FROM p)), " +
-      "r AS (SELECT doc_id, CASE WHEN h = '' THEN NULL " +
+    "CASE WHEN h IS NULL OR h = '' THEN NULL " +
       "WHEN regexp_matches(h, '(?i)^(javascript|mailto|data|tel):') " +
       "OR regexp_matches(h, '^#') THEN NULL " +
       "WHEN regexp_matches(h, '(?i)^https?://') THEN h " +
       "WHEN regexp_matches(h, '^//') THEN " + sch + " || ':' || h " +
       "WHEN regexp_matches(h, '^/') THEN " + org + " || h " +
-      "ELSE " + dir + " || '/' || h END AS raw FROM l), " +
-      "n AS (SELECT doc_id, regexp_extract(raw, '(?i)^(https?://[^/]*)', 1) || " +
-      ups + " AS link FROM r WHERE raw IS NOT NULL), " +
+      "ELSE " + dir + " || '/' || h END"
+  }
+
+  /** The resolved absolute link over column `raw`: origin + the bounded
+    * dot-segment collapse on the path part — shared like [[ResolveCaseSql]]. */
+  private val CollapsedLinkSql: String = {
+    val p0 = "regexp_replace(raw, '(?i)^https?://[^/]*', '')"
+    val dots = (1 to 2).foldLeft(p0)((c, _) =>
+      "regexp_replace(" + c + ", '/\\.(/|$)', '\\1', 'g')")
+    val ups = (1 to 4).foldLeft(dots)((c, _) =>
+      "regexp_replace(" + c + ", '/[^/.][^/]*/\\.\\.(/|$)', '\\1', 'g')")
+    "regexp_extract(raw, '(?i)^(https?://[^/]*)', 1) || " + ups
+  }
+
+  /** The url fixture + links page synthesis (`u`, `p` CTEs) — shared. */
+  private val LinksPageCte: String =
+    UrlSrcCte +
+      ", p AS (SELECT doc_id, url, " + Fixtures.linksHtmlSql("doc_id", "url") +
+      " AS html FROM u)"
+
+  private val OutlinksCte: String = {
+    val dq = "(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""
+    val sq = "(?i)<a\\s[^>]*?href\\s*=\\s*''([^'']*)''"
+    LinksPageCte + ", " +
+      "l AS (SELECT doc_id, url, trim(h0) AS h FROM (" +
+      "SELECT doc_id, url, unnest(list_concat(" +
+      "regexp_extract_all(html, '" + dq + "', 1), " +
+      "regexp_extract_all(html, '" + sq + "', 1))) AS h0 FROM p)), " +
+      "r AS (SELECT doc_id, " + ResolveCaseSql + " AS raw FROM l), " +
+      "n AS (SELECT doc_id, " + CollapsedLinkSql +
+      " AS link FROM r WHERE raw IS NOT NULL), " +
       "d AS (SELECT DISTINCT doc_id AS src_id, link FROM n)"
   }
+
+  /** Anchor-text oracle body: whole `<a ...>text</a>` elements, href (both
+    * quote forms) + inner text per element, the same resolve chain, ends in
+    * `d(src_id, link, anchor_text)`. */
+  private val AnchorsCte: String =
+    LinksPageCte + ", " +
+      "a AS (SELECT doc_id, url, " +
+      "unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*>[^<]*</a>', 0)) AS el " +
+      "FROM p), " +
+      "l AS (SELECT doc_id, url, el, trim(coalesce(" +
+      "nullif(regexp_extract(el, '(?i)href\\s*=\\s*\"([^\"]*)\"', 1), ''), " +
+      "nullif(regexp_extract(el, '(?i)href\\s*=\\s*''([^'']*)''', 1), ''))) AS h " +
+      "FROM a), " +
+      "r AS (SELECT doc_id, el, " + ResolveCaseSql + " AS raw FROM l), " +
+      "d AS (SELECT doc_id AS src_id, " + CollapsedLinkSql + " AS link, " +
+      "trim(regexp_extract(el, '(?i)>([^<]*)</a>', 1)) AS anchor_text " +
+      "FROM r WHERE raw IS NOT NULL)"
 
   /** DuckDB twin of [[LinkGraph.urlRank]] (3 iterations, damping 850/1000,
     * scale 1e6) over the [[OutlinksCte]] fixture graph: the iteration is
@@ -878,6 +911,7 @@ object ExtQueries {
               Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
               "doc_id", "url"),
             "doc_id", "url", "html")
+          .select("src_id", "link", "link_key") // src_key is for composers
           .orderBy("src_id", "link"),
       Some(OutlinksCte + " SELECT src_id, link, " + canonKeySql("link") +
         " AS link_key FROM d ORDER BY src_id, link")),
@@ -904,6 +938,25 @@ object ExtQueries {
         "FROM d GROUP BY 1) " +
         "SELECT link_key, link, first_src, CAST(n_refs AS BIGINT) AS n_refs " +
         "FROM g WHERE link_key NOT IN (SELECT key FROM kc) ORDER BY link_key")),
+
+    ("x_anchor_text", // anchor-text table: (source doc, resolved target
+      // key, anchor inner text) per anchor OCCURRENCE — the
+      // written-by-someone-else relevance signal search/curation pipelines
+      // aggregate per target. Whole <a> elements extracted in one pass;
+      // href + inner text pulled per element AFTER the explode (plain row
+      // expressions, no lambda); same resolve chain and canonical key as
+      // the outlink gate. Zero-shuffle per-row map; occurrences kept (the
+      // fixture's root/dup anchors hit one key with two texts).
+      (s: SparkSession, d: String) =>
+        Url.outAnchors(
+            Fixtures.attachLinksHtml(
+              Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+              "doc_id", "url"),
+            "doc_id", "url", "html")
+          .orderBy("src_id", "link_key", "anchor_text"),
+      Some(AnchorsCte + " SELECT src_id, " + canonKeySql("link") +
+        " AS link_key, anchor_text FROM d " +
+        "ORDER BY src_id, link_key, anchor_text")),
 
     ("x_link_rank", // fixed-point integer PageRank over the crawl's URL
       // graph (the Common-Crawl-style URL-quality signal a frontier orders

@@ -332,12 +332,35 @@ class UrlSpec extends SparkTestBase {
         "<a class=\"z\" href=\"y.html\">rel</a> " +
         "<a href=\"#s\">f</a> <a href=\"mailto:m@x.y\">m</a>"))
       .toDF("doc_id", "url", "html")
-    val got = Url.outlinks(docs, "doc_id", "url", "html")
+    val out = Url.outlinks(docs, "doc_id", "url", "html")
+    val got = out.select("src_id", "link", "link_key")
       .orderBy("link").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
     assert(got === Seq(
       (7L, "https://h.com/d/y.html", "h.com/d/y.html"),
       (7L, "https://h.com/x", "h.com/x")))
+    // the carried page key (what pageRank/discoveredFromLinks compose on)
+    assert(out.select("src_key").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("h.com/d/p.html"))
+  }
+
+  test("outAnchors: occurrences kept, hrefless/non-fetchable/markup anchors drop") {
+    val docs = Seq((3L, "https://h.com/d/p.html",
+      "<a href=\"/x\">official docs</a> <a href='/x'>THE docs</a> " + // same key, 2 texts
+        "<a href=\"y\"> padded text </a> " +       // inner text trimmed
+        "<a name=\"n\">no href</a> " +             // hrefless: dropped
+        "<a href=\"#s\">frag</a> " +               // non-fetchable: dropped
+        "<a href=\"/m\"><b>markup</b></a> " +      // nested tag: skipped (non-DOM)
+        "<a href=\"/e\"></a>"))                    // empty text kept as ''
+      .toDF("doc_id", "url", "html")
+    val got = Url.outAnchors(docs, "doc_id", "url", "html")
+      .orderBy("link_key", "anchor_text").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      ("h.com/d/y", "padded text"),
+      ("h.com/e", ""),
+      ("h.com/x", "THE docs"),
+      ("h.com/x", "official docs")))
   }
 
   test("discoveredUrls: already-fetched keys vanish, audit columns correct") {
