@@ -92,4 +92,27 @@ object LinkGraph {
     // dominant avoidable cost — LinkProbe measures the difference).
     pageRank(Url.outlinks(docs, idCol, urlCol, htmlCol),
       "src_key", "link_key", iterations, dampingMilli)
+
+  /** [[pageRank]] rolled up to REGISTRABLE DOMAINS — the granularity the
+    * public web rankings actually publish (Common Crawl's domain-level
+    * ranks) and the one domain caps / blocklists act at. Edges collapse to
+    * (domain of page, domain of target) with INTRA-domain edges dropped:
+    * site navigation links every page to its siblings, and keeping them
+    * lets any large site vote for itself — the standard domain-graph
+    * hygiene rule. `domainOf` is the same pluggable policy hook as the
+    * cap/blocklist family ([[Url.registrableDomain]] default,
+    * `Psl.registrableDomain(_)` for exact PSL grouping). Duplicate
+    * (src-domain, dst-domain) edges count — 100 pages of A linking B is
+    * stronger evidence than 1. `links` is a materialized [[Url.outlinks]]
+    * table (or any frame with `src_key`/`link_key`). */
+  def domainRank(links: DataFrame, iterations: Int = 3,
+                 dampingMilli: Int = 850,
+                 domainOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                   Url.registrableDomain): DataFrame = {
+    val edges = links.select(
+        domainOf(Url.hostOf(col("src_key"))).as("src_domain"),
+        domainOf(Url.hostOf(col("link_key"))).as("dst_domain"))
+      .where(col("src_domain") =!= col("dst_domain"))
+    pageRank(edges, "src_domain", "dst_domain", iterations, dampingMilli)
+  }
 }

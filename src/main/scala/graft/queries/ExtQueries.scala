@@ -710,7 +710,10 @@ object ExtQueries {
     * there). Edges re-derive the page key by joining `d` back to `u`; the
     * engine carries it through the same select instead, an execution-shape
     * difference with an identical edge multiset. */
-  private val LinkRankSql: String = {
+  /** The unrolled fixed-point PageRank body over a CTE `e(src, dst)` —
+    * shared by the URL- and domain-rank oracles (3 iterations, damping
+    * 850/1000, scale 1e6; `//` is the engine's `div`). */
+  private def rankIterSql(edgesCte: String): String = {
     def iter(i: Int): String =
       s"c$i AS (SELECT e.dst AS node, " +
         s"sum((r${i - 1}.rank_fp * 850) // (1000 * deg.outdeg)) AS contrib " +
@@ -718,9 +721,7 @@ object ExtQueries {
         "JOIN deg ON e.src = deg.src GROUP BY 1), " +
       s"r$i AS (SELECT n.node, 150000 + coalesce(c$i.contrib, 0) AS rank_fp " +
         s"FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)"
-    OutlinksCte + ", " +
-      "e AS (SELECT " + canonKeySql("u.url") + " AS src, " +
-      canonKeySql("d.link") + " AS dst FROM d JOIN u ON d.src_id = u.doc_id), " +
+    edgesCte + ", " +
       "nodes AS (SELECT DISTINCT node FROM " +
       "(SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)), " +
       "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1), " +
@@ -728,6 +729,20 @@ object ExtQueries {
       (1 to 3).map(iter).mkString(", ") + " " +
       "SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp FROM r3 ORDER BY node"
   }
+
+  private val LinkRankSql: String = rankIterSql(
+    OutlinksCte + ", " +
+      "e AS (SELECT " + canonKeySql("u.url") + " AS src, " +
+      canonKeySql("d.link") + " AS dst FROM d JOIN u ON d.src_id = u.doc_id)")
+
+  private val DomainRankSql: String = rankIterSql(
+    OutlinksCte + ", " +
+      "ek AS (SELECT " + canonKeySql("u.url") + " AS src_key, " +
+      canonKeySql("d.link") + " AS dst_key FROM d JOIN u ON d.src_id = u.doc_id), " +
+      "e AS (SELECT " + urlDomainSql(urlHostSql("src_key")) + " AS src, " +
+      urlDomainSql(urlHostSql("dst_key")) + " AS dst FROM ek " +
+      "WHERE " + urlDomainSql(urlHostSql("src_key")) + " <> " +
+      urlDomainSql(urlHostSql("dst_key")) + ")")
 
   /** The single-window token-budget scan — shared by the plain, salted and
     * auto routes: all three emit the same cum_tokens/keep by contract. */
@@ -975,6 +990,23 @@ object ExtQueries {
             "doc_id", "url", "html", iterations = 3)
           .orderBy("node"),
       Some(LinkRankSql)),
+
+    ("x_domain_rank", // the rank rolled up to REGISTRABLE DOMAINS — the
+      // granularity public web rankings publish (Common Crawl domain
+      // ranks) and the one domain caps/blocklists act at. Edges collapse
+      // to (page domain, target domain); INTRA-domain edges drop (site
+      // navigation must not let a large site vote for itself); duplicate
+      // cross-domain edges count. Same fixed-point integer iteration, same
+      // pluggable domainOf policy hook as the cap/blocklist family.
+      (s: SparkSession, d: String) =>
+        LinkGraph.domainRank(
+            Url.outlinks(
+              Fixtures.attachLinksHtml(
+                Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+                "doc_id", "url"),
+              "doc_id", "url", "html"))
+          .orderBy("node"),
+      Some(DomainRankSql)),
 
     ("x_domain_cap_psl", // the domain quota under the PSL policy (the
       // pluggable domainOf hook): same cap operator, but grouping by the

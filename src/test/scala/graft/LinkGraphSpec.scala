@@ -59,6 +59,27 @@ class LinkGraphSpec extends SparkTestBase {
     assert(ranks(e, 3, materialize = true) === a)
   }
 
+  test("domainRank: intra-domain edges drop, cross-domain multi-edges count") {
+    // page-level edges: two a.com pages -> b.com (2 edges), b.com -> a.com
+    // (1), a.com -> a.com sibling nav (dropped). Domain graph: outdeg
+    // a.com=2 (both to b.com), b.com=1.
+    val links = Seq(
+      ("a.com/1", "b.com/x"), ("a.com/2", "b.com/y"),
+      ("b.com/z", "a.com/1"), ("a.com/1", "a.com/2"))
+      .toDF("src_key", "link_key")
+    val r = LinkGraph.domainRank(links, iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // iter1: b.com gets 2 * (1e6*850) div (1000*2) = 850000; a.com gets
+    // (1e6*850) div 1000 = 850000; both + base 150000
+    assert(r === Map("a.com" -> 1000000L, "b.com" -> 1000000L))
+    // asymmetry appears at iteration 2 through the out-degree split
+    val r2 = LinkGraph.domainRank(links, iterations = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 === Map(
+      "a.com" -> (150000L + (1000000L * 850L) / 1000L),
+      "b.com" -> (150000L + 2L * ((1000000L * 850L) / 2000L))))
+  }
+
   test("urlRank: self-loop pages and cross-links rank over canonical keys") {
     val docs = Seq(
       (1L, "https://a.com/1",

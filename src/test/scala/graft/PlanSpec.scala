@@ -223,6 +223,20 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("x_anchor_text: struct-materialized extract — zero extra exchanges, no filter re-run") {
+    // the anchor table must stay a per-row map like outlinks, AND the
+    // null-drop must stay inside the array: a Filter node here would mean
+    // the isNotNull was pushed through the resolving Project by alias
+    // substitution and re-runs the whole chain (the r12 blocklist lesson)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("x_anchor_text")
+      assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500)) // gate's sort only
+      assert(!p.contains("Join"), "outAnchors grew a join: " + p.take(1500))
+      assert(!p.contains("Filter ("), "null-drop left the array: " + p.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen active in flagship plan") {
     // AQE wraps the plan pre-execution; disable it for this one inspection so
     // the WholeStageCodegen spans are visible in the physical plan.
