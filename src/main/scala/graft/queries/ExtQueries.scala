@@ -991,6 +991,62 @@ object ExtQueries {
           .orderBy("node"),
       Some(LinkRankSql)),
 
+    ("x_robots", // robots.txt evaluation — the crawl-politeness gate
+      // between frontier discovery and fetching (RFC 9309 reduced core:
+      // User-agent:* group only, prefix rules, longest-match with allow
+      // winning ties, no robots/no match = allowed). Rules fold to ONE
+      // sorted struct array per host (precedence order IS array order),
+      // broadcast under AQE; the decision is a per-row array filter — the
+      // URL corpus is never exchanged. The fixture plants a decoy agent
+      // group, a host-varied disallow, a longer allow override, an
+      // empty-path rule, and robots-less hosts.
+      (s: SparkSession, d: String) => {
+        val u = Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
+        val hosts = u.select(
+            Url.hostOf(Url.canonicalKey(col("url"))).as("host")).distinct()
+          .filter(pmod(length(col("host")), lit(3)) =!= 0)
+        // the rule path derives from the digit embedded in the host
+        // (source-R.tld), so every robots-bearing host DENIES the /p/<R%20>
+        // path its own documents actually use; the longer Allow on the
+        // query'd spelling (/p/<R%20>&) rescues exactly the variants whose
+        // canonical key carries &item=... — both outcomes occur, and the
+        // longest-match + allow-wins precedence is what decides them
+        val n = (regexp_extract(col("host"), "-([0-9]+)\\.", 1)
+          .cast("int") % 20).cast("string")
+        val robots = hosts.withColumn("txt", concat(
+          lit("User-agent: evil\nDisallow: /\n\nUser-agent: *\nDisallow: /p/"),
+          n, lit("\nAllow: /p/"), n, lit("&\nDisallow:\n")))
+        graft.ext.Robots.decide(u.select("doc_id", "url"), "url",
+            robots, "host", "txt")
+          .select("doc_id", "allowed").orderBy("doc_id")
+      },
+      Some {
+        val nl = " || chr(10) || "
+        val n = "CAST(CAST(regexp_extract(host, '-([0-9]+)\\.', 1) AS INTEGER) % 20 AS VARCHAR)"
+        val txt = "'User-agent: evil'" + nl + "'Disallow: /'" + nl + "''" + nl +
+          "'User-agent: *'" + nl + s"('Disallow: /p/' || $n)" + nl +
+          s"('Allow: /p/' || $n || '&')" + nl +
+          "'Disallow:'" + nl + "''"
+        val sec = "regexp_extract(txt, '(?is)user-agent:\\s*\\*\\s*(.*?)(?:user-agent:|$)', 1)"
+        s"$UrlCte, hosts AS (SELECT DISTINCT ${urlHostSql("key")} AS host FROM k), " +
+          s"rob AS (SELECT host, $txt AS txt FROM hosts WHERE length(host) % 3 <> 0), " +
+          s"lines AS (SELECT host, unnest(regexp_extract_all($sec, " +
+          "'(?im)^[ \\t]*(?:allow|disallow)[ \\t]*:[ \\t]*\\S*', 0)) AS ln FROM rob), " +
+          "rules AS (SELECT host, lower(regexp_extract(ln, '(?i)^[ \\t]*(allow|disallow)', 1)) AS verb, " +
+          "regexp_extract(ln, ':[ \\t]*(\\S*)', 1) AS path FROM lines " +
+          "WHERE regexp_extract(ln, ':[ \\t]*(\\S*)', 1) <> ''), " +
+          s"kk AS (SELECT doc_id, ${urlHostSql("key")} AS host, " +
+          "regexp_extract(key, '(/.*)$', 1) AS path FROM k), " +
+          "m AS (SELECT kk.doc_id, r.verb, r.path FROM kk JOIN rules r " +
+          "ON kk.host = r.host AND starts_with(kk.path, r.path)), " +
+          "best AS (SELECT doc_id, verb FROM (SELECT doc_id, verb, " +
+          "row_number() OVER (PARTITION BY doc_id ORDER BY length(path) DESC, verb ASC) AS rn " +
+          "FROM m) WHERE rn = 1) " +
+          "SELECT kk.doc_id, CASE WHEN b.verb IS NULL THEN true " +
+          "ELSE b.verb = 'allow' END AS allowed " +
+          "FROM kk LEFT JOIN best b ON kk.doc_id = b.doc_id ORDER BY kk.doc_id"
+      }),
+
     ("x_domain_rank", // the rank rolled up to REGISTRABLE DOMAINS — the
       // granularity public web rankings publish (Common Crawl domain
       // ranks) and the one domain caps/blocklists act at. Edges collapse
