@@ -25,13 +25,25 @@ object LinkProbe {
     import graft.ext.{LinkGraph, Url}
     import graft.fixtures.Fixtures
 
-    val docs = Fixtures.attachLinksHtml(
+    // parquet-materialize, not localCheckpoint: a checkpoint pins the
+    // DESERIALIZED table in executor storage, and at the 30 M rung the
+    // page table (html column) + 240 M-edge list exceed any heap this box
+    // can give a single JVM (two kernel-OOM kills at 96 g, round 13). A
+    // parquet round-trip streams through compressed columnar files: heap
+    // cost is batch-sized, disk is the capacity limit, and downstream
+    // scans column-prune (the rank iteration never re-reads html).
+    val scratch = Scratch.dir("graft-linkprobe")
+    def mat(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.parquet(s"$scratch/$name")
+      spark.read.parquet(s"$scratch/$name")
+    }
+    val docs = mat(Fixtures.attachLinksHtml(
       Fixtures.attachUrls(
         spark.range(n).toDF("doc_id")
           .withColumn("source", concat(lit("s"),
             pmod(xxhash64(col("doc_id"), lit(11L)), lit(40L)))),
         "doc_id", "source"),
-      "doc_id", "url").localCheckpoint()
+      "doc_id", "url"), "docs")
 
     def time[T](body: => T): (Double, T) = {
       val t0 = System.nanoTime(); val r = body
@@ -44,7 +56,7 @@ object LinkProbe {
     // iteration — 3.4x at this rung, see PLANS.md)
     var links: org.apache.spark.sql.DataFrame = null
     val (tLinks, (nEdges, nKeys)) = time {
-      links = Url.outlinks(docs, "doc_id", "url", "html").localCheckpoint()
+      links = mat(Url.outlinks(docs, "doc_id", "url", "html"), "links")
       val r = links.agg(count(lit(1)), approx_count_distinct("link_key")).first()
       (r.getLong(0), r.getLong(1))
     }

@@ -26,11 +26,32 @@ import org.apache.spark.sql.functions._
   * contributions shuffle on src (the edges⋈ranks equi-join), fold on dst
   * (one groupBy), ranks rebuild from the static node table. The edge list
   * is never exchanged more than once per iteration and nothing is ever
-  * collected; `materialize` truncates the iterative lineage (localCheckpoint
-  * per iteration) for long runs — without it a 20-iteration plan doubles
-  * its depth per pass and the optimizer re-plans the whole history.
+  * collected; `materialize` truncates the iterative lineage (a PARQUET
+  * round-trip per artifact) for long runs — without it a 20-iteration plan
+  * doubles its depth per pass and the optimizer re-plans the whole history.
+  *
+  * Why parquet and not `localCheckpoint`: a checkpoint pins the full
+  * deserialized edge list in EXECUTOR STORAGE, which is exactly the wrong
+  * primitive for the one table here that outgrows memory — the round-13
+  * 30 M-page probe (240 M edges) OOM-killed twice at 96 g heap from the
+  * checkpointed edge list alone. A parquet round-trip streams the table
+  * through columnar files instead: the iteration re-reads a compressed scan
+  * (with column pruning — the contribution join reads 3 columns), heap
+  * pressure is bounded by batch size not table size, and on a real cluster
+  * the write is a distributed-FS file that survives executor loss, which a
+  * storage-level checkpoint does not.
   */
 object LinkGraph {
+
+  /** Write `df` under `scratchDir/name` and return the parquet-backed
+    * re-read — the lineage-truncating materializer [[pageRank]] uses.
+    * All pageRank columns are strings/longs, so the round-trip is exact
+    * (both gate hashes unchanged vs the lazy form, LinkGraphSpec-pinned). */
+  private def matParquet(df: DataFrame, scratchDir: String, name: String): DataFrame = {
+    val p = s"$scratchDir/$name"
+    df.write.parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
 
   /** Fixed-point PageRank. Input: an edge list (duplicate edges count —
     * a multigraph link is a stronger endorsement); output: (node, rank_fp)
@@ -57,23 +78,24 @@ object LinkGraph {
     // list (e.g. the gate's inline outlinks) re-ran its extraction ~6x:
     // once per consumer subtree (x_domain_rank measured 8.8 s at sf1 from
     // exactly that).
+    val scratch = if (materialize) graft.Scratch.dir("graft-pagerank") else ""
     var ec = edges.select(col(srcCol).cast("string").as("__src"),
         col(dstCol).cast("string").as("__dst"))
       .groupBy("__src", "__dst").agg(count(lit(1)).as("__w"))
-    if (materialize) ec = ec.localCheckpoint(true)
+    if (materialize) ec = matParquet(ec, scratch, "edges")
     // static per-iteration inputs: the node universe and src out-degrees —
     // under materialize they are computed ONCE (each eager per-iteration
-    // checkpoint job would otherwise redo both distincts)
+    // materialization job would otherwise redo both distincts)
     var nodes = ec.select(col("__src").as("node"))
       .union(ec.select(col("__dst").as("node"))).distinct()
     var deg = ec.groupBy(col("__src")).agg(sum("__w").as("__outdeg"))
     if (materialize) {
-      nodes = nodes.localCheckpoint(true)
-      deg = deg.localCheckpoint(true)
+      nodes = matParquet(nodes, scratch, "nodes")
+      deg = matParquet(deg, scratch, "deg")
     }
     val base = (1000L - dampingMilli) * scale / 1000L
     var ranks = nodes.withColumn("rank_fp", lit(scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ec
         .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
         .join(deg, Seq("__src"))
@@ -84,7 +106,7 @@ object LinkGraph {
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("__contrib"), lit(0L))).as("rank_fp"))
-      if (materialize) ranks = ranks.localCheckpoint(true)
+      if (materialize) ranks = matParquet(ranks, scratch, s"ranks-$i")
     }
     ranks
   }

@@ -11,20 +11,33 @@ import org.apache.spark.sql.functions._
   *  - only the `User-agent: *` group is honored (a real crawler would first
   *    look for its own token; the fallback group is the part every engine
   *    agrees on and the one a corpus-wide audit wants),
-  *  - `Allow:` / `Disallow:` rules are PATH PREFIXES; `*`/`$` wildcards are
-  *    NOT interpreted (documented: a wildcard rule simply never matches,
-  *    because a literal `*` cannot prefix a real path),
-  *  - decision = the LONGEST matching rule wins; on equal length `Allow`
-  *    wins; no matching rule (or no robots.txt for the host) = allowed,
+  *  - `Allow:` / `Disallow:` rules are PATH PREFIXES, with RFC 9309's two
+  *    special characters honored: `*` matches any character run (including
+  *    `/`) and a TRAILING `$` anchors the end of the path; an interior `$`
+  *    is a literal, like Google's parser treats it,
+  *  - decision = the LONGEST matching rule wins (rule length = octets of
+  *    the rule path as written, wildcards included — the RFC's
+  *    most-specific measure); on equal length `Allow` wins; no matching
+  *    rule (or no robots.txt for the host) = allowed,
   *  - an empty-path `Disallow:` means "no restriction" per the spec and is
-  *    dropped at parse time.
+  *    dropped at parse time,
+  *  - matching is CASE-INSENSITIVE on both sides — a deliberate deviation
+  *    from RFC 9309's case-sensitive path matching, documented here: the
+  *    URL side derives from [[Url.canonicalKey]], which lowercases, so a
+  *    mixed-case rule (`Disallow: /Admin`) matched case-sensitively would
+  *    silently never fire and the politeness gate would fail OPEN — the
+  *    unsafe direction for a crawl gate. Folding the rule side too trades
+  *    a little over-blocking (rare case-distinct paths) for never
+  *    under-blocking on the common mixed-case-rule corpus.
   *
   * Everything is regexp/when column work in the RE2/Java common subset
   * (`(?is)`/`(?im)` flags, non-greedy, NO lookaround — RE2 has none), so
-  * the DuckDB oracle replays it verbatim. Scale shape: rules explode to
-  * (host, verb, path) — a few rows per host, NOT per URL — and the
-  * decision is one equi-join on host + one window over the matched rules;
-  * the URL side is never exchanged twice.
+  * the DuckDB oracle replays it verbatim — including the wildcard-rule →
+  * regex translation, which stays in the shared subset (escaped literals,
+  * `.*`, `^`/`$` anchors). Scale shape: rules explode to (host, verb,
+  * path) — a few rows per host, NOT per URL — fold to ONE sorted
+  * struct-array row per host, and the decision is one broadcast equi-join
+  * on host + a per-row array probe; the URL side is never exchanged.
   */
 object Robots {
 
@@ -39,7 +52,8 @@ object Robots {
   private val RulePat = "(?im)^[ \\t]*(allow|disallow)[ \\t]*:[ \\t]*(\\S*)"
 
   /** (host, verb, path) rule table from a (hostCol, robotsCol) frame: the
-    * star group's Allow/Disallow lines, verbs lowercased, empty-path rules
+    * star group's Allow/Disallow lines, verbs AND paths lowercased (the
+    * case-insensitive deviation documented on the object), empty-path rules
     * dropped (spec: no restriction). The two regexp_extract_all calls share
     * ONE pattern, so their leftmost-first match orders align and arrays_zip
     * pairs verb i with path i — the same trick both engines agree on. */
@@ -50,25 +64,46 @@ object Robots {
         regexp_extract_all(sec, lit(RulePat), lit(2)).as("__p"))
       .select(col("host"), explode(arrays_zip(col("__v"), col("__p"))).as("__r"))
       .select(col("host"),
-        lower(col("__r.__v")).as("verb"), col("__r.__p").as("path"))
+        lower(col("__r.__v")).as("verb"), lower(col("__r.__p")).as("path"))
       .filter(col("path") =!= "")
+  }
+
+  /** A rule path translated to its anchored match regex, NULL for plain
+    * prefix rules (no `*`, no trailing `$`) — those take the cheap
+    * `startsWith` route in [[decide]] and skip per-row regex compilation.
+    * Translation: strip one trailing `$` (remembering it as an end anchor),
+    * backslash-escape every regex special EXCEPT `*`, then `*` -> `.*`;
+    * result = `^` + body (+ `$`). Interior `$` becomes a literal via the
+    * escape pass. Every piece is RE2/Java-common so the oracle twins the
+    * translation character for character. */
+  private[ext] def rulePattern(path: Column): Column = {
+    val hasEnd = path.endsWith("$")
+    val core = when(hasEnd, regexp_replace(path, "\\$$", "")).otherwise(path)
+    val esc = regexp_replace(core, "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+    val body = regexp_replace(esc, "\\*", ".*")
+    val pat = concat(lit("^"), body, when(hasEnd, lit("$")).otherwise(lit("")))
+    when(path.contains("*") || hasEnd, pat).otherwise(lit(null).cast("string"))
   }
 
   /** Per-URL allow/deny decision. `urls` rows keep all their columns and
     * gain `allowed`; the URL's host/path derive from [[Url.canonicalKey]]
-    * so rule matching is as port/case-proof as the rest of the family.
+    * so rule matching shares the family's port-proof, lowercased regime.
     * Path = everything from the first `/` of the canonical key (query
     * string included, `&`-normalized — robots prefixes almost never reach
     * into queries; documented).
     *
     * Shape: rules fold to ONE row per host — a sorted struct array
-    * (-pathLen, verb, path), ascending sort = longest rule first with
-    * `allow` before `disallow` on equal length, so the precedence order IS
-    * the array order and the decision is "first matching element". The
-    * per-host table is tiny (a few rules per host that publishes any), so
-    * the join broadcasts under AQE and the URL side is never exchanged;
-    * the match itself is a per-row array filter. A join+window over the
-    * fanned-out (url x rule) pairs would shuffle the corpus instead. */
+    * (-pathLen, verb, path, pattern), ascending sort = longest rule first
+    * with `allow` before `disallow` on equal length, so the precedence
+    * order IS the array order and the decision is "first matching element".
+    * Wildcard-bearing rules carry their translated regex in `pattern` and
+    * match via `regexp_like` (column-pattern regex — compiled per probe,
+    * paid only by the wildcard minority); plain rules keep the
+    * `startsWith` fast path. The per-host table is tiny (a few rules per
+    * host that publishes any), so the join broadcasts under AQE and the
+    * URL side is never exchanged; internal scratch columns use reserved
+    * `__robots`-prefixed names so a user frame already carrying `host`
+    * (common for crawl tables) joins without ambiguity. */
   def decide(urls: DataFrame, urlCol: String,
              robots: DataFrame, hostCol: String, robotsCol: String): DataFrame = {
     val key = Url.canonicalKey(col(urlCol))
@@ -77,15 +112,20 @@ object Robots {
       .agg(sort_array(collect_list(struct(
         (-length(col("path"))).as("nl"),
         col("verb").as("verb"),
-        col("path").as("path")))).as("__rules"))
-    urls.withColumn("__host", Url.hostOf(key))
-      .withColumn("__path", regexp_extract(key, "(/.*)$", 1))
-      .join(perHost, col("__host") === col("host"), "left")
-      .withColumn("__hits", filter(col("__rules"),
-        r => col("__path").startsWith(r.getField("path"))))
+        col("path").as("path"),
+        rulePattern(col("path")).as("pattern")))).as("__robots_rules"))
+      .withColumnRenamed("host", "__robots_host")
+    urls.withColumn("__robots_h", Url.hostOf(key))
+      .withColumn("__robots_p", regexp_extract(key, "(/.*)$", 1))
+      .join(perHost, col("__robots_h") === col("__robots_host"), "left")
+      .withColumn("__robots_hits", filter(col("__robots_rules"),
+        r => when(r.getField("pattern").isNull,
+            col("__robots_p").startsWith(r.getField("path")))
+          .otherwise(regexp_like(col("__robots_p"), r.getField("pattern")))))
       .withColumn("allowed",
-        col("__hits").isNull || size(col("__hits")) === 0 ||
-          element_at(col("__hits"), 1).getField("verb") === "allow")
-      .drop("host", "__host", "__path", "__rules", "__hits")
+        col("__robots_hits").isNull || size(col("__robots_hits")) === 0 ||
+          element_at(col("__robots_hits"), 1).getField("verb") === "allow")
+      .drop("__robots_host", "__robots_h", "__robots_p",
+        "__robots_rules", "__robots_hits")
   }
 }

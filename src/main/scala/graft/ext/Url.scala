@@ -197,18 +197,23 @@ object Url {
 
   /** href values of `<a>` tags, double-quoted then single-quoted matches
     * (extraction order, not document order — callers sort or dedup).
-    * Same non-DOM regime as [[TextFns.stripHtml]], and the same two
-    * documented failure modes: a literal `>` inside another quoted
-    * attribute ends the `[^>]*` scan early, and an href mentioned inside a
-    * DIFFERENT attribute's value (`data-x="href='u'"`) is extracted as if
-    * it were real. Fine for the overwhelmingly well-formed bulk of a web
-    * corpus; adversarial markup needs a DOM parser. Patterns live in the
-    * Java-regex/RE2 common subset so the DuckDB oracle replays them. */
+    * The attribute name requires a WHITESPACE boundary before it
+    * (`<a\s(?:[^>]*?\s)?href=`), so a `data-href="x"` attribute is never
+    * mistaken for the link — without the boundary, the suffix match both
+    * extracted the bogus value and could shadow the real href in a
+    * mixed-quote tag. Same non-DOM regime as [[TextFns.stripHtml]], and
+    * the same two documented failure modes: a literal `>` inside another
+    * quoted attribute ends the `[^>]*` scan early, and an href mentioned
+    * inside a DIFFERENT attribute's value (`data-x="href='u'"`) is
+    * extracted as if it were real. Fine for the overwhelmingly well-formed
+    * bulk of a web corpus; adversarial markup needs a DOM parser. Patterns
+    * live in the Java-regex/RE2 common subset so the DuckDB oracle replays
+    * them. */
   def extractLinks(html: Column): Column = concat(
     regexp_extract_all(html,
-      lit("(?i)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+      lit("(?i)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
     regexp_extract_all(html,
-      lit("(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"), lit(1)))
+      lit("(?i)<a\\s(?:[^>]*?\\s)?href\\s*=\\s*'([^']*)'"), lit(1)))
 
   /** Resolve an extracted href against its page URL — the reduced RFC 3986
     * merge a crawl frontier needs (absolute / protocol-relative /
@@ -329,10 +334,13 @@ object Url {
         baseScheme(col(urlCol)).as("__sch"),
         baseOrigin(col(urlCol)).as("__org"),
         baseDir(col(urlCol)).as("__dir"),
+        // the \s before href is the same attribute-name boundary as
+        // extractLinks: inside an element a real href always follows
+        // whitespace, a data-href suffix follows '-' and must not match
         transform(extractAnchors(col(htmlCol)), e => struct(
           coalesce(
-            nullif(regexp_extract(e, "(?i)href\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
-            nullif(regexp_extract(e, "(?i)href\\s*=\\s*'([^']*)'", 1), lit("")))
+            nullif(regexp_extract(e, "(?i)\\shref\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+            nullif(regexp_extract(e, "(?i)\\shref\\s*=\\s*'([^']*)'", 1), lit("")))
             .as("href"),
           trim(regexp_extract(e, "(?i)>([^<]*)</a>", 1)).as("text")))
           .as("__raw"))
@@ -346,6 +354,42 @@ object Url {
       .select(col("src_id"),
         canonicalKey(col("__a").getField("link")).as("link_key"),
         col("__a").getField("text").as("anchor_text"))
+  }
+
+  /** Per-TARGET anchor rollup — the consumer [[outAnchors]] feeds: for each
+    * resolved target key, how often it is linked (`n_anchors`), by how many
+    * distinct source documents (`n_sources`), with how many distinct anchor
+    * texts (`n_texts`), and the MODAL anchor text with its count
+    * (`top_text`/`top_text_n`; ties break to the lexicographically smallest
+    * text, so the output is deterministic and hash-gateable). This is the
+    * quality/relevance signal per page: text written about the target by
+    * people other than its author.
+    *
+    * Scale shape: the occurrence table is exchanged exactly twice, both
+    * times BEHIND map-side partial aggregation — once keyed (link_key,
+    * anchor_text) for the text histogram, once keyed link_key for the
+    * distinct-source count — and everything after the first aggregation
+    * operates on the reduced histogram (the mode window and final fold
+    * reuse the link_key partitioning, and the join of two link_key-keyed
+    * aggregates aligns without a new exchange). The tempting one-pass
+    * alternative — collect_list per key, compute in array expressions —
+    * is the skew trap: a mega-popular target (every page links the same
+    * homepage) builds one unbounded array on one task. `anchors` is
+    * [[outAnchors]] output or any (src_id, link_key, anchor_text) frame. */
+  def anchorAgg(anchors: DataFrame): DataFrame = {
+    val perText = anchors.groupBy("link_key", "anchor_text")
+      .agg(count(lit(1)).as("__n_occ"))
+    val w = Window.partitionBy("link_key")
+      .orderBy(col("__n_occ").desc, col("anchor_text"))
+    val texts = perText.withColumn("__rn", row_number().over(w))
+      .groupBy("link_key").agg(
+        sum("__n_occ").as("n_anchors"),
+        count(lit(1)).as("n_texts"),
+        max(when(col("__rn") === 1, col("anchor_text"))).as("top_text"),
+        max(when(col("__rn") === 1, col("__n_occ"))).as("top_text_n"))
+    val srcs = anchors.groupBy("link_key")
+      .agg(countDistinct("src_id").as("n_sources"))
+    texts.join(srcs, Seq("link_key"))
   }
 
   /** Newly discovered frontier URLs: [[outlinks]] grouped to one row per

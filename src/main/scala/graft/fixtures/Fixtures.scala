@@ -104,8 +104,12 @@ object Fixtures {
     * (planted TWICE, exercising per-doc dedup), directory-relative, `./` and
     * `../` forms, a padded href (trim), uppercase HREF, single-quoted href,
     * a SELF link back to the page's own url column (so the frontier gate has
-    * already-fetched keys to subtract), and three non-fetchables (fragment,
-    * mailto, javascript) that must resolve to NULL. */
+    * already-fetched keys to subtract), three non-fetchables (fragment,
+    * mailto, javascript) that must resolve to NULL, and two `data-href`
+    * DECOYS pinning the attribute-name boundary: the dup anchor carries a
+    * `data-href` BEFORE its real href (a suffix match would extract the
+    * decoy instead), and one anchor has ONLY a `data-href` (must yield no
+    * link at all). */
   def attachLinksHtml(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val id = col(idCol)
     docs.withColumn("html", concat(
@@ -120,7 +124,10 @@ object Fixtures {
       lit("\">dot</a> <a href=\" sp/"), (id % 2).cast("string"),
       lit(" \">sp</a> <a href=\""), col(urlCol),
       lit("\">self</a> <a href=\"#sec\">f</a> <a href=\"mailto:u@ex.org\">m</a>" +
-        " <a href=\"JavaScript:void(0)\">j</a> <a href=\"/r/"), (id % 11).cast("string"),
+        " <a href=\"JavaScript:void(0)\">j</a>" +
+        " <a data-href=\"/decoy2/9\">noh</a>" +
+        " <a data-href=\"/decoy/"), (id % 6).cast("string"),
+      lit("\" href=\"/r/"), (id % 11).cast("string"),
       lit("\">dup</a></p></body></html>")))
   }
 
@@ -138,7 +145,10 @@ object Fixtures {
       s"'\">dot</a> <a href=\" sp/' || CAST($id % 2 AS VARCHAR) || " +
       s"' \">sp</a> <a href=\"' || $url || " +
       s"'\">self</a> <a href=\"#sec\">f</a> <a href=\"mailto:u@ex.org\">m</a>" +
-      s" <a href=\"JavaScript:void(0)\">j</a> <a href=\"/r/' || CAST($id % 11 AS VARCHAR) || " +
+      s" <a href=\"JavaScript:void(0)\">j</a>" +
+      s" <a data-href=\"/decoy2/9\">noh</a>" +
+      s" <a data-href=\"/decoy/' || CAST($id % 6 AS VARCHAR) || " +
+      s"'\" href=\"/r/' || CAST($id % 11 AS VARCHAR) || " +
       s"'\">dup</a></p></body></html>'"
 
   /** Fake media fixture (formerly `Multimodal.attachFakeMedia`): content =

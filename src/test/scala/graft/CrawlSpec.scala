@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Crawl
+
+class CrawlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // a discovered frontier (discoveredFromLinks shape), a robots table that
+  // bans one URL, and a domain-rank table missing one domain entirely
+  private def frontier = Seq(
+    ("big.com/a", "https://big.com/a", 1L, 5L),
+    ("big.com/b", "https://big.com/b", 1L, 4L),
+    ("big.com/c", "https://big.com/c", 1L, 3L), // cut by the per-domain cap
+    ("big.com/d", "https://big.com/d", 1L, 9L), // robots-denied
+    ("small.org/x", "https://small.org/x", 2L, 1L),
+    ("new.net/y", "https://new.net/y", 3L, 2L)) // unranked domain
+    .toDF("link_key", "link", "first_src", "n_refs")
+
+  private def robots =
+    Seq(("big.com", "User-agent: *\nDisallow: /d\n")).toDF("host", "txt")
+
+  private def ranks =
+    Seq(("big.com", 900L), ("small.org", 500L)).toDF("node", "rank_fp")
+
+  test("frontierOrder: denied dropped, cap enforced, rank ordered, unranked -> 0") {
+    val q = Crawl.frontierOrder(frontier, robots, "host", "txt", ranks, cap = 2)
+      .select("domain", "queue_pos", "link_key", "domain_rank_fp")
+      .orderBy(col("domain_rank_fp").desc, col("domain"), col("queue_pos"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(q === Seq(
+      // big.com/d had the highest in-degree but robots bans it; /c is the
+      // cap victim; within-domain order = n_refs desc
+      ("big.com", 1, "big.com/a", 900L),
+      ("big.com", 2, "big.com/b", 900L),
+      ("small.org", 1, "small.org/x", 500L),
+      ("new.net", 1, "new.net/y", 0L)))
+  }
+
+  test("frontierOrder: k takes the global head by (rank, domain, pos)") {
+    val q = Crawl.frontierOrder(frontier, robots, "host", "txt", ranks,
+        cap = 2, k = 3)
+      .select("link_key").collect().map(_.getString(0)).toSeq
+    assert(q === Seq("big.com/a", "big.com/b", "small.org/x"))
+  }
+
+  test("frontierOrder plan: broadcast sides only — one frontier-side exchange") {
+    // the whole design: robots rules and the rank table fold to broadcast
+    // slivers, so the corpus-sized frontier pays exactly ONE hash exchange
+    // (the domain partition the cap window needs). A SortMergeJoin here
+    // would mean a corpus shuffle crept into the eligibility or rank join.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Crawl.frontierOrder(frontier, robots, "host", "txt", ranks,
+        cap = 2).queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), p.take(2000))
+      val hashEx = p.linesIterator
+        .count(_.trim.startsWith("Exchange hashpartitioning"))
+      // 1 = the tiny rules-side fold (host); 2 = the frontier's domain window
+      assert(hashEx <= 2, s"$hashEx hash exchanges:\n${p.take(2500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}

@@ -47,6 +47,55 @@ class RobotsSpec extends SparkTestBase {
       5L -> true, 6L -> true, 7L -> false))
   }
 
+  test("decide: RFC 9309 wildcards — * spans, trailing $ anchors, specials stay literal") {
+    val robots = Seq(
+      ("w.com", "User-agent: *\nDisallow: /p\nAllow: /p/*x=1$\n"),
+      ("d.com", "User-agent: *\nDisallow: /*.pdf$\n"),
+      ("l.com", "User-agent: *\nDisallow: /a$b\n"))
+      .toDF("host", "txt")
+    val urls = Seq(
+      (1L, "https://w.com/p/5?x=1"),    // ends x=1: wildcard allow rescues
+      (2L, "https://w.com/p/5?x=12"),   // $ anchor: x=12 is not x=1-at-end
+      (3L, "https://d.com/f/doc.pdf"),  // /*.pdf$ denies
+      (4L, "https://d.com/f/doc.pdfx"), // not at end -> allowed
+      (5L, "https://d.com/f/docxpdf"),  // '.' is literal, no dot -> allowed
+      (6L, "https://l.com/a$b/c"),      // interior $ is literal (prefix rule)
+      (7L, "https://l.com/ab/c"))       // no match -> allowed
+      .toDF("doc_id", "url")
+    val got = Robots.decide(urls, "url", robots, "host", "txt")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    assert(got === Seq(1L -> true, 2L -> false, 3L -> false, 4L -> true,
+      5L -> true, 6L -> false, 7L -> true))
+  }
+
+  test("decide: mixed-case rule paths fold to the lowercased URL side") {
+    // the documented deviation from RFC 9309 case-sensitivity: canonicalKey
+    // lowercases the URL, so an unfolded 'Disallow: /Admin' would silently
+    // never match — the gate failing OPEN, the unsafe direction
+    val robots = Seq(("c.com", "User-agent: *\nDisallow: /Admin\n"))
+      .toDF("host", "txt")
+    val urls = Seq((1L, "https://c.com/admin/x"), (2L, "https://c.com/public"))
+      .toDF("doc_id", "url")
+    val got = Robots.decide(urls, "url", robots, "host", "txt")
+      .orderBy("doc_id").collect().map(_.getBoolean(2)).toSeq
+    assert(got === Seq(false, true))
+  }
+
+  test("decide: a urls frame already carrying a 'host' column is untouched") {
+    // crawl tables commonly have a host column; the join key must use the
+    // reserved __robots_* names, never collide with (or drop) user columns
+    val robots = Seq(("h.com", "User-agent: *\nDisallow: /p\n"))
+      .toDF("host", "txt")
+    val urls = Seq((1L, "https://h.com/p/1", "h.com"), (2L, "https://h.com/q", "h.com"))
+      .toDF("doc_id", "url", "host")
+    val out = Robots.decide(urls, "url", robots, "host", "txt")
+    assert(out.columns.toSeq === Seq("doc_id", "url", "host", "allowed"))
+    val got = out.orderBy("doc_id").collect()
+      .map(r => (r.getString(2), r.getBoolean(3))).toSeq
+    assert(got === Seq("h.com" -> false, "h.com" -> true))
+  }
+
   test("decide: query string is part of the matched path (documented)") {
     val robots = Seq(("h.com", "User-agent: *\nDisallow: /p/3\n"))
       .toDF("host", "txt")

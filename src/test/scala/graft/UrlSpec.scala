@@ -363,6 +363,38 @@ class UrlSpec extends SparkTestBase {
       ("h.com/x", "official docs")))
   }
 
+  test("extractLinks/outAnchors: data-href is never the link (attribute-name boundary)") {
+    // without the \s boundary before 'href', the non-greedy scan matched the
+    // 'href' SUFFIX of data-href and extracted the decoy value — and in a
+    // tag carrying both, shadowed the real link
+    val docs = Seq((9L, "https://h.com/p",
+      "<a data-href=\"/decoy\" href=\"/real\">t</a>" +
+        " <a data-href=\"/only\">n</a>"))
+      .toDF("doc_id", "url", "html")
+    val links = Url.outlinks(docs, "doc_id", "url", "html")
+      .select("link_key").collect().map(_.getString(0)).toSeq
+    assert(links === Seq("h.com/real"))
+    val anchors = Url.outAnchors(docs, "doc_id", "url", "html")
+      .select("link_key", "anchor_text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(anchors === Seq(("h.com/real", "t")))
+  }
+
+  test("anchorAgg: occurrence/source/text counts, modal text, deterministic ties") {
+    val anchors = Seq(
+      (1L, "k1", "docs"), (2L, "k1", "docs"), (1L, "k1", "api"),
+      (3L, "k2", "b"), (3L, "k2", "a"))
+      .toDF("src_id", "link_key", "anchor_text")
+    val got = Url.anchorAgg(anchors).orderBy("link_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      // k1: 3 occurrences, 2 texts, mode 'docs' x2, 2 distinct sources
+      ("k1", 3L, 2L, "docs", 2L, 2L),
+      // k2: tie at 1 occurrence each -> lexicographically smallest text wins
+      ("k2", 2L, 2L, "a", 1L, 1L)))
+  }
+
   test("discoveredUrls: already-fetched keys vanish, audit columns correct") {
     // doc 1 links to doc 2's page (already fetched -> not discovered), to
     // a fresh external page, and to itself; doc 2 links to the SAME fresh
