@@ -142,11 +142,13 @@ object LinkGraph {
   def domainRank(links: DataFrame, iterations: Int = 3,
                  dampingMilli: Int = 850,
                  domainOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-                   Url.registrableDomain): DataFrame = {
+                   Url.registrableDomain,
+                 materialize: Boolean = false): DataFrame = {
     val edges = links.select(
         domainOf(Url.hostOf(col("src_key"))).as("src_domain"),
         domainOf(Url.hostOf(col("link_key"))).as("dst_domain"))
       .where(col("src_domain") =!= col("dst_domain"))
-    pageRank(edges, "src_domain", "dst_domain", iterations, dampingMilli)
+    pageRank(edges, "src_domain", "dst_domain", iterations, dampingMilli,
+      materialize = materialize)
   }
 }

@@ -2783,7 +2783,8 @@ object ExtQueries {
       // (hash, doc_id).
       (s: SparkSession, d: String) =>
         graft.streaming.StreamingDedup
-          .firstSeenWinsFileRun(s, s"$d/documents.parquet")
+          .firstSeenWinsFileRun(s, s"$d/documents.parquet",
+            filesPerTrigger = 2)
           .select(col("doc_id"), col("content_hash"),
             col("is_first").cast("long").as("is_first"), col("dup_ordinal"))
           .orderBy("doc_id"),
@@ -2807,7 +2808,7 @@ object ExtQueries {
       // inert at gate scale — divergence documented in StreamingNearDup.
       (s: SparkSession, d: String) =>
         graft.streaming.StreamingNearDup
-          .candidatesFileRun(s, s"$d/documents.parquet")
+          .candidatesFileRun(s, s"$d/documents.parquet", filesPerTrigger = 2)
           .select("a_id", "b_id").distinct()
           .orderBy("a_id", "b_id"),
       Some(s"$SigCte, $BandsCte " +
@@ -2824,7 +2825,8 @@ object ExtQueries {
       (s: SparkSession, d: String) =>
         graft.streaming.StreamingDedup
           .firstSeenWinsFileRun(s, s"$d/documents.parquet",
-            lateness = "36500 days", arrivalOrder = Seq(2, 0, 3, 1))
+            lateness = "36500 days", arrivalOrder = Seq(2, 0, 3, 1),
+            filesPerTrigger = 2)
           .groupBy(col("content_hash"))
           .agg(sum(col("is_first").cast("long")).as("n_keepers"),
             count(lit(1)).as("n_docs"))
@@ -2840,13 +2842,18 @@ object ExtQueries {
       // fixture's event-time spread so the permutation exercises state
       // re-ordering, not watermark drops; same banding-twin oracle.
       (s: SparkSession, d: String) => {
-        // 4 chunks, same as the eq gate: a 3-chunk variant measured the
-        // SAME wall time (10.4 vs 10.2 s sf1 — the harness cost is the
-        // per-row signature + stream setup, not per-batch commit
-        // constants), so the stronger 4-element permutation stays
+        // 4 staged chunks (the stronger 4-element permutation), grouped 2
+        // per micro-batch (r14): the per-batch constant IS the dominant
+        // replay cost when measured batch-by-batch (GRAFT_STREAM_PROF,
+        // ~0.9 s/batch vs ~0.65 s of chunk compute at sf1 — the r13
+        // 3-vs-4-chunk reading that suggested otherwise was era noise).
+        // Grouping keeps the cross-boundary inversion (chunks {2,0} land
+        // before {3,1}) and the least/greatest normalization keeps the
+        // output set chunking-proof.
         val raw = graft.streaming.StreamingNearDup
           .candidatesFileRun(s, s"$d/documents.parquet",
-            lateness = "36500 days", arrivalOrder = Seq(2, 0, 3, 1))
+            lateness = "36500 days", arrivalOrder = Seq(2, 0, 3, 1),
+            filesPerTrigger = 2)
         raw.select(least(col("a_id"), col("b_id")).as("a_id"),
             greatest(col("a_id"), col("b_id")).as("b_id"))
           .distinct().orderBy("a_id", "b_id")

@@ -145,7 +145,8 @@ object StreamingDedup {
                            docsParquetDir: String, chunks: Int = 4,
                            lateness: String = "10 minutes",
                            stateTtlMs: Long = 7L * 86400000L,
-                           arrivalOrder: Seq[Int] = Seq.empty): DataFrame = {
+                           arrivalOrder: Seq[Int] = Seq.empty,
+                           filesPerTrigger: Int = 1): DataFrame = {
     import org.apache.hadoop.fs.Path
     val stage = graft.Scratch.dir("graft_stream_stage")
     val inDir = s"$stage/in"
@@ -176,9 +177,15 @@ object StreamingDedup {
     // expiry), so skip them.
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     import ss.implicits._
+    // filesPerTrigger groups staged chunks into fewer, larger micro-batches
+    // (r13 verdict item 5 — the per-batch planning/commit constant is the
+    // dominant replay cost, see candidatesFileRun). The state op sorts each
+    // batch by (event_time, doc_id), so grouping in-order chunks preserves
+    // first-seen assignment exactly; permuted feeds keep their cross-batch
+    // inversions and the ooo gate's oracle is arrival-independent.
     val inStream = ss.readStream
       .schema("doc_id LONG, text STRING, event_time TIMESTAMP")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(inDir)
       .as[Doc]
     val q = firstSeenWins(inStream, lateness, stateTtlMs)
@@ -186,8 +193,8 @@ object StreamingDedup {
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try {
-      order.zipWithIndex.foreach { case (part, i) =>
-        StreamStage.feed(spark, parts(part), inDir, i)
+      order.zipWithIndex.grouped(filesPerTrigger).foreach { group =>
+        group.foreach { case (part, i) => StreamStage.feed(spark, parts(part), inDir, i) }
         q.processAllAvailable()
       }
     } finally q.stop()

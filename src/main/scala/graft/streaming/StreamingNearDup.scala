@@ -163,8 +163,13 @@ object StreamingNearDup {
                         lateness: String = "10 minutes",
                         stateTtlMs: Long = 7L * 86400000L,
                         maxBucket: Int = Dedup.DefaultMaxBucket,
-                        arrivalOrder: Seq[Int] = Seq.empty): DataFrame = {
+                        arrivalOrder: Seq[Int] = Seq.empty,
+                        filesPerTrigger: Int = 1): DataFrame = {
     import org.apache.hadoop.fs.Path
+    val tEnter0 = System.nanoTime()
+    def prof(tag: String, t0: Long): Unit =
+      if (sys.env.contains("GRAFT_STREAM_PROF"))
+        System.err.println(f"[neardup-prof] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val stage = graft.Scratch.dir("graft_neardup_stage")
     val inDir = s"$stage/in"
     val outDir = s"$stage/out"; val ckpt = s"$stage/ckpt"
@@ -172,6 +177,7 @@ object StreamingNearDup {
     // chunk staging is SHARED across the four replay gates (same frame,
     // same range partitioning — StreamStage builds it once per JVM)
     val parts = StreamStage.stagedParts(spark, docsParquetDir, chunks)
+    prof("staged", tEnter0)
     val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
     // `arrivalOrder` (a chunk permutation — the firstSeenWinsFileRun knob)
     // injects out-of-order arrival: pairs then orient by ARRIVAL (a_id =
@@ -188,12 +194,22 @@ object StreamingNearDup {
     // firstSeenWinsFileRun rationale (state-store checkpoint deltas are per
     // partition per batch; eviction timing is spec territory, not gate).
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.shuffle.partitions", "16")
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     import ss.implicits._
+    // filesPerTrigger groups staged chunks into fewer, larger micro-batches
+    // (r13 verdict item 5): the dominant replay cost is the PER-MICRO-BATCH
+    // constant — each batch re-plans the (large) signature expression tree
+    // and pays offset/commit/state-store bookkeeping (~0.8-0.9 s/batch at
+    // sf1, measured with GRAFT_STREAM_PROF, vs ~0.65 s of actual data
+    // compute for a 12.5k-doc chunk). Within a micro-batch the state op
+    // sorts arrivals by (event_time, doc_id), so grouping IN-ORDER chunks
+    // never changes registration order (hash-identical output); for
+    // PERMUTED feeds the cross-boundary inversions survive and the gate's
+    // least/greatest normalization makes the output set chunking-proof.
     val inStream = ss.readStream
       .schema("doc_id LONG, text STRING, event_time TIMESTAMP")
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(inDir)
       // A staged chunk file arrives as ONE input partition, and the per-row
       // signature (one md5 per shingle) is a narrow map — without this it
@@ -202,18 +218,35 @@ object StreamingNearDup {
       // it across the cores; the (band, bucket) state shuffle downstream is
       // unchanged (still the session's 4 state partitions).
       .repartition(spark.sparkContext.defaultParallelism)
+    val tBand0 = System.nanoTime()
     val bandStream = bandRows(inStream, "text", "doc_id", "event_time")
       .as[BandRow]
+    prof("plan-build", tBand0)
+    val tSetup0 = System.nanoTime()
     val q = candidateStream(bandStream, lateness, stateTtlMs, maxBucket)
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").start()
+    if (sys.env.contains("GRAFT_STREAM_PROF"))
+      System.err.println(f"[neardup-prof] start: ${(System.nanoTime() - tSetup0) / 1e9}%.2f s")
     try {
-      order.zipWithIndex.foreach { case (part, i) =>
-        StreamStage.feed(spark, parts(part), inDir, i)
-        q.processAllAvailable()
+      order.zipWithIndex.grouped(filesPerTrigger).zipWithIndex.foreach {
+        case (group, b) =>
+          val t0 = System.nanoTime()
+          group.foreach { case (part, i) => StreamStage.feed(spark, parts(part), inDir, i) }
+          q.processAllAvailable()
+          if (sys.env.contains("GRAFT_STREAM_PROF"))
+            System.err.println(f"[neardup-prof] batch $b (${group.size} files): ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
-    } finally q.stop()
-    spark.read.parquet(outDir)
+    } finally {
+      val tStop0 = System.nanoTime()
+      q.stop()
+      if (sys.env.contains("GRAFT_STREAM_PROF"))
+        System.err.println(f"[neardup-prof] stop: ${(System.nanoTime() - tStop0) / 1e9}%.2f s")
+    }
+    val tRead0 = System.nanoTime()
+    val res = spark.read.parquet(outDir)
+    prof("readback", tRead0)
+    res
   }
 }
