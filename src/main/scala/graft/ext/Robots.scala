@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * against the host's published rules. Reduced to the deterministic core of
   * the Google robots.txt spec (RFC 9309):
   *
-  *  - only the `User-agent: *` group is honored (a real crawler would first
-  *    look for its own token; the fallback group is the part every engine
-  *    agrees on and the one a corpus-wide audit wants),
+  *  - group selection: the group whose `User-agent:` line matches the
+  *    caller's agent token (case-insensitive, whole-line — see
+  *    [[agentSection]] for the multi-token-group reduction), falling back
+  *    to the `User-agent: *` group, which is also the default when no
+  *    agent is passed (the corpus-wide-audit view),
   *  - `Allow:` / `Disallow:` rules are PATH PREFIXES, with RFC 9309's two
   *    special characters honored: `*` matches any character run (including
   *    `/`) and a TRAILING `$` anchors the end of the path; an interior `$`
@@ -49,6 +51,27 @@ object Robots {
     regexp_extract(robotsTxt,
       "(?is)user-agent:\\s*\\*\\s*(.*?)(?:user-agent:|$)", 1)
 
+  /** The group body for a SPECIFIC agent token, falling back to the star
+    * group when the file has no group for it — RFC 9309's group selection,
+    * reduced: the token must match a whole `User-agent:` line (so
+    * `graftbot` never matches a `graftbot-pro` group — the line-end anchor
+    * is the token boundary, since RE2 has no lookahead), matching is
+    * case-insensitive, and a multi-token group (several consecutive
+    * `User-agent:` lines sharing one rule block) attributes its rules to
+    * the LAST listed token only (the earlier tokens' sections terminate at
+    * the next `User-agent:` line, yielding zero rules — documented
+    * reduction; single-token groups are the overwhelming real-corpus
+    * form). `agent` must be a plain token (letters/digits/`-`/`_`) — it is
+    * embedded in a regex both engines replay. */
+  def agentSection(robotsTxt: Column, agent: String): Column = {
+    require(agent.matches("[A-Za-z0-9_-]+"),
+      s"agent must be a plain robots token, got '$agent'")
+    val own = regexp_extract(robotsTxt,
+      "(?is)user-agent:[ \\t]*" + agent.toLowerCase +
+        "[ \\t]*\\r?\\n(.*?)(?:user-agent:|$)", 1)
+    when(own =!= "", own).otherwise(starSection(robotsTxt))
+  }
+
   private val RulePat = "(?im)^[ \\t]*(allow|disallow)[ \\t]*:[ \\t]*(\\S*)"
 
   /** (host, verb, path) rule table from a (hostCol, robotsCol) frame: the
@@ -57,8 +80,10 @@ object Robots {
     * dropped (spec: no restriction). The two regexp_extract_all calls share
     * ONE pattern, so their leftmost-first match orders align and arrays_zip
     * pairs verb i with path i — the same trick both engines agree on. */
-  def rules(robots: DataFrame, hostCol: String, robotsCol: String): DataFrame = {
-    val sec = starSection(col(robotsCol))
+  def rules(robots: DataFrame, hostCol: String, robotsCol: String,
+            agent: String = "*"): DataFrame = {
+    val sec = if (agent == "*") starSection(col(robotsCol))
+      else agentSection(col(robotsCol), agent)
     robots.select(col(hostCol).as("host"),
         regexp_extract_all(sec, lit(RulePat), lit(1)).as("__v"),
         regexp_extract_all(sec, lit(RulePat), lit(2)).as("__p"))
@@ -105,9 +130,10 @@ object Robots {
     * `__robots`-prefixed names so a user frame already carrying `host`
     * (common for crawl tables) joins without ambiguity. */
   def decide(urls: DataFrame, urlCol: String,
-             robots: DataFrame, hostCol: String, robotsCol: String): DataFrame = {
+             robots: DataFrame, hostCol: String, robotsCol: String,
+             agent: String = "*"): DataFrame = {
     val key = Url.canonicalKey(col(urlCol))
-    val perHost = rules(robots, hostCol, robotsCol)
+    val perHost = rules(robots, hostCol, robotsCol, agent)
       .groupBy("host")
       .agg(sort_array(collect_list(struct(
         (-length(col("path"))).as("nl"),

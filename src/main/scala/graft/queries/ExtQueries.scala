@@ -765,16 +765,25 @@ object ExtQueries {
 
   /** DuckDB twin of [[graft.ext.Robots.rules]] + the wildcard translation
     * ([[graft.ext.Robots]] `rulePattern`): over a CTE `rob(host, txt)`,
-    * parse the `User-agent: *` group's Allow/Disallow lines (verb AND path
+    * parse the selected group's Allow/Disallow lines (verb AND path
     * lowercased — the documented case-insensitive deviation), drop
     * empty-path rules, and translate wildcard-bearing paths (`*` anywhere /
     * trailing `$`) to their anchored regex — escape every special except
     * `*`, then `*` -> `.*` — leaving `pattern` NULL for plain prefix rules.
     * Ends in `rp(host, verb, path, pattern)`. Replacement-group spelling
     * differs by dialect (`\\\1` here, `\\$1` in the engine); the patterns
-    * themselves are the RE2/Java common subset. */
-  private val RobotsRulesCtes: String = {
-    val sec = "regexp_extract(txt, '(?is)user-agent:\\s*\\*\\s*(.*?)(?:user-agent:|$)', 1)"
+    * themselves are the RE2/Java common subset. `agent` selects the group
+    * like [[graft.ext.Robots.agentSection]]: the agent's own whole-line
+    * token group, else the star group. */
+  private def robotsRulesCtes(agent: String = "*"): String = {
+    val star = "regexp_extract(txt, '(?is)user-agent:\\s*\\*\\s*(.*?)(?:user-agent:|$)', 1)"
+    val sec =
+      if (agent == "*") star
+      else {
+        val own = "regexp_extract(txt, '(?is)user-agent:[ \\t]*" +
+          agent.toLowerCase + "[ \\t]*\\r?\\n(.*?)(?:user-agent:|$)', 1)"
+        s"(CASE WHEN $own <> '' THEN $own ELSE $star END)"
+      }
     "lines AS (SELECT host, unnest(regexp_extract_all(" + sec + ", " +
       "'(?im)^[ \\t]*(?:allow|disallow)[ \\t]*:[ \\t]*\\S*', 0)) AS ln FROM rob), " +
       "rules AS (SELECT host, lower(regexp_extract(ln, '(?i)^[ \\t]*(allow|disallow)', 1)) AS verb, " +
@@ -791,7 +800,7 @@ object ExtQueries {
 
   /** DuckDB twin of [[graft.ext.Robots.decide]]'s match + precedence over
     * CTEs `kk(doc_id, host, path)` (the URL side) and `rp` (from
-    * [[RobotsRulesCtes]]): plain rules prefix-match, wildcard rules
+    * `robotsRulesCtes`): plain rules prefix-match, wildcard rules
     * regex-match; longest ORIGINAL rule path wins, allow beats disallow on
     * ties, no match = allowed. Ends in `dec(doc_id, allowed)`. */
   private val RobotsDecideCtes: String =
@@ -1105,7 +1114,7 @@ object ExtQueries {
           "'Disallow:'" + nl + "''"
         s"$UrlCte, hosts AS (SELECT DISTINCT ${urlHostSql("key")} AS host FROM k), " +
           s"rob AS (SELECT host, $txt AS txt FROM hosts WHERE length(host) % 3 <> 0), " +
-          RobotsRulesCtes + ", " +
+          robotsRulesCtes() + ", " +
           s"kk AS (SELECT doc_id, ${urlHostSql("key")} AS host, " +
           "regexp_extract(key, '(/.*)$', 1) AS path FROM k), " +
           RobotsDecideCtes + " " +
@@ -1151,7 +1160,49 @@ object ExtQueries {
           s"('Disallow: /*item=' || $m2)" + nl + "''"
         s"$UrlCte, hosts AS (SELECT DISTINCT ${urlHostSql("key")} AS host FROM k), " +
           s"rob AS (SELECT host, $txt AS txt FROM hosts WHERE length(host) % 4 <> 0), " +
-          RobotsRulesCtes + ", " +
+          robotsRulesCtes() + ", " +
+          s"kk AS (SELECT doc_id, ${urlHostSql("key")} AS host, " +
+          "regexp_extract(key, '(/.*)$', 1) AS path FROM k), " +
+          RobotsDecideCtes + " " +
+          "SELECT doc_id, allowed FROM dec ORDER BY doc_id"
+      }),
+
+    ("x_robots_agent", // RFC 9309 group SELECTION: the crawler's own
+      // User-agent token picks its group (whole-line match, so the decoy
+      // `graftbot-pro` group never captures `graftbot`), star group as the
+      // fallback. The fixture gives half the rule-bearing hosts a graftbot
+      // group (a scoped wildcard ban — only those paths deny) over a
+      // deny-all star group; the other half exposes only the star group
+      // (deny-all wins), and robots-less hosts stay allowed — so a
+      // wrong-group selection flips rows in BOTH directions.
+      (s: SparkSession, d: String) => {
+        val u = Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
+        val hosts = u.select(
+            Url.hostOf(Url.canonicalKey(col("url"))).as("host")).distinct()
+          .filter(pmod(length(col("host")), lit(3)) =!= 0)
+        val dig = regexp_extract(col("host"), "-([0-9]+)\\.", 1).cast("int")
+        val n = (dig % 20).cast("string")
+        val robots = hosts.withColumn("txt", concat(
+          lit("User-agent: graftbot-pro\nDisallow: /\n"),
+          when(dig % 2 === 0,
+            concat(lit("User-agent: graftbot\nDisallow: /P/"), n, lit("*\n")))
+            .otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /\n")))
+        graft.ext.Robots.decide(u.select("doc_id", "url"), "url",
+            robots, "host", "txt", agent = "graftbot")
+          .select("doc_id", "allowed").orderBy("doc_id")
+      },
+      Some {
+        val nl = " || chr(10) || "
+        val dig = "CAST(regexp_extract(host, '-([0-9]+)\\.', 1) AS INTEGER)"
+        val n = s"CAST($dig % 20 AS VARCHAR)"
+        val txt = "'User-agent: graftbot-pro'" + nl + "'Disallow: /'" + nl +
+          s"(CASE WHEN $dig % 2 = 0 THEN 'User-agent: graftbot'" + nl +
+          s"('Disallow: /P/' || $n || '*')" + nl + "'' ELSE '' END)" +
+          " || 'User-agent: *'" + nl + "'Disallow: /'" + nl + "''"
+        s"$UrlCte, hosts AS (SELECT DISTINCT ${urlHostSql("key")} AS host FROM k), " +
+          s"rob AS (SELECT host, $txt AS txt FROM hosts WHERE length(host) % 3 <> 0), " +
+          robotsRulesCtes("graftbot") + ", " +
           s"kk AS (SELECT doc_id, ${urlHostSql("key")} AS host, " +
           "regexp_extract(key, '(/.*)$', 1) AS path FROM k), " +
           RobotsDecideCtes + " " +
@@ -1255,7 +1306,7 @@ object ExtQueries {
           "fr AS (SELECT * FROM g WHERE link_key NOT IN (SELECT key FROM kc)), " +
           s"hosts AS (SELECT DISTINCT ${urlHostSql("link_key")} AS host FROM fr), " +
           s"rob AS (SELECT host, $txt AS txt FROM hosts WHERE length(host) % 4 <> 0), " +
-          RobotsRulesCtes + ", " +
+          robotsRulesCtes() + ", " +
           // the decide twin keyed by link_key instead of doc_id
           s"kk AS (SELECT link_key AS doc_id, ${urlHostSql("link_key")} AS host, " +
           "regexp_extract(link_key, '(/.*)$', 1) AS path FROM fr), " +

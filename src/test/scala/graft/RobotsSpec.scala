@@ -96,6 +96,30 @@ class RobotsSpec extends SparkTestBase {
     assert(got === Seq("h.com" -> false, "h.com" -> true))
   }
 
+  test("decide: agent group selection — own token wins, star fallback, no decoy capture") {
+    val txt = "User-agent: graftbot-pro\nDisallow: /\n" +
+      "User-agent: graftbot\nDisallow: /secret\n" +
+      "User-agent: *\nDisallow: /\n"
+    val robots = Seq(("h.com", txt),
+      ("star.com", "User-agent: *\nDisallow: /q\n")).toDF("host", "txt")
+    val urls = Seq(
+      (1L, "https://h.com/secret/x"),  // graftbot's own rule
+      (2L, "https://h.com/open"),      // star's deny-all must NOT apply
+      (3L, "https://star.com/q/1"),    // no graftbot group -> star fallback
+      (4L, "https://star.com/r"))      // fallback group, no match
+      .toDF("doc_id", "url")
+    val got = Robots.decide(urls, "url", robots, "host", "txt",
+        agent = "graftbot")
+      .orderBy("doc_id").collect().map(_.getBoolean(2)).toSeq
+    assert(got === Seq(false, true, false, true))
+    // the decoy group: agent 'graftbot-pro' selects ITS deny-all, and a
+    // token that is a PREFIX of a published group must not capture it
+    val pro = Robots.decide(urls.filter(col("doc_id") === 2L), "url",
+        robots, "host", "txt", agent = "graftbot-pro")
+      .collect().map(_.getBoolean(2)).toSeq
+    assert(pro === Seq(false))
+  }
+
   test("decide: query string is part of the matched path (documented)") {
     val robots = Seq(("h.com", "User-agent: *\nDisallow: /p/3\n"))
       .toDF("host", "txt")
