@@ -61,4 +61,44 @@ object Crawl {
         .limit(k)
     else q
   }
+
+  /** Resolve redirect CHAINS to their final targets — the post-fetch
+    * normalization every crawl table needs (a 301/302/308 response maps a
+    * url to a location; chains of them are common, and frontier/dedup/rank
+    * should all key on the chain's END). `redirects` is the functional map
+    * (one row per source url: src -> next hop); output is one row per
+    * source with `final_url` after up to 2^`doublings` hops and `resolved`
+    * (the final url is not itself a redirect source — false only for
+    * chains longer than the budget or CYCLES, which a redirect graph does
+    * contain in the wild and which no iteration count can terminate).
+    *
+    * Algorithm: POINTER DOUBLING (the Shiloach–Vishkin step
+    * [[Dedup.dedupClustersWithRounds]] uses for undirected components,
+    * here on a directed functional graph): each round self-joins the map
+    * — next := next's next where next is itself a source — so a chain of
+    * length L resolves in ceil(log2 L) rounds, each ONE equi-join shuffle
+    * on the url key. The naive one-hop-per-round loop would pay L shuffles
+    * (L can be dozens in redirect farms); hop counts stay exact because
+    * doubling ADDS the joined row's hop count. Deterministic for cycles
+    * too: after k rounds every source points at its 2^k-th successor, a
+    * pure function of the input — so the gate can hash it. */
+  def resolveRedirects(redirects: DataFrame, srcCol: String, dstCol: String,
+                       doublings: Int = 4): DataFrame = {
+    require(doublings >= 0 && doublings <= 10,
+      s"doublings must be in [0,10] (2^10 = 1024 hops), got $doublings")
+    var m = redirects.select(col(srcCol).cast("string").as("__src"),
+      col(dstCol).cast("string").as("__next"), lit(1L).as("__hops"))
+    for (_ <- 1 to doublings) {
+      val hop = m.select(col("__src").as("__hsrc"),
+        col("__next").as("__hnext"), col("__hops").as("__hhops"))
+      m = m.join(hop, col("__next") === col("__hsrc"), "left")
+        .select(col("__src"),
+          coalesce(col("__hnext"), col("__next")).as("__next"),
+          (col("__hops") + coalesce(col("__hhops"), lit(0L))).as("__hops"))
+    }
+    val srcs = redirects.select(col(srcCol).cast("string").as("__s")).distinct()
+    m.join(srcs, col("__next") === col("__s"), "left")
+      .select(col("__src").as("url"), col("__next").as("final_url"),
+        col("__hops").as("hops"), col("__s").isNull.as("resolved"))
+  }
 }

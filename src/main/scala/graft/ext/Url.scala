@@ -356,6 +356,49 @@ object Url {
         col("__a").getField("text").as("anchor_text"))
   }
 
+  /** The page's `rel=canonical` href, NULL when none is declared — the
+    * author-published dedup override (serving variants all point their
+    * canonical link at one spelling; RFC 6596). One element pattern catches
+    * BOTH attribute orders (`rel` before or after `href` — the `[^>]*` runs
+    * on each side of `rel=canonical` cover either), and the href pull uses
+    * the same `\shref` attribute-name boundary as [[extractLinks]]. Same
+    * non-DOM regime and documented failure modes as the rest of the
+    * family; first declaration wins when a page (invalidly) has several. */
+  def canonicalLink(html: Column): Column = {
+    val el = regexp_extract(html,
+      "(?i)<link\\s[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*>", 0)
+    coalesce(
+      nullif(regexp_extract(el, "(?i)\\shref\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+      nullif(regexp_extract(el, "(?i)\\shref\\s*=\\s*'([^']*)'", 1), lit("")))
+  }
+
+  /** Per-page dedup keys with the `rel=canonical` OVERRIDE applied: the
+    * page's own canonical-form key (`url_key`), the key dedup should
+    * actually group on (`canonical_key` — the declared canonical target's
+    * key when present and resolvable, else the page's own), and
+    * `has_canonical`. The canonical href resolves against the page URL
+    * through the same reduced-RFC3986 chain as [[outlinks]] (canonical
+    * targets are frequently root-relative), with the per-page base parts
+    * hoisted like every consumer of [[resolveLink]]. Zero-shuffle per-row
+    * map; feed `canonical_key` to [[urlDedupKeep]]-style grouping to
+    * collapse serving variants the URL normalizer alone cannot see. */
+  def canonicalKeys(docs: DataFrame, idCol: String, urlCol: String,
+                    htmlCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(urlCol).as("__u"),
+        baseScheme(col(urlCol)).as("__sch"),
+        baseOrigin(col(urlCol)).as("__org"),
+        baseDir(col(urlCol)).as("__dir"),
+        canonicalLink(col(htmlCol)).as("__cl"))
+      .select(col("doc_id"), col("__u"),
+        resolveWithParts(col("__sch"), col("__org"), col("__dir"),
+          col("__cl")).as("__ct"))
+      .select(col("doc_id"),
+        canonicalKey(col("__u")).as("url_key"),
+        when(col("__ct").isNull, canonicalKey(col("__u")))
+          .otherwise(canonicalKey(col("__ct"))).as("canonical_key"),
+        col("__ct").isNotNull.as("has_canonical"))
+
   /** Per-TARGET anchor rollup — the consumer [[outAnchors]] feeds: for each
     * resolved target key, how often it is linked (`n_anchors`), by how many
     * distinct source documents (`n_sources`), with how many distinct anchor
@@ -391,6 +434,29 @@ object Url {
       .agg(countDistinct("src_id").as("n_sources"))
     texts.join(srcs, Seq("link_key"))
   }
+
+  /** Parse sitemap XML into its URL entries — the OTHER frontier source
+    * next to link discovery (sitemaps.org protocol: hosts publish the
+    * pages they WANT crawled, often before any page links them). One row
+    * per `<url>` block with the trimmed `<loc>`, its canonical key, and
+    * the optional `<lastmod>` (NULL when absent — the recrawl-scheduling
+    * signal). Same non-DOM regex regime as the html family: `<url>` blocks
+    * via non-greedy `(?is)` extraction, fields pulled per block AFTER the
+    * explode (plain row expressions), empty locs dropped. Zero-shuffle
+    * per-row map; feed `loc_key` to [[Dedup.bloomNewKeys]] against the
+    * fetched corpus exactly like [[discoveredFromLinks]] to get the
+    * sitemap-sourced fetch candidates. */
+  def sitemapEntries(sitemaps: DataFrame, hostCol: String,
+                     xmlCol: String): DataFrame =
+    sitemaps.select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("(?is)<url>(.*?)</url>"), lit(1))).as("__b"))
+      .select(col("host"),
+        trim(regexp_extract(col("__b"), "(?is)<loc>([^<]*)</loc>", 1)).as("loc"),
+        nullif(trim(regexp_extract(col("__b"),
+          "(?is)<lastmod>([^<]*)</lastmod>", 1)), lit("")).as("lastmod"))
+      .filter(col("loc") =!= "")
+      .withColumn("loc_key", canonicalKey(col("loc")))
 
   /** Newly discovered frontier URLs: [[outlinks]] grouped to one row per
     * canonical link key (representative spelling = min link, discoverer =

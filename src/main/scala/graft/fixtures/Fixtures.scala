@@ -128,7 +128,16 @@ object Fixtures {
         " <a data-href=\"/decoy2/9\">noh</a>" +
         " <a data-href=\"/decoy/"), (id % 6).cast("string"),
       lit("\" href=\"/r/"), (id % 11).cast("string"),
-      lit("\">dup</a></p></body></html>")))
+      lit("\">dup</a> "),
+      // rel=canonical rotation (r14): absolute target / href-FIRST
+      // attribute order with a root-relative target / none — <link> is not
+      // <a>, so the outlink/anchor extractors must ignore it entirely
+      when(id % 3 === 0, concat(lit("<link rel=\"canonical\" href=\"https://canon-"),
+        (id % 10).cast("string"), lit(".org/c/"), (id % 8).cast("string"), lit("\">")))
+        .when(id % 3 === 1, concat(lit("<link href=\"/canon/"),
+          (id % 7).cast("string"), lit("\" rel=\"canonical\">")))
+        .otherwise(lit("")),
+      lit("</p></body></html>")))
   }
 
   /** The [[attachLinksHtml]] body as a DuckDB SQL expression over `id` and
@@ -149,7 +158,12 @@ object Fixtures {
       s" <a data-href=\"/decoy2/9\">noh</a>" +
       s" <a data-href=\"/decoy/' || CAST($id % 6 AS VARCHAR) || " +
       s"'\" href=\"/r/' || CAST($id % 11 AS VARCHAR) || " +
-      s"'\">dup</a></p></body></html>'"
+      s"'\">dup</a> ' || " +
+      s"(CASE WHEN $id % 3 = 0 THEN '<link rel=\"canonical\" href=\"https://canon-' || " +
+      s"CAST($id % 10 AS VARCHAR) || '.org/c/' || CAST($id % 8 AS VARCHAR) || '\">' " +
+      s"WHEN $id % 3 = 1 THEN '<link href=\"/canon/' || CAST($id % 7 AS VARCHAR) || " +
+      s"'\" rel=\"canonical\">' ELSE '' END) || " +
+      s"'</p></body></html>'"
 
   /** Fake media fixture (formerly `Multimodal.attachFakeMedia`): content =
     * UTF-8 bytes of a text column, metadata deterministic from the id.

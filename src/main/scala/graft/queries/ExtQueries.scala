@@ -1325,6 +1325,119 @@ object ExtQueries {
           "FROM rk WHERE queue_pos <= 3 ORDER BY domain, queue_pos"
       }),
 
+    ("x_sitemap", // sitemap XML parsing — the other frontier source
+      // (sitemaps.org: hosts publish what they WANT crawled): <url> blocks
+      // exploded per host, trimmed <loc> + canonical key + optional
+      // <lastmod> (NULL when absent — the recrawl signal). The fixture
+      // rotates a lastmod-bearing entry, a PADDED loc (trim pinned), and
+      // an empty loc that must drop; zero-shuffle per-row map.
+      (s: SparkSession, d: String) => {
+        val u = Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
+        val hosts = u.select(
+            Url.hostOf(Url.canonicalKey(col("url"))).as("host")).distinct()
+        val dig = regexp_extract(col("host"), "-([0-9]+)\\.", 1).cast("int")
+        val dd = lpad(((dig % 27) + 1).cast("string"), 2, "0")
+        val sm = hosts.withColumn("xml", concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset><url><loc>https://"),
+          col("host"), lit("/p/"), (dig % 20).cast("string"),
+          lit("</loc><lastmod>2026-02-"), dd,
+          lit("</lastmod></url><url><loc> https://"), col("host"),
+          lit("/new/"), (dig % 13).cast("string"),
+          lit(" </loc></url><url><loc></loc></url></urlset>")))
+        Url.sitemapEntries(sm, "host", "xml")
+          .orderBy("host", "loc")
+      },
+      Some {
+        val dig = "CAST(regexp_extract(host, '-([0-9]+)\\.', 1) AS INTEGER)"
+        val dd = s"lpad(CAST(($dig % 27) + 1 AS VARCHAR), 2, '0')"
+        val xml = "'<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset><url><loc>https://' || " +
+          s"host || '/p/' || CAST($dig % 20 AS VARCHAR) || " +
+          s"'</loc><lastmod>2026-02-' || $dd || " +
+          "'</lastmod></url><url><loc> https://' || host || " +
+          s"'/new/' || CAST($dig % 13 AS VARCHAR) || " +
+          "' </loc></url><url><loc></loc></url></urlset>'"
+        s"$UrlCte, hosts AS (SELECT DISTINCT ${urlHostSql("key")} AS host FROM k), " +
+          s"sm AS (SELECT host, $xml AS xml FROM hosts), " +
+          "b AS (SELECT host, unnest(regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)) AS blk FROM sm), " +
+          "e AS (SELECT host, trim(regexp_extract(blk, '(?is)<loc>([^<]*)</loc>', 1)) AS loc, " +
+          "nullif(trim(regexp_extract(blk, '(?is)<lastmod>([^<]*)</lastmod>', 1)), '') AS lastmod " +
+          "FROM b) " +
+          "SELECT host, loc, lastmod, " + canonKeySql("loc") + " AS loc_key " +
+          "FROM e WHERE loc <> '' ORDER BY host, loc"
+      }),
+
+    ("x_rel_canonical", // the rel=canonical dedup OVERRIDE (RFC 6596): the
+      // author-published "this page's one true spelling" signal — serving
+      // variants the URL normalizer cannot see (different paths, different
+      // hosts) collapse through the declared canonical target's key. One
+      // element pattern catches both attribute orders; the href resolves
+      // through the same reduced-RFC3986 chain (the fixture's href-first
+      // variant is root-relative on purpose); pages without a declaration
+      // keep their own key. Zero-shuffle per-row map; the oracle replays
+      // element pattern, boundary'd href pull, resolve chain and canonical
+      // chain verbatim.
+      (s: SparkSession, d: String) =>
+        Url.canonicalKeys(
+            Fixtures.attachLinksHtml(
+              Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+              "doc_id", "url"),
+            "doc_id", "url", "html")
+          .orderBy("doc_id"),
+      Some(LinksPageCte + ", " +
+        "e AS (SELECT doc_id, url, regexp_extract(html, " +
+        "'(?i)<link\\s[^>]*rel\\s*=\\s*[\"'']?canonical[\"'']?[^>]*>', 0) AS el FROM p), " +
+        "l AS (SELECT doc_id, url, trim(coalesce(" +
+        "nullif(regexp_extract(el, '(?i)\\shref\\s*=\\s*\"([^\"]*)\"', 1), ''), " +
+        "nullif(regexp_extract(el, '(?i)\\shref\\s*=\\s*''([^'']*)''', 1), ''))) AS h FROM e), " +
+        "r AS (SELECT doc_id, url, " + ResolveCaseSql + " AS raw FROM l), " +
+        "c AS (SELECT doc_id, url, CASE WHEN raw IS NULL THEN NULL ELSE " +
+        CollapsedLinkSql + " END AS ct FROM r) " +
+        "SELECT doc_id, " + canonKeySql("url") + " AS url_key, " +
+        "CASE WHEN ct IS NULL THEN " + canonKeySql("url") +
+        " ELSE " + canonKeySql("ct") + " END AS canonical_key, " +
+        "(ct IS NOT NULL) AS has_canonical FROM c ORDER BY doc_id")),
+
+    ("x_redirect_resolve", // redirect-CHAIN resolution by pointer doubling
+      // — the post-fetch normalization that keys frontier/dedup/rank on a
+      // chain's END: each round self-joins the functional (url -> next)
+      // map, so a length-L chain resolves in ceil(log2 L) equi-join
+      // shuffles instead of L (redirect farms chain dozens deep). Output
+      // is deterministic even for CYCLES (after k rounds every source
+      // points at its 2^k-th successor — a pure function of the input),
+      // which is what lets this gate hash: the fixture chains up to 4 hops
+      // into %5==0 sinks and plants a 3-cycle whose members must land on
+      // their 8th successor with resolved=false. Oracle unrolls the same
+      // 3 doublings.
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val u = expr("'h' || CAST(doc_id AS STRING) || '.org/p'")
+        val v = expr("'h' || CAST(doc_id - 1 AS STRING) || '.org/p'")
+        val chains = t(s, d, "documents").filter(col("doc_id") % 5 =!= 0)
+          .select(u.as("src"), v.as("dst"))
+        val cycle = Seq(("cyc.org/a", "cyc.org/b"), ("cyc.org/b", "cyc.org/c"),
+          ("cyc.org/c", "cyc.org/a")).toDF("src", "dst")
+        Crawl.resolveRedirects(chains.union(cycle), "src", "dst",
+            doublings = 3)
+          .orderBy("url")
+      },
+      Some {
+        def dbl(i: Int): String =
+          s"m$i AS (SELECT a.src, coalesce(b.next, a.next) AS next, " +
+            s"a.hops + coalesce(b.hops, 0) AS hops " +
+            s"FROM m${i - 1} a LEFT JOIN m${i - 1} b ON a.next = b.src)"
+        "WITH p AS (SELECT 'h' || CAST(doc_id AS VARCHAR) || '.org/p' AS src, " +
+          "'h' || CAST(doc_id - 1 AS VARCHAR) || '.org/p' AS next " +
+          s"FROM $Docs WHERE doc_id % 5 <> 0 " +
+          "UNION ALL SELECT * FROM (VALUES ('cyc.org/a', 'cyc.org/b'), " +
+          "('cyc.org/b', 'cyc.org/c'), ('cyc.org/c', 'cyc.org/a')) v(src, next)), " +
+          "m0 AS (SELECT src, next, CAST(1 AS BIGINT) AS hops FROM p), " +
+          (1 to 3).map(dbl).mkString(", ") + " " +
+          "SELECT a.src AS url, a.next AS final_url, a.hops, " +
+          "(s.src IS NULL) AS resolved FROM m3 a " +
+          "LEFT JOIN (SELECT DISTINCT src FROM p) s ON a.next = s.src " +
+          "ORDER BY url"
+      }),
+
     ("x_domain_cap_psl", // the domain quota under the PSL policy (the
       // pluggable domainOf hook): same cap operator, but grouping by the
       // public-suffix-list registrable domain — the URL fixture's ccSLD

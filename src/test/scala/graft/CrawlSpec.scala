@@ -45,6 +45,33 @@ class CrawlSpec extends SparkTestBase {
     assert(q === Seq("big.com/a", "big.com/b", "small.org/x"))
   }
 
+  test("resolveRedirects: chains resolve in log rounds, hops exact, cycles deterministic") {
+    val pairs = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), // 5-chain
+      ("x", "y"),                                                 // 1 hop
+      ("p", "q"), ("q", "p"))                                     // 2-cycle
+      .toDF("src", "dst")
+    val got = Crawl.resolveRedirects(pairs, "src", "dst", doublings = 3)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got === Seq(
+      ("a", "f", 5L, true),  // full chain: 5 hops within the 8-hop budget
+      ("b", "f", 4L, true),
+      ("c", "f", 3L, true),
+      ("d", "f", 2L, true),
+      ("e", "f", 1L, true),
+      // 2-cycle after 3 doublings: 8 mod 2 = 0 -> each points at itself,
+      // hops 8, unresolved (the target is still a redirect source)
+      ("p", "p", 8L, false),
+      ("q", "q", 8L, false),
+      ("x", "y", 1L, true)))
+    // doublings=0 = the raw one-hop map
+    val raw = Crawl.resolveRedirects(pairs, "src", "dst", doublings = 0)
+      .filter(col("url") === "a").collect().head
+    assert(raw.getString(1) === "b" && raw.getLong(2) === 1L && !raw.getBoolean(3))
+  }
+
   test("frontierOrder plan: broadcast sides only — one frontier-side exchange") {
     // the whole design: robots rules and the rank table fold to broadcast
     // slivers, so the corpus-sized frontier pays exactly ONE hash exchange

@@ -395,6 +395,41 @@ class UrlSpec extends SparkTestBase {
       ("k2", 2L, 2L, "a", 1L, 1L)))
   }
 
+  test("canonicalKeys: rel=canonical overrides the dedup key, both attr orders, resolve applies") {
+    val docs = Seq(
+      (1L, "https://h.com/page?b=1",
+        "<p>x</p><link rel=\"canonical\" href=\"https://h.com/page\">"),
+      (2L, "https://h.com/dir/v2.html",                 // href-first + relative
+        "<link href='/dir/main.html' rel='canonical'><p>y</p>"),
+      (3L, "https://h.com/plain", "<p>no canonical</p>"),
+      (4L, "https://h.com/a", "<a href=\"/z\">link rel text canonical</a>")) // <a> is not <link>
+      .toDF("doc_id", "url", "html")
+    val got = Url.canonicalKeys(docs, "doc_id", "url", "html")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+      .toSeq
+    assert(got === Seq(
+      (1L, "h.com/page&b=1", "h.com/page", true),
+      (2L, "h.com/dir/v2.html", "h.com/dir/main.html", true),
+      (3L, "h.com/plain", "h.com/plain", false),
+      (4L, "h.com/a", "h.com/a", false)))
+  }
+
+  test("sitemapEntries: url blocks explode, loc trimmed, lastmod optional, empty loc drops") {
+    val sm = Seq(("h.com",
+      "<?xml version=\"1.0\"?><urlset>" +
+        "<url><loc>https://h.com/a</loc><lastmod>2026-01-02</lastmod></url>" +
+        "<url><loc> https://h.com/b </loc></url>" +
+        "<url><loc></loc></url></urlset>"))
+      .toDF("host", "xml")
+    val got = Url.sitemapEntries(sm, "host", "xml")
+      .select("loc", "lastmod", "loc_key").orderBy("loc").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2))).toSeq
+    assert(got === Seq(
+      ("https://h.com/a", Some("2026-01-02"), "h.com/a"),
+      ("https://h.com/b", None, "h.com/b")))
+  }
+
   test("discoveredUrls: already-fetched keys vanish, audit columns correct") {
     // doc 1 links to doc 2's page (already fetched -> not discovered), to
     // a fresh external page, and to itself; doc 2 links to the SAME fresh
