@@ -110,6 +110,23 @@ object Robots {
     when(path.contains("*") || hasEnd, pat).otherwise(lit(null).cast("string"))
   }
 
+  /** Per-host `Crawl-delay` (seconds, DOUBLE; NULL when the selected group
+    * publishes none) — the de-facto politeness-rate directive (not in
+    * RFC 9309 but ubiquitous in real robots.txt and honored by most
+    * non-Google crawlers). First declaration in the group wins. A fetch
+    * scheduler turns it into a per-batch quota: floor(window / delay)
+    * fetches per host per scheduling window, the per-host refinement of
+    * [[Crawl.frontierOrder]]'s per-domain cap. */
+  def crawlDelay(robots: DataFrame, hostCol: String, robotsCol: String,
+                 agent: String = "*"): DataFrame = {
+    val sec = if (agent == "*") starSection(col(robotsCol))
+      else agentSection(col(robotsCol), agent)
+    robots.select(col(hostCol).as("host"),
+      nullif(regexp_extract(sec,
+        "(?im)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+(?:\\.[0-9]+)?)", 1),
+        lit("")).cast("double").as("crawl_delay_s"))
+  }
+
   /** Per-URL allow/deny decision. `urls` rows keep all their columns and
     * gain `allowed`; the URL's host/path derive from [[Url.canonicalKey]]
     * so rule matching shares the family's port-proof, lowercased regime.

@@ -1325,6 +1325,42 @@ object ExtQueries {
           "FROM rk WHERE queue_pos <= 3 ORDER BY domain, queue_pos"
       }),
 
+    ("x_crawl_delay", // the de-facto Crawl-delay politeness directive
+      // (ubiquitous in real robots.txt; a scheduler turns it into
+      // floor(window/delay) fetches per host per window — the per-host
+      // refinement of the per-domain queue cap). Group-scoped like every
+      // robots read: the fixture plants a decoy delay in an `evil` group
+      // that must NOT leak into the star group's answer, fractional and
+      // integer values, and hosts with no directive (NULL).
+      (s: SparkSession, d: String) => {
+        val u = Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
+        val hosts = u.select(
+            Url.hostOf(Url.canonicalKey(col("url"))).as("host")).distinct()
+        val dig = regexp_extract(col("host"), "-([0-9]+)\\.", 1).cast("int")
+        val robots = hosts.withColumn("txt", concat(
+          lit("User-agent: evil\nCrawl-delay: 99\n\nUser-agent: *\nDisallow: /x\n"),
+          when(dig % 3 === 0, concat(lit("Crawl-delay: "), (dig % 7).cast("string"), lit(".5\n")))
+            .when(dig % 3 === 1, concat(lit("crawl-delay: "), (dig % 11).cast("string"), lit("\n")))
+            .otherwise(lit(""))))
+        graft.ext.Robots.crawlDelay(robots, "host", "txt")
+          .orderBy("host")
+      },
+      Some {
+        val nl = " || chr(10) || "
+        val dig = "CAST(regexp_extract(host, '-([0-9]+)\\.', 1) AS INTEGER)"
+        val txt = "'User-agent: evil'" + nl + "'Crawl-delay: 99'" + nl + "''" + nl +
+          "'User-agent: *'" + nl + "'Disallow: /x'" + nl +
+          s"(CASE WHEN $dig % 3 = 0 THEN 'Crawl-delay: ' || CAST($dig % 7 AS VARCHAR) || '.5' " +
+          s"WHEN $dig % 3 = 1 THEN 'crawl-delay: ' || CAST($dig % 11 AS VARCHAR) " +
+          "ELSE '' END)" + nl + "''"
+        val sec = "regexp_extract(txt, '(?is)user-agent:\\s*\\*\\s*(.*?)(?:user-agent:|$)', 1)"
+        s"$UrlCte, hosts AS (SELECT DISTINCT ${urlHostSql("key")} AS host FROM k), " +
+          s"rob AS (SELECT host, $txt AS txt FROM hosts) " +
+          s"SELECT host, CAST(nullif(regexp_extract($sec, " +
+          "'(?im)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+(?:\\.[0-9]+)?)', 1), '') " +
+          "AS DOUBLE) AS crawl_delay_s FROM rob ORDER BY host"
+      }),
+
     ("x_sitemap", // sitemap XML parsing — the other frontier source
       // (sitemaps.org: hosts publish what they WANT crawled): <url> blocks
       // exploded per host, trimmed <loc> + canonical key + optional

@@ -120,6 +120,24 @@ class RobotsSpec extends SparkTestBase {
     assert(pro === Seq(false))
   }
 
+  test("crawlDelay: group-scoped, first wins, fractional, NULL when absent") {
+    val robots = Seq(
+      ("a.com", "User-agent: evil\nCrawl-delay: 99\nUser-agent: *\ncrawl-delay: 2.5\nCrawl-delay: 7\n"),
+      ("b.com", "User-agent: *\nDisallow: /x\n"),
+      ("c.com", "User-agent: graftbot\nCrawl-delay: 4\nUser-agent: *\nCrawl-delay: 10\n"))
+      .toDF("host", "txt")
+    val star = Robots.crawlDelay(robots, "host", "txt")
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toSeq
+    assert(star === Seq(
+      ("a.com", Some(2.5)),  // evil group's 99 must not leak; first wins
+      ("b.com", None),
+      ("c.com", Some(10.0))))
+    val bot = Robots.crawlDelay(robots, "host", "txt", agent = "graftbot")
+      .filter(col("host") === "c.com").collect().head.getDouble(1)
+    assert(bot === 4.0)
+  }
+
   test("decide: query string is part of the matched path (documented)") {
     val robots = Seq(("h.com", "User-agent: *\nDisallow: /p/3\n"))
       .toDF("host", "txt")
