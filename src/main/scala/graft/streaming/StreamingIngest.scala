@@ -230,11 +230,22 @@ object StreamingIngest {
     * stream stops, proving the overwrite absorbs it. Returns the warehouse
     * directory. The JSON arrival format keeps its own streaming coverage in
     * StreamingSpec (start/startExactlyOnce default to `format = "json"`). */
+  /** Staged envelope-chunk masters per (stageKey, chunks) per JVM — the
+    * [[StreamStage]] rationale applied to the flatten harness: every rep
+    * of the gate stages the IDENTICAL height-range chunk frame (~5 s at
+    * sf1, re-paid per run before round 14), so a caller that passes a
+    * stable `stageKey` (the sf dir) builds it once and each run COPIES
+    * the masters into its own watched dir. */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def flattenFileRun(spark: SparkSession, envelopes: DataFrame, chunks: Int = 4,
-                     replayLastBatch: Boolean = true): String = {
-    import org.apache.hadoop.fs.Path
+                     replayLastBatch: Boolean = true,
+                     filesPerTrigger: Int = 1,
+                     stageKey: String = ""): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
     val stage = graft.Scratch.dir("graft_sflat")
-    val chunkDir = s"$stage/chunks"; val inDir = s"$stage/in"
+    val inDir = s"$stage/in"
     val wh = s"$stage/wh"; val ckpt = s"$stage/ckpt"
 
     // Phase timing on stderr: stage / per-batch / redelivery — the
@@ -247,36 +258,65 @@ object StreamingIngest {
       r
     }
 
-    phase("stage") {
+    def buildChunks(dir: String): String = phase("stage") {
       envelopes
         .repartitionByRange(chunks, col("height"))
-        .write.mode("overwrite").parquet(chunkDir)
+        .write.mode("overwrite").parquet(dir)
+      dir
     }
+    val cached = stageKey.nonEmpty
+    val chunkDir =
+      if (cached)
+        stageCache.computeIfAbsent(s"$stageKey#$chunks",
+          _ => buildChunks(graft.Scratch.dir("graft_sflat_master") + "/chunks"))
+      else buildChunks(s"$stage/chunks")
 
-    val fs = new Path(stage).getFileSystem(spark.sessionState.newHadoopConf())
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = new Path(stage).getFileSystem(hconf)
     val parts = fs.listStatus(new Path(chunkDir)).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     fs.mkdirs(new Path(inDir))
+    // cached masters must SURVIVE for the next run: copy; per-run staging
+    // can move
+    def deliver(part: Path, dest: Path): Unit =
+      if (cached) { FileUtil.copy(fs, part, fs, dest, false, hconf); () }
+      else { fs.rename(part, dest); () }
 
+    // filesPerTrigger groups staged chunks into fewer, larger micro-batches
+    // (r13 verdict item 5 applied to the flatten harness too): a batch's
+    // cost is 13 concurrent write COMMITS + planning constants, paid per
+    // micro-batch regardless of chunk size, so grouping halves the
+    // dominant term at identical read-back values (tables/MVs are
+    // value-compared by the oracle; batch boundaries only shape file
+    // layout). The planted redelivery must replay the ENTIRE last group —
+    // a partial replay would overwrite the last batch's partitions with a
+    // subset and break the exactly-once equality it exists to prove.
+    val groups = parts.zipWithIndex.grouped(filesPerTrigger).toSeq
     val q = startExactlyOnce(spark, inDir, wh, ckpt,
-      trigger = Trigger.ProcessingTime("0 seconds"), maxFilesPerTrigger = Some(1),
+      trigger = Trigger.ProcessingTime("0 seconds"),
+      maxFilesPerTrigger = Some(filesPerTrigger),
       format = "parquet")
     try {
-      parts.zipWithIndex.foreach { case (part, i) =>
-        phase(s"batch$i") {
-          fs.rename(part, new Path(inDir, f"chunk-$i%05d.parquet"))
+      groups.zipWithIndex.foreach { case (group, b) =>
+        phase(s"batch$b") {
+          group.foreach { case (part, i) =>
+            deliver(part, new Path(inDir, f"chunk-$i%05d.parquet"))
+          }
           q.processAllAvailable()
         }
       }
     } finally q.stop()
 
-    if (replayLastBatch && parts.nonEmpty) {
-      val lastId = parts.length - 1L
+    if (replayLastBatch && groups.nonEmpty) {
+      val lastId = groups.length - 1L
       // read through the split-tuned session: the replay must pay the same
       // (parallel) scan shape as the stream's own delivery did
+      val lastPaths = groups.last.map { case (_, i) =>
+        s"$inDir/chunk-${"%05d".format(i)}.parquet"
+      }
       val redelivered = spark.read.schema(Schemas.envelope)
-        .parquet(s"$inDir/chunk-${"%05d".format(parts.length - 1)}.parquet")
+        .parquet(lastPaths: _*)
       phase("redelivery") {
         ingestBatchExactlyOnce(wh, redelivered, lastId, cacheInput = false)
       }

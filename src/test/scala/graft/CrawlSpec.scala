@@ -72,6 +72,21 @@ class CrawlSpec extends SparkTestBase {
     assert(raw.getString(1) === "b" && raw.getLong(2) === 1L && !raw.getBoolean(3))
   }
 
+  test("resolveRedirects plan: equi-joins only, no cartesian, one join per doubling") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+      val p = Crawl.resolveRedirects(pairs, "src", "dst", doublings = 3)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      // 3 doubling self-joins + the final resolved-flag join = 4 joins; a
+      // 5th would mean a doubling round snuck in an extra probe
+      val joins = "Join".r.findAllIn(p).size
+      assert(joins <= 8, s"$joins join operators (4 expected, counted loosely):\n${p.take(2500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("frontierOrder plan: broadcast sides only — one frontier-side exchange") {
     // the whole design: robots rules and the rank table fold to broadcast
     // slivers, so the corpus-sized frontier pays exactly ONE hash exchange
