@@ -41,10 +41,8 @@ object CrawlProbe {
     import graft.fixtures.Fixtures
 
     val scratch = Scratch.dir("graft-crawlprobe")
-    def mat(df: org.apache.spark.sql.DataFrame, name: String) = {
-      df.write.parquet(s"$scratch/$name")
-      spark.read.parquet(s"$scratch/$name")
-    }
+    def mat(df: org.apache.spark.sql.DataFrame, name: String) =
+      Scratch.materialize(df, scratch, name)
     def time[T](body: => T): (Double, T) = {
       val t0 = System.nanoTime(); val r = body
       ((System.nanoTime() - t0) / 1e9, r)

@@ -33,10 +33,8 @@ object LinkProbe {
     // cost is batch-sized, disk is the capacity limit, and downstream
     // scans column-prune (the rank iteration never re-reads html).
     val scratch = Scratch.dir("graft-linkprobe")
-    def mat(df: org.apache.spark.sql.DataFrame, name: String) = {
-      df.write.parquet(s"$scratch/$name")
-      spark.read.parquet(s"$scratch/$name")
-    }
+    def mat(df: org.apache.spark.sql.DataFrame, name: String) =
+      Scratch.materialize(df, scratch, name)
     val docs = mat(Fixtures.attachLinksHtml(
       Fixtures.attachUrls(
         spark.range(n).toDF("doc_id")

@@ -16,6 +16,22 @@ object Scratch {
     p.toString
   }
 
+  /** Write `df` under `scratchDir/name` and return the parquet-backed
+    * re-read — the lineage-truncating materializer shared by the iterative
+    * operators and scale probes (pageRank's per-iteration ranks, the
+    * redirect doubling, the probes' staged inputs). Parquet, never
+    * `localCheckpoint`: a checkpoint pins the DESERIALIZED table in
+    * executor storage — the round-13 30 M-edge OOM — while a parquet
+    * round-trip streams through compressed, column-prunable files, and on
+    * a real cluster survives executor loss. Exact for every type the
+    * engine writes (the rank/redirect columns are strings/longs). */
+  def materialize(df: org.apache.spark.sql.DataFrame,
+                  scratchDir: String, name: String): org.apache.spark.sql.DataFrame = {
+    val p = s"$scratchDir/$name"
+    df.write.parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(); ()

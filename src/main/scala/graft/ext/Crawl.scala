@@ -81,20 +81,32 @@ object Crawl {
     * (L can be dozens in redirect farms); hop counts stay exact because
     * doubling ADDS the joined row's hop count. Deterministic for cycles
     * too: after k rounds every source points at its 2^k-th successor, a
-    * pure function of the input — so the gate can hash it. */
+    * pure function of the input — so the gate can hash it.
+    *
+    * `materialize` truncates the doubled lineage per round (the parquet
+    * materializer [[LinkGraph.pageRank]] uses): WITHOUT it, each round's
+    * plan embeds the previous round TWICE (the self-join's two sides
+    * partition on different keys, so no exchange reuse), i.e. an
+    * O(2^doublings) plan — fine for the gate's 3 rounds over one scan,
+    * a non-starter at the production 10. Set it for real runs; the log-
+    * rounds shuffle claim above holds only under materialization. */
   def resolveRedirects(redirects: DataFrame, srcCol: String, dstCol: String,
-                       doublings: Int = 4): DataFrame = {
+                       doublings: Int = 4,
+                       materialize: Boolean = false): DataFrame = {
     require(doublings >= 0 && doublings <= 10,
       s"doublings must be in [0,10] (2^10 = 1024 hops), got $doublings")
+    val scratch = if (materialize) graft.Scratch.dir("graft-redirects") else ""
     var m = redirects.select(col(srcCol).cast("string").as("__src"),
       col(dstCol).cast("string").as("__next"), lit(1L).as("__hops"))
-    for (_ <- 1 to doublings) {
+    if (materialize) m = graft.Scratch.materialize(m, scratch, "round-0")
+    for (r <- 1 to doublings) {
       val hop = m.select(col("__src").as("__hsrc"),
         col("__next").as("__hnext"), col("__hops").as("__hhops"))
       m = m.join(hop, col("__next") === col("__hsrc"), "left")
         .select(col("__src"),
           coalesce(col("__hnext"), col("__next")).as("__next"),
           (col("__hops") + coalesce(col("__hhops"), lit(0L))).as("__hops"))
+      if (materialize) m = graft.Scratch.materialize(m, scratch, s"round-$r")
     }
     val srcs = redirects.select(col(srcCol).cast("string").as("__s")).distinct()
     m.join(srcs, col("__next") === col("__s"), "left")

@@ -43,15 +43,11 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
-  /** Write `df` under `scratchDir/name` and return the parquet-backed
-    * re-read — the lineage-truncating materializer [[pageRank]] uses.
-    * All pageRank columns are strings/longs, so the round-trip is exact
-    * (both gate hashes unchanged vs the lazy form, LinkGraphSpec-pinned). */
-  private def matParquet(df: DataFrame, scratchDir: String, name: String): DataFrame = {
-    val p = s"$scratchDir/$name"
-    df.write.parquet(p)
-    df.sparkSession.read.parquet(p)
-  }
+  /** The shared lineage-truncating materializer ([[graft.Scratch.materialize]]):
+    * exact round-trip for pageRank's string/long columns — both gate hashes
+    * unchanged vs the lazy form, LinkGraphSpec-pinned. */
+  private def matParquet(df: DataFrame, scratchDir: String, name: String): DataFrame =
+    graft.Scratch.materialize(df, scratchDir, name)
 
   /** Fixed-point PageRank. Input: an edge list (duplicate edges count —
     * a multigraph link is a stronger endorsement); output: (node, rank_fp)

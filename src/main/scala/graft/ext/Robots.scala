@@ -158,8 +158,16 @@ object Robots {
         col("path").as("path"),
         rulePattern(col("path")).as("pattern")))).as("__robots_rules"))
       .withColumnRenamed("host", "__robots_host")
+    // root URLs: canonicalKey strips the trailing '/', so a bare homepage
+    // key has NO '/...' tail and the extracted path is '' — which no rule
+    // (not even 'Disallow: /') can match: the gate would fail OPEN on
+    // exactly the deny-all form. Empty path folds to '/' (the path the
+    // fetcher actually requests); a query-only root key ('example.com&x=1')
+    // folds to '/' too, consistent with the documented
+    // rules-rarely-reach-into-queries approximation.
     urls.withColumn("__robots_h", Url.hostOf(key))
-      .withColumn("__robots_p", regexp_extract(key, "(/.*)$", 1))
+      .withColumn("__robots_p",
+        coalesce(nullif(regexp_extract(key, "(/.*)$", 1), lit("")), lit("/")))
       .join(perHost, col("__robots_h") === col("__robots_host"), "left")
       .withColumn("__robots_hits", filter(col("__robots_rules"),
         r => when(r.getField("pattern").isNull,

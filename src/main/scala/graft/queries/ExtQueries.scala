@@ -1116,7 +1116,7 @@ object ExtQueries {
           s"rob AS (SELECT host, $txt AS txt FROM hosts WHERE length(host) % 3 <> 0), " +
           robotsRulesCtes() + ", " +
           s"kk AS (SELECT doc_id, ${urlHostSql("key")} AS host, " +
-          "regexp_extract(key, '(/.*)$', 1) AS path FROM k), " +
+          "coalesce(nullif(regexp_extract(key, '(/.*)$', 1), ''), '/') AS path FROM k), " +
           RobotsDecideCtes + " " +
           "SELECT doc_id, allowed FROM dec ORDER BY doc_id"
       }),
@@ -1162,7 +1162,7 @@ object ExtQueries {
           s"rob AS (SELECT host, $txt AS txt FROM hosts WHERE length(host) % 4 <> 0), " +
           robotsRulesCtes() + ", " +
           s"kk AS (SELECT doc_id, ${urlHostSql("key")} AS host, " +
-          "regexp_extract(key, '(/.*)$', 1) AS path FROM k), " +
+          "coalesce(nullif(regexp_extract(key, '(/.*)$', 1), ''), '/') AS path FROM k), " +
           RobotsDecideCtes + " " +
           "SELECT doc_id, allowed FROM dec ORDER BY doc_id"
       }),
@@ -1204,7 +1204,7 @@ object ExtQueries {
           s"rob AS (SELECT host, $txt AS txt FROM hosts WHERE length(host) % 3 <> 0), " +
           robotsRulesCtes("graftbot") + ", " +
           s"kk AS (SELECT doc_id, ${urlHostSql("key")} AS host, " +
-          "regexp_extract(key, '(/.*)$', 1) AS path FROM k), " +
+          "coalesce(nullif(regexp_extract(key, '(/.*)$', 1), ''), '/') AS path FROM k), " +
           RobotsDecideCtes + " " +
           "SELECT doc_id, allowed FROM dec ORDER BY doc_id"
       }),
@@ -1309,7 +1309,7 @@ object ExtQueries {
           robotsRulesCtes() + ", " +
           // the decide twin keyed by link_key instead of doc_id
           s"kk AS (SELECT link_key AS doc_id, ${urlHostSql("link_key")} AS host, " +
-          "regexp_extract(link_key, '(/.*)$', 1) AS path FROM fr), " +
+          "coalesce(nullif(regexp_extract(link_key, '(/.*)$', 1), ''), '/') AS path FROM fr), " +
           RobotsDecideCtes + ", " +
           "al AS (SELECT fr.* FROM fr JOIN dec ON fr.link_key = dec.doc_id " +
           "WHERE dec.allowed), " +

@@ -1061,17 +1061,18 @@ object Queries {
       // partition overwrite; the harness then RE-DELIVERS the final batch
       // (foreachBatch's at-least-once failure mode) before the MV is read.
       // Matching the batch oracle proves the redelivery was absorbed —
-      // an appended duplicate would double every sum. 3 chunks grouped 2
-      // per micro-batch (r14): each micro-batch re-buys the same ~13-write
-      // ingest constant (StreamProbe's chunk curve), and the gate's claims
-      // — disjoint batch ids, cross-batch isolation, redelivery absorption
-      // — are fully exercised by 2 data batches + the plant (which replays
-      // the whole last GROUP); spec-level multi-batch coverage
-      // (out-of-order, JSON arrival) lives in StreamingSpec.
+      // an appended duplicate would double every sum. 2 chunks (r14, down
+      // from 3): each micro-batch re-buys the same ~13-write ingest
+      // constant (StreamProbe's chunk curve), and the gate's claims —
+      // disjoint batch ids, cross-batch isolation, redelivery absorption —
+      // are fully exercised by 2 data batches + the plant. Chunk staging
+      // is cached per JVM (stageKey) and delivered atomically; spec-level
+      // multi-batch coverage (out-of-order, JSON arrival) lives in
+      // StreamingSpec.
       (s: SparkSession, d: String) => {
         val wh = graft.streaming.StreamingIngest
-          .flattenFileRun(s, syntheticEnvelopes(s, d), chunks = 3,
-            filesPerTrigger = 2, stageKey = d)
+          .flattenFileRun(s, syntheticEnvelopes(s, d), chunks = 2,
+            stageKey = d)
         Mvs.readMv(s.read.parquet(s"$wh/mv_daily_block_stats")
             .drop("ingest_batch"), Seq("date"))
           .withColumn("date", date_format(col("date"), "yyyy-MM-dd"))

@@ -45,12 +45,18 @@ object StreamStage {
     }).toSeq.map(new Path(_))
   }
 
-  /** Copy master chunk `part` into `inDir` as the `i`-th arrival. */
+  /** Copy master chunk `part` into `inDir` as the `i`-th arrival —
+    * ATOMICALLY: the copy lands on a sibling tmp path first and RENAMES
+    * into the watched dir, because the continuously polling file source
+    * could otherwise list a half-written file with no parquet footer and
+    * kill the query. The master is kept (the next gate reuses it). */
   def feed(spark: SparkSession, part: Path, inDir: String, i: Int): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = part.getFileSystem(conf)
-    FileUtil.copy(fs, part, fs, new Path(inDir, f"chunk-$i%05d.parquet"),
-      false /* keep source: the next gate reuses it */, conf)
+    val dest = new Path(inDir, f"chunk-$i%05d.parquet")
+    val tmp = new Path(new Path(inDir).getParent, s"feedtmp-${dest.getName}")
+    FileUtil.copy(fs, part, fs, tmp, false, conf)
+    fs.rename(tmp, dest)
     ()
   }
 }

@@ -241,7 +241,6 @@ object StreamingIngest {
 
   def flattenFileRun(spark: SparkSession, envelopes: DataFrame, chunks: Int = 4,
                      replayLastBatch: Boolean = true,
-                     filesPerTrigger: Int = 1,
                      stageKey: String = ""): String = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val stage = graft.Scratch.dir("graft_sflat")
@@ -277,46 +276,46 @@ object StreamingIngest {
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
     fs.mkdirs(new Path(inDir))
-    // cached masters must SURVIVE for the next run: copy; per-run staging
-    // can move
+    // cached masters must SURVIVE for the next run: copy — but NEVER copy
+    // directly into the watched dir (the polling source could list a
+    // half-written file with no parquet footer). Copy to a sibling tmp
+    // path, then rename in (atomic on local/HDFS filesystems); per-run
+    // staging renames directly.
     def deliver(part: Path, dest: Path): Unit =
-      if (cached) { FileUtil.copy(fs, part, fs, dest, false, hconf); () }
-      else { fs.rename(part, dest); () }
+      if (cached) {
+        val tmp = new Path(s"$stage/tmp-${dest.getName}")
+        FileUtil.copy(fs, part, fs, tmp, false, hconf)
+        fs.rename(tmp, dest); ()
+      } else { fs.rename(part, dest); () }
 
-    // filesPerTrigger groups staged chunks into fewer, larger micro-batches
-    // (r13 verdict item 5 applied to the flatten harness too): a batch's
-    // cost is 13 concurrent write COMMITS + planning constants, paid per
-    // micro-batch regardless of chunk size, so grouping halves the
-    // dominant term at identical read-back values (tables/MVs are
-    // value-compared by the oracle; batch boundaries only shape file
-    // layout). The planted redelivery must replay the ENTIRE last group —
-    // a partial replay would overwrite the last batch's partitions with a
-    // subset and break the exactly-once equality it exists to prove.
-    val groups = parts.zipWithIndex.grouped(filesPerTrigger).toSeq
+    // ONE file per micro-batch, delivered ATOMICALLY (deliver() renames
+    // into the watched dir): a multi-file group under the continuously
+    // polling 0-second trigger can SPLIT into unplanned micro-batches
+    // (maxFilesPerTrigger is a max, not a min — the source may commit a
+    // batch between two deliveries), which would desynchronize the planted
+    // redelivery's batch id from the stream's actual last batch and
+    // corrupt the exactly-once equality this gate proves. Callers that
+    // want fewer batch constants lower `chunks` instead — batch count IS
+    // the knob here, not files-per-trigger.
     val q = startExactlyOnce(spark, inDir, wh, ckpt,
       trigger = Trigger.ProcessingTime("0 seconds"),
-      maxFilesPerTrigger = Some(filesPerTrigger),
+      maxFilesPerTrigger = Some(1),
       format = "parquet")
     try {
-      groups.zipWithIndex.foreach { case (group, b) =>
-        phase(s"batch$b") {
-          group.foreach { case (part, i) =>
-            deliver(part, new Path(inDir, f"chunk-$i%05d.parquet"))
-          }
+      parts.zipWithIndex.foreach { case (part, i) =>
+        phase(s"batch$i") {
+          deliver(part, new Path(inDir, f"chunk-$i%05d.parquet"))
           q.processAllAvailable()
         }
       }
     } finally q.stop()
 
-    if (replayLastBatch && groups.nonEmpty) {
-      val lastId = groups.length - 1L
+    if (replayLastBatch && parts.nonEmpty) {
+      val lastId = parts.length - 1L
       // read through the split-tuned session: the replay must pay the same
       // (parallel) scan shape as the stream's own delivery did
-      val lastPaths = groups.last.map { case (_, i) =>
-        s"$inDir/chunk-${"%05d".format(i)}.parquet"
-      }
       val redelivered = spark.read.schema(Schemas.envelope)
-        .parquet(lastPaths: _*)
+        .parquet(s"$inDir/chunk-${"%05d".format(parts.length - 1)}.parquet")
       phase("redelivery") {
         ingestBatchExactlyOnce(wh, redelivered, lastId, cacheInput = false)
       }

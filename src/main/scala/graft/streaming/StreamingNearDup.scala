@@ -190,9 +190,11 @@ object StreamingNearDup {
       s"arrivalOrder must be a permutation of 0 until ${parts.length}, got $order")
     fs.mkdirs(new Path(inDir))
 
-    // Cloned session, few state partitions, no no-data micro-batches — the
-    // firstSeenWinsFileRun rationale (state-store checkpoint deltas are per
-    // partition per batch; eviction timing is spec territory, not gate).
+    // Cloned session, 16 state partitions (r14, up from 4: the stateful op
+    // was running 4 threads on a 32-core profile; 16 keeps the per-batch
+    // delta-file count modest while quadrupling state parallelism), no
+    // no-data micro-batches — the firstSeenWinsFileRun rationale (eviction
+    // timing is spec territory, not gate).
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "16")
     ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
@@ -216,7 +218,7 @@ object StreamingNearDup {
       // runs single-threaded per micro-batch and dominates the gate
       // (measured 17 s of the sf1 run). One tiny shuffle of raw text spreads
       // it across the cores; the (band, bucket) state shuffle downstream is
-      // unchanged (still the session's 4 state partitions).
+      // unchanged (still the session's 16 state partitions).
       .repartition(spark.sparkContext.defaultParallelism)
     val tBand0 = System.nanoTime()
     val bandStream = bandRows(inStream, "text", "doc_id", "event_time")
@@ -227,22 +229,19 @@ object StreamingNearDup {
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").start()
-    if (sys.env.contains("GRAFT_STREAM_PROF"))
-      System.err.println(f"[neardup-prof] start: ${(System.nanoTime() - tSetup0) / 1e9}%.2f s")
+    prof("start", tSetup0)
     try {
       order.zipWithIndex.grouped(filesPerTrigger).zipWithIndex.foreach {
         case (group, b) =>
           val t0 = System.nanoTime()
           group.foreach { case (part, i) => StreamStage.feed(spark, parts(part), inDir, i) }
           q.processAllAvailable()
-          if (sys.env.contains("GRAFT_STREAM_PROF"))
-            System.err.println(f"[neardup-prof] batch $b (${group.size} files): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          prof(s"batch $b (${group.size} files)", t0)
       }
     } finally {
       val tStop0 = System.nanoTime()
       q.stop()
-      if (sys.env.contains("GRAFT_STREAM_PROF"))
-        System.err.println(f"[neardup-prof] stop: ${(System.nanoTime() - tStop0) / 1e9}%.2f s")
+      prof("stop", tStop0)
     }
     val tRead0 = System.nanoTime()
     val res = spark.read.parquet(outDir)

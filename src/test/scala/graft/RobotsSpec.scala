@@ -120,6 +120,26 @@ class RobotsSpec extends SparkTestBase {
     assert(pro === Seq(false))
   }
 
+  test("decide: root URLs match — deny-all denies the homepage (fail-closed)") {
+    // canonicalKey strips the trailing '/', so the homepage key has no
+    // '/...' tail; before r14 the extracted path was '' and NO rule — not
+    // even 'Disallow: /' — could match it: the gate failed OPEN on the
+    // single most common deny form. Empty paths now fold to '/'.
+    val robots = Seq(
+      ("deny.com", "User-agent: *\nDisallow: /\n"),
+      ("wild.com", "User-agent: *\nDisallow: /*\n"))
+      .toDF("host", "txt")
+    val urls = Seq(
+      (1L, "https://deny.com/"),        // bare root
+      (2L, "https://deny.com"),         // no slash at all
+      (3L, "https://deny.com/?x=1"),    // query-only root
+      (4L, "https://wild.com/"))        // wildcard deny-all on the root
+      .toDF("doc_id", "url")
+    val got = Robots.decide(urls, "url", robots, "host", "txt")
+      .orderBy("doc_id").collect().map(_.getBoolean(2)).toSeq
+    assert(got === Seq(false, false, false, false))
+  }
+
   test("crawlDelay: group-scoped, first wins, fractional, NULL when absent") {
     val robots = Seq(
       ("a.com", "User-agent: evil\nCrawl-delay: 99\nUser-agent: *\ncrawl-delay: 2.5\nCrawl-delay: 7\n"),
