@@ -70,6 +70,13 @@ class CrawlSpec extends SparkTestBase {
     val raw = Crawl.resolveRedirects(pairs, "src", "dst", doublings = 0)
       .filter(col("url") === "a").collect().head
     assert(raw.getString(1) === "b" && raw.getLong(2) === 1L && !raw.getBoolean(3))
+    // materialize=true (the production lineage truncation) is bit-identical
+    val mat = Crawl.resolveRedirects(pairs, "src", "dst", doublings = 3,
+        materialize = true)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(mat === got)
   }
 
   test("resolveRedirects plan: equi-joins only, no cartesian, one join per doubling") {
