@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * the Google robots.txt spec (RFC 9309):
   *
   *  - group selection: the group whose `User-agent:` line matches the
-  *    caller's agent token (case-insensitive, whole-line — see
-  *    [[agentSection]] for the multi-token-group reduction), falling back
-  *    to the `User-agent: *` group, which is also the default when no
-  *    agent is passed (the corpus-wide-audit view),
+  *    caller's agent token (case-insensitive, whole-line; multi-token
+  *    groups bind to every listed token, a matched-but-empty group means
+  *    allow-all — see [[agentSection]]), falling back to the
+  *    `User-agent: *` group only when the file has NO group for the token;
+  *    star is also the default when no agent is passed (the
+  *    corpus-wide-audit view),
   *  - `Allow:` / `Disallow:` rules are PATH PREFIXES, with RFC 9309's two
   *    special characters honored: `*` matches any character run (including
   *    `/`) and a TRAILING `$` anchors the end of the path; an interior `$`
@@ -43,33 +45,56 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
+  /** The run of lines a group body may begin with before its first rule:
+    * FURTHER `User-agent:` lines (a multi-token group — several consecutive
+    * tokens sharing one rule block, RFC 9309 §2.1's group-of-lines form)
+    * and blank lines (the RFC parses groups over significant lines only, so
+    * a blank line does NOT end a group — `User-agent: a\n\nUser-agent: b`
+    * is still ONE two-token group). Skipping this run after the matched
+    * token's own line attributes the shared rule block to EVERY listed
+    * token, not just the last (the pre-r15 reduction that failed open for
+    * the earlier tokens of `User-agent: a\nUser-agent: b\nDisallow: /`).
+    * Each iteration consumes a newline, so the scan is linear; the whole
+    * pattern stays in the RE2/Java common subset (no lookaround). */
+  private val UaSkip = "(?:[ \\t]*(?:user-agent:[^\\n]*)?\\r?\\n)*"
+
   /** The `User-agent: *` group's body (text until the next `User-agent:`
-    * or end-of-file). Non-greedy + alternation terminator instead of a
-    * lookahead (RE2 has none). Empty string when the file has no star
-    * group — every rule extractor then yields zero rules = allow-all. */
+    * or end-of-file, after the [[UaSkip]] run of co-listed tokens / blank
+    * lines). Non-greedy + alternation terminator instead of a lookahead
+    * (RE2 has none). Empty string when the file has no star group — every
+    * rule extractor then yields zero rules = allow-all. */
   def starSection(robotsTxt: Column): Column =
     regexp_extract(robotsTxt,
-      "(?is)user-agent:\\s*\\*\\s*(.*?)(?:user-agent:|$)", 1)
+      "(?is)user-agent:[ \\t]*\\*[ \\t]*\\r?\\n" + UaSkip +
+        "(.*?)(?:user-agent:|$)", 1)
 
-  /** The group body for a SPECIFIC agent token, falling back to the star
-    * group when the file has no group for it — RFC 9309's group selection,
-    * reduced: the token must match a whole `User-agent:` line (so
+  /** The group body for a SPECIFIC agent token — RFC 9309's group
+    * selection: the token must match a whole `User-agent:` line (so
     * `graftbot` never matches a `graftbot-pro` group — the line-end anchor
     * is the token boundary, since RE2 has no lookahead), matching is
-    * case-insensitive, and a multi-token group (several consecutive
-    * `User-agent:` lines sharing one rule block) attributes its rules to
-    * the LAST listed token only (the earlier tokens' sections terminate at
-    * the next `User-agent:` line, yielding zero rules — documented
-    * reduction; single-token groups are the overwhelming real-corpus
-    * form). `agent` must be a plain token (letters/digits/`-`/`_`) — it is
-    * embedded in a regex both engines replay. */
+    * case-insensitive, and a multi-token group attributes its shared rule
+    * block to EVERY listed token ([[UaSkip]] — the earlier tokens' matches
+    * skip the remaining `User-agent:`/blank lines to the block).
+    *
+    * Fallback is decided on group PRESENCE, not body emptiness: a file
+    * that lists the token but gives its group no rules (`User-agent:
+    * graftbot` as the last line, or followed only by another group) means
+    * allow-EVERYTHING for that agent per the RFC — it must NOT inherit the
+    * star group (the pre-r15 behavior over-blocked exactly that form).
+    * Only a file with no group for the token at all falls back to star.
+    * When the token appears in several groups, the FIRST wins (documented
+    * reduction; the RFC's union-merge is rare in real corpora). `agent`
+    * must be a plain token (letters/digits/`-`/`_`) — it is embedded in a
+    * regex both engines replay. */
   def agentSection(robotsTxt: Column, agent: String): Column = {
     require(agent.matches("[A-Za-z0-9_-]+"),
       s"agent must be a plain robots token, got '$agent'")
+    val present = robotsTxt.rlike(
+      "(?im)^[ \\t]*user-agent:[ \\t]*" + agent.toLowerCase + "[ \\t]*\\r?$")
     val own = regexp_extract(robotsTxt,
       "(?is)user-agent:[ \\t]*" + agent.toLowerCase +
-        "[ \\t]*\\r?\\n(.*?)(?:user-agent:|$)", 1)
-    when(own =!= "", own).otherwise(starSection(robotsTxt))
+        "[ \\t]*\\r?\\n" + UaSkip + "(.*?)(?:user-agent:|$)", 1)
+    when(present, own).otherwise(starSection(robotsTxt))
   }
 
   private val RulePat = "(?im)^[ \\t]*(allow|disallow)[ \\t]*:[ \\t]*(\\S*)"

@@ -363,10 +363,21 @@ object Url {
     * on each side of `rel=canonical` cover either), and the href pull uses
     * the same `\shref` attribute-name boundary as [[extractLinks]]. Same
     * non-DOM regime and documented failure modes as the rest of the
-    * family; first declaration wins when a page (invalidly) has several. */
+    * family; first declaration wins when a page (invalidly) has several.
+    *
+    * The `rel` token is BOUNDARY'd on both sides, lookahead-free (RE2 has
+    * none, and the oracle replays this): a whitespace attribute-name
+    * boundary before it (`(?:[^>]*?\s)?rel` — so `data-rel="canonical"`
+    * never selects the element, the same failure class the r14 `\shref`
+    * fix closed), and the value must be exactly `canonical` — quoted forms
+    * match their closing quote, the unquoted form must be followed by
+    * whitespace, `/` or the tag's own `>` (so `rel=canonical-foo` never
+    * matches; the boundary char is CONSUMED and the element tail re-scanned
+    * by alternation instead of a lookahead). */
   def canonicalLink(html: Column): Column = {
     val el = regexp_extract(html,
-      "(?i)<link\\s[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*>", 0)
+      "(?i)<link\\s(?:[^>]*?\\s)?rel\\s*=\\s*" +
+        "(?:\"canonical\"[^>]*|'canonical'[^>]*|canonical[\\s/][^>]*|canonical)>", 0)
     coalesce(
       nullif(regexp_extract(el, "(?i)\\shref\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
       nullif(regexp_extract(el, "(?i)\\shref\\s*=\\s*'([^']*)'", 1), lit("")))
@@ -474,6 +485,49 @@ object Url {
     discoveredFromLinks(outlinks(docs, idCol, urlCol, htmlCol),
       docs.select(canonicalKey(col(urlCol)).as("__fetched_key")),
       fpp, expectedItems)
+
+  /** The FULL frontier: link discovery ∪ sitemap discovery, minus the
+    * fetched corpus — the composition the r14 verdict flagged as missing
+    * ([[sitemapEntries]] was gate-only; sitemaps are the PRIMARY discovery
+    * source for new sites, which nothing links yet). One row per NEW
+    * canonical key with both sources' evidence merged: `n_refs` = in-link
+    * count (0 for sitemap-only keys — rank consumers treat it as the
+    * in-degree it is), `first_src`/`link` from the link side when present
+    * (else the sitemap's loc spelling), `in_sitemap`, and the sitemap's
+    * latest `lastmod` (lexicographic max — ISO dates order correctly; the
+    * recrawl-scheduling signal).
+    *
+    * Scale shape: both sources group on the SAME canonical key, so the
+    * full-outer merge aligns two key-partitioned aggregates without a new
+    * exchange on either side; the fetched corpus ships as a Bloom filter +
+    * suspects-only anti-join exactly like [[discoveredFromLinks]] (EXACT
+    * output at any fpp). Output feeds [[graft.ext.Crawl.frontierOrder]]
+    * unchanged (it has `link_key`/`link`/`n_refs`). `links` is a
+    * materialized [[outlinks]] table; `sitemaps` is (host, xml). */
+  def discoveredWithSitemaps(links: DataFrame, sitemaps: DataFrame,
+                             hostCol: String, xmlCol: String,
+                             fetchedKeys: DataFrame,
+                             fpp: Double = 0.01,
+                             expectedItems: Long = -1L): DataFrame = {
+    val fromLinks = links.groupBy("link_key")
+      .agg(min("link").as("link"), min("src_id").as("first_src"),
+        count(lit(1)).as("n_refs"))
+    val fromMaps = sitemapEntries(sitemaps, hostCol, xmlCol)
+      .groupBy(col("loc_key").as("link_key"))
+      .agg(min("loc").as("__sm_loc"), max("lastmod").as("lastmod"))
+    val merged = fromLinks.join(fromMaps, Seq("link_key"), "full_outer")
+      .select(col("link_key"),
+        coalesce(col("link"), col("__sm_loc")).as("link"),
+        col("first_src"),
+        coalesce(col("n_refs"), lit(0L)).as("n_refs"),
+        col("__sm_loc").isNotNull.as("in_sitemap"),
+        col("lastmod"))
+    val newKeys = Dedup.bloomNewKeys(
+      merged.select(col("link"), col("link_key")),
+      fetchedKeys.toDF("link_key"),
+      "link", "link_key", fpp, expectedItems)
+    merged.join(newKeys.select("link_key"), Seq("link_key"), "left_semi")
+  }
 
   /** [[discoveredUrls]] over an ALREADY-MATERIALIZED [[outlinks]] table —
     * the production form: the edge list is a pipeline product (the frontier

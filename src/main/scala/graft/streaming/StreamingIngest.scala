@@ -216,6 +216,15 @@ object StreamingIngest {
     } finally { if (cacheInput) { env.unpersist(); () } }
   }
 
+  /** Staged envelope-chunk masters per (stageKey, chunks) per JVM — the
+    * [[StreamStage]] rationale applied to the flatten harness: every rep
+    * of the gate stages the IDENTICAL height-range chunk frame (~5 s at
+    * sf1, re-paid per run before round 14), so a caller that passes a
+    * stable `stageKey` (the sf dir) builds it once and each run COPIES
+    * the masters into its own watched dir. */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** File-stream harness for the FULL 10-table flatten (the streaming twin
     * of the batch flatten gates): stage `envelopes` as `chunks` height-range
     * PARQUET files (columnar staging — the JSON round-trip of the round-9
@@ -230,15 +239,6 @@ object StreamingIngest {
     * stream stops, proving the overwrite absorbs it. Returns the warehouse
     * directory. The JSON arrival format keeps its own streaming coverage in
     * StreamingSpec (start/startExactlyOnce default to `format = "json"`). */
-  /** Staged envelope-chunk masters per (stageKey, chunks) per JVM — the
-    * [[StreamStage]] rationale applied to the flatten harness: every rep
-    * of the gate stages the IDENTICAL height-range chunk frame (~5 s at
-    * sf1, re-paid per run before round 14), so a caller that passes a
-    * stable `stageKey` (the sf dir) builds it once and each run COPIES
-    * the masters into its own watched dir. */
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def flattenFileRun(spark: SparkSession, envelopes: DataFrame, chunks: Int = 4,
                      replayLastBatch: Boolean = true,
                      stageKey: String = ""): String = {

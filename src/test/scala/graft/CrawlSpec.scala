@@ -45,6 +45,60 @@ class CrawlSpec extends SparkTestBase {
     assert(q === Seq("big.com/a", "big.com/b", "small.org/x"))
   }
 
+  test("frontierOrder: Crawl-delay consumed — floor(window/delay) per host, quota before cap") {
+    // s1.big.com publishes delay 5 (window 10 -> quota 2: /c is cut),
+    // s2.big.com publishes none (domain cap only), slow.org's delay 60
+    // exceeds the window (quota 0: the host fetches nothing this batch)
+    val fr = Seq(
+      ("s1.big.com/a", "https://s1.big.com/a", 1L, 9L),
+      ("s1.big.com/b", "https://s1.big.com/b", 1L, 8L),
+      ("s1.big.com/c", "https://s1.big.com/c", 1L, 7L),
+      ("s2.big.com/x", "https://s2.big.com/x", 1L, 6L),
+      ("slow.org/p", "https://slow.org/p", 2L, 5L),
+      ("slow.org/q", "https://slow.org/q", 2L, 4L))
+      .toDF("link_key", "link", "first_src", "n_refs")
+    val rb = Seq(
+      ("s1.big.com", "User-agent: *\nCrawl-delay: 5\n"),
+      ("slow.org", "User-agent: *\nCrawl-delay: 60\n"))
+      .toDF("host", "txt")
+    val got = Crawl.frontierOrder(fr, rb, "host", "txt", ranks, cap = 10,
+        windowSec = 10.0)
+      .select("domain", "queue_pos", "link_key", "host_pos")
+      .orderBy("domain", "queue_pos").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .toSeq
+    assert(got === Seq(
+      ("big.com", 1, "s1.big.com/a", 1),
+      ("big.com", 2, "s1.big.com/b", 2),
+      ("big.com", 3, "s2.big.com/x", 1)))
+    // quota runs BEFORE the cap: the quota victim frees no slot it held,
+    // and queue_pos stays contiguous over the survivors
+    val capped = Crawl.frontierOrder(fr, rb, "host", "txt", ranks, cap = 2,
+        windowSec = 10.0)
+      .select("link_key").orderBy("link_key").collect()
+      .map(_.getString(0)).toSeq
+    assert(capped === Seq("s1.big.com/a", "s1.big.com/b"))
+  }
+
+  test("frontierOrder quota plan: still one frontier-side exchange") {
+    // the quota route's two windows (per-(domain,host) numbering, then the
+    // per-domain cap) must BOTH hang off the one explicit domain
+    // repartition — host refines domain, so the (domain,host) clustering
+    // is satisfied by the domain hash and the quota window costs a sort,
+    // not a second frontier shuffle
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Crawl.frontierOrder(frontier, robots, "host", "txt", ranks,
+        cap = 2, windowSec = 10.0).queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), p.take(2000))
+      val hashEx = p.linesIterator
+        .count(_.trim.startsWith("Exchange hashpartitioning"))
+      // 1 = the tiny rules-side fold (host); 2 = the frontier's explicit
+      // domain repartition shared by both windows
+      assert(hashEx <= 2, s"$hashEx hash exchanges:\n${p.take(2500)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("resolveRedirects: chains resolve in log rounds, hops exact, cycles deterministic") {
     val pairs = Seq(
       ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), // 5-chain

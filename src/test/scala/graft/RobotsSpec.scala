@@ -120,6 +120,64 @@ class RobotsSpec extends SparkTestBase {
     assert(pro === Seq(false))
   }
 
+  test("agentSection: multi-token groups attribute to EVERY listed token") {
+    // RFC 9309 group-of-lines: consecutive User-agent lines (blank lines
+    // between them included — the RFC parses significant lines only) share
+    // one rule block. Pre-r15 the earlier tokens captured an empty body and
+    // fell through to the star group — fail-open when star is permissive.
+    val robots = Seq(
+      ("m.com", "User-agent: graftbot\nUser-agent: evil\nDisallow: /m\n" +
+        "User-agent: *\nAllow: /\n"),
+      ("b.com", "User-agent: graftbot\n\nUser-agent: *\nDisallow: /b\n"))
+      .toDF("host", "txt")
+    val urls = Seq(
+      (1L, "https://m.com/m/x"),  // first token of the pair: /m denies
+      (2L, "https://m.com/ok"),   // outside the shared rule: allowed
+      (3L, "https://b.com/b/1"),  // blank-line-joined group: star's /b binds
+      (4L, "https://b.com/c"))    // no rule hit
+      .toDF("doc_id", "url")
+    val got = Robots.decide(urls, "url", robots, "host", "txt",
+        agent = "graftbot")
+      .orderBy("doc_id").collect().map(_.getBoolean(2)).toSeq
+    assert(got === Seq(false, true, false, true))
+    // the LAST token of the pair keeps working too
+    val evil = Robots.decide(urls.filter(col("doc_id") === 1L), "url",
+        robots, "host", "txt", agent = "evil")
+      .collect().map(_.getBoolean(2)).toSeq
+    assert(evil === Seq(false))
+  }
+
+  test("agentSection: a matched-but-EMPTY group means allow-all, not star") {
+    // RFC 9309: a group that names the agent but publishes no rules allows
+    // everything for it; only a file with NO group for the token falls back
+    // to star. Pre-r15 the empty body fell through to star's deny-all.
+    val robots = Seq(
+      ("eof.com", "User-agent: *\nDisallow: /\nUser-agent: graftbot"),
+      ("mid.com", "User-agent: graftbot\nUser-agent: *\nDisallow: /\n"),
+      ("none.com", "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "txt")
+    val urls = Seq(
+      (1L, "https://eof.com/x"),   // empty own group at EOF: allowed
+      (2L, "https://mid.com/x"),   // graftbot+star share deny-all: denied
+      (3L, "https://none.com/x"))  // no own group at all: star deny-all
+      .toDF("doc_id", "url")
+    val got = Robots.decide(urls, "url", robots, "host", "txt",
+        agent = "graftbot")
+      .orderBy("doc_id").collect().map(_.getBoolean(2)).toSeq
+    assert(got === Seq(true, false, false))
+  }
+
+  test("starSection: star inside a multi-token group still owns the block") {
+    val robots = Seq(
+      ("s.com", "User-agent: *\nUser-agent: other\nDisallow: /s\n"))
+      .toDF("host", "txt")
+    val urls = Seq((1L, "https://s.com/s/1"), (2L, "https://s.com/t"))
+      .toDF("doc_id", "url")
+    val got = Robots.decide(urls, "url", robots, "host", "txt")
+      .orderBy("doc_id").collect().map(_.getBoolean(2)).toSeq
+    assert(got === Seq(false, true))
+  }
+
   test("decide: root URLs match — deny-all denies the homepage (fail-closed)") {
     // canonicalKey strips the trailing '/', so the homepage key has no
     // '/...' tail; before r14 the extracted path was '' and NO rule — not

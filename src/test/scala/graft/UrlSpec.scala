@@ -415,6 +415,29 @@ class UrlSpec extends SparkTestBase {
       (4L, "h.com/a", "h.com/a", false)))
   }
 
+  test("canonicalLink: rel token boundary'd on both sides (r15 advice)") {
+    val docs = Seq(
+      // data-rel attribute must not select the element
+      (1L, "<link data-rel=\"canonical\" href=\"https://x.com/no\">"),
+      // unquoted rel=canonical-foo: no token boundary match
+      (2L, "<link rel=canonical-foo href=\"https://x.com/no\">"),
+      // unquoted rel=canonical followed by whitespace: valid
+      (3L, "<link rel=canonical href=\"https://x.com/yes\">"),
+      // unquoted rel=canonical directly before the tag's > (href first)
+      (4L, "<link href=\"https://x.com/yes\" rel=canonical>"),
+      // quoted value that merely STARTS with canonical: no match
+      (5L, "<link rel=\"canonical-x\" href=\"https://x.com/no\">"),
+      // self-closing slash as the boundary
+      (6L, "<link rel=canonical href='https://x.com/yes'/>"))
+      .toDF("doc_id", "html")
+    val got = docs.select(col("doc_id"),
+        Url.canonicalLink(col("html")).as("c"))
+      .orderBy("doc_id").collect()
+      .map(r => Option(r.getString(1))).toSeq
+    assert(got === Seq(None, None, Some("https://x.com/yes"),
+      Some("https://x.com/yes"), None, Some("https://x.com/yes")))
+  }
+
   test("sitemapEntries: url blocks explode, loc trimmed, lastmod optional, empty loc drops") {
     val sm = Seq(("h.com",
       "<?xml version=\"1.0\"?><urlset>" +
@@ -428,6 +451,32 @@ class UrlSpec extends SparkTestBase {
     assert(got === Seq(
       ("https://h.com/a", Some("2026-01-02"), "h.com/a"),
       ("https://h.com/b", None, "h.com/b")))
+  }
+
+  test("discoveredWithSitemaps: sources merge on key, fetched vanish, sitemap-only n_refs 0") {
+    val links = Seq(
+      (1L, "p.com/a", "https://x.com/l1", "x.com/l1"),    // link-only, 2 refs
+      (2L, "p.com/b", "https://x.com/l1", "x.com/l1"),
+      (1L, "p.com/a", "https://y.com/both", "y.com/both"), // also in sitemap
+      (1L, "p.com/a", "https://old.com/f", "old.com/f"))   // already fetched
+      .toDF("src_id", "src_key", "link", "link_key")
+    val sitemaps = Seq(("y.com",
+      "<urlset><url><loc>https://y.com/both</loc><lastmod>2026-01-05</lastmod></url>" +
+        "<url><loc>https://y.com/smonly</loc></url>" +
+        "<url><loc>https://old.com/f</loc></url></urlset>"))
+      .toDF("host", "xml")
+    val fetched = Seq("old.com/f").toDF("k")
+    val got = Url.discoveredWithSitemaps(links, sitemaps, "host", "xml", fetched)
+      .orderBy("link_key").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+        r.getBoolean(4), Option(r.getString(5)))).toSeq
+    assert(got === Seq(
+      ("x.com/l1", "https://x.com/l1", 1L, 2L, false, None),
+      // merged row: in-degree from links AND the sitemap's lastmod
+      ("y.com/both", "https://y.com/both", 1L, 1L, true, Some("2026-01-05")),
+      // sitemap-only: no discoverer, zero in-degree, spelling from the loc
+      ("y.com/smonly", "https://y.com/smonly", -1L, 0L, true, None)))
   }
 
   test("discoveredUrls: already-fetched keys vanish, audit columns correct") {
