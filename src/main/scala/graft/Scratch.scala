@@ -29,7 +29,10 @@ object Scratch {
                   scratchDir: String, name: String): org.apache.spark.sql.DataFrame = {
     val p = s"$scratchDir/$name"
     df.write.parquet(p)
-    df.sparkSession.read.parquet(p)
+    // read back under the WRITER's schema: exact types/nullability with no
+    // inference pass, and an EMPTY result round-trips too (a zero-partition
+    // write leaves only _SUCCESS, which schema inference rejects)
+    df.sparkSession.read.schema(df.schema).parquet(p)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

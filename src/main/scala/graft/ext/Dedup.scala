@@ -134,11 +134,16 @@ object Dedup {
     // unconditionally — the round-9 shape — paid a corpus-print
     // materialization even when the shuffle route never re-read it
     // (measured +1.1 s at sf0.1 over the routing design's documented cost).
+    lazy val scratch = graft.Scratch.dir("graft-winnow")
     val pr = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
         explode(TextFns.winnowedPrints(col("__ws"), shingleK, window)).as("p"))
-    val freq = pr.groupBy("p").agg(count(lit(1)).as("__f")).localCheckpoint()
+    // vocabulary-sized is CORPUS-scale for web text (r14 verdict): the
+    // print-frequency table takes the size-routed materializer — parquet
+    // past the big threshold, in-memory checkpoint at gate scale
+    val freq = matRoute(pr.groupBy("p").agg(count(lit(1)).as("__f")),
+      big, scratch, "freq")
     // route on MEASURED candidate volume, not corpus size: the probe's
     // fixed overhead (dictionary distinct+zipWithIndex, checkpoint, index
     // build) only pays off when the token join would enumerate far more
@@ -192,6 +197,9 @@ object Dedup {
         .agg(collect_list(col("__tid")).as("__ct"))
         .select(col(idCol), size(col("__ct")).as("__n"), col("__ct"),
           expr("CAST(array() AS ARRAY<BIGINT>)").as("__ut"))
+        // in-memory checkpoint is SAFE here regardless of corpus size: this
+        // route only fires when the capped postings fit the probe budget
+        // (<= ProbeIndexMaxPostings entries), so the arrays are bounded
         .localCheckpoint()
     }
     val probeOk =
@@ -662,6 +670,38 @@ object Dedup {
       sys.props.get("graft.test.sizeRatioPrefilterMinBytes").map(_.toLong)
         .getOrElse(SizeRatioPrefilterMinBytes))
 
+  /** Size-routed lineage-truncating materializer for the dedup family's
+    * corpus-scale intermediates — the r14 link-graph lesson applied to the
+    * family the r14 verdict flagged as still running on the disproved
+    * primitive: `localCheckpoint` pins the full DESERIALIZED table in
+    * executor storage (the r13 30 M-page probe OOM-killed twice at 96 g
+    * from one checkpointed 240 M-row table), while a parquet round-trip
+    * ([[graft.Scratch.materialize]]) streams through compressed,
+    * column-prunable files whose heap pressure is bounded by batch size,
+    * and on a real cluster survives executor loss. Routing: corpora the
+    * `big` flag (the same measured [[sizeRatioPrefilterWorthIt]] estimate
+    * that flips the family's other scale routes, or a measured row count
+    * for the iterative consumers) calls small keep the in-memory
+    * checkpoint — cheapest at gate scale, where eager parquet writes are
+    * pure overhead; big corpora take parquet. `scratch` is by-name so the
+    * temp dir is only created when the parquet route actually fires. */
+  private[ext] def matRoute(df: DataFrame, big: Boolean,
+                            scratch: => String, name: String): DataFrame =
+    if (big) graft.Scratch.materialize(df, scratch, name)
+    else df.localCheckpoint()
+
+  /** Row count at and above which [[dedupClustersWithRounds]]' per-round
+    * edge/label tables take the parquet route: 4 M label rows ≈ 160 MB
+    * deserialized per round table — comfortably in-memory below it, and
+    * the geometric pointer-jump keeps round counts ~log2(diameter), so a
+    * corpus past it pays a handful of bounded parquet round-trips instead
+    * of pinning O(rounds) full tables in executor storage. */
+  val ClusterMatMinRows: Long = 4L * 1000 * 1000
+
+  private def clusterMatMinRows: Long =
+    sys.props.get("graft.test.clusterMatMinRows").map(_.toLong)
+      .getOrElse(ClusterMatMinRows)
+
   /** End-to-end MinHash-LSH near-dup dedup: candidates from banding, verified
     * by true shingle Jaccard ≥ threshold.
     *
@@ -679,11 +719,17 @@ object Dedup {
     *
     * `materialize`: batch callers that consume the result fully (the funnel,
     * the pair-store writer) should pass true — the fused sig+sets table is
-    * localCheckpoint'd once and all three consumers (bands, a-verify,
-    * b-verify) read materialized rows. Default false keeps the operator
-    * lazy and PERSISTENCE-FREE (DedupSpec pins no leaked RDDs): the three
-    * consumers then share the pre-agg exchange via ReuseExchange where
-    * column pruning leaves the subplans identical, at the cost of
+    * materialized once and all three consumers (bands, a-verify, b-verify)
+    * read materialized rows. The materializer is SIZE-ROUTED ([[matRoute]],
+    * on the same measured estimate as the prefilter flag): at gate scale
+    * it is an in-memory `localCheckpoint`, past the big threshold a PARQUET
+    * round-trip — this table carries one row per doc with the full sorted
+    * shingle-identity array (≈ the corpus's distinct-shingle bytes), which
+    * is exactly the shape the r13/r14 link-graph probes proved must never
+    * pin executor storage (r14 verdict item 1). Default false keeps the
+    * operator lazy and PERSISTENCE-FREE (DedupSpec pins no leaked RDDs):
+    * the three consumers then share the pre-agg exchange via ReuseExchange
+    * where column pruning leaves the subplans identical, at the cost of
     * re-finalizing the agg per consumer (~1.5× the materialized form,
     * measured; the checkpointed RDD is reclaimed by the ContextCleaner once
     * the caller drops the DataFrame, but is VISIBLE in getPersistentRDDs
@@ -722,7 +768,11 @@ object Dedup {
       count(lit(1)).cast("int").as("__nset"),
       sort_array(collect_list(col("__x"))).as("sset"))
     val sigSets0 = halves.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val sigSets = if (materialize) sigSets0.localCheckpoint() else sigSets0
+    val sigSets =
+      if (materialize)
+        matRoute(sigSets0, prefilter, graft.Scratch.dir("graft-neardup"),
+          "sigsets")
+      else sigSets0
     val cands =
       if (prefilter)
         candidatePairs(
@@ -835,23 +885,30 @@ object Dedup {
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
         array_distinct(shinglesOfWords(col("__ws"), shingleK)).as("sset"))
+    lazy val scratch = graft.Scratch.dir("graft-idsets")
     val sets = if (big) setsRaw else setsRaw.localCheckpoint()
     val tok = sets.select(col(idCol), explode(col("sset")).as("s"))
-    // VOCABULARY-sized (not corpus-sized) checkpoint: the frequency table
-    // feeds the dictionary sort and the capped-universe counts downstream —
-    // without it each action re-runs the token-stream groupBy.
-    val freq = tok.groupBy("s").agg(count(lit(1)).as("__f")).localCheckpoint()
+    // the frequency table feeds the dictionary sort and the capped-universe
+    // counts downstream — without materialization each action re-runs the
+    // token-stream groupBy. "Vocabulary-sized" is CORPUS-scale for web text
+    // (r14 verdict), so it takes the size-routed materializer: parquet past
+    // the big threshold, in-memory checkpoint at gate scale.
+    val freq = matRoute(tok.groupBy("s").agg(count(lit(1)).as("__f")),
+      big, scratch, "freq")
     val dict = gramDictionary(freq)
     val dictSide = if (big) dict else broadcast(dict)
     val tokI = tok.join(dictSide, Seq("s")).select(col(idCol), col("__tid"))
     // One shuffle by doc id rebuilds the sets in id space (sorted => in
-    // global (f, s) order, capped ids first); checkpointed so candidate
-    // generation and verify sides read the materialized arrays instead of
-    // re-running the encode join. size(tids) == the full distinct set size
-    // (the dictionary covers the full universe), so no separate __n rides.
-    val isets = tokI.groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("__tid"))).as("tids"))
-      .localCheckpoint()
+    // global (f, s) order, capped ids first); materialized so candidate
+    // generation and verify sides read the stored arrays instead of
+    // re-running the encode join — size-routed like freq, because the
+    // per-doc id-set arrays are the corpus's distinct-shingle volume at
+    // 8 B/gram (the shape that must never pin executor storage at scale).
+    // size(tids) == the full distinct set size (the dictionary covers the
+    // full universe), so no separate __n rides.
+    val isets = matRoute(tokI.groupBy(col(idCol))
+        .agg(sort_array(collect_list(col("__tid"))).as("tids")),
+      big, scratch, "isets")
     IdSetEncoding(isets, freq, dict)
   }
 
@@ -1291,8 +1348,10 @@ object Dedup {
     val capped = dropOverCapBuckets(unionBands, maxBucket)
     // Materialized once (default): probed by both verify joins AND the
     // old-side candidate prune — without this the new-batch LSH replans 3x.
+    // Size-routed like the rest of the family (parquet when either corpus
+    // side measures big — candidate volume scales with the refresh corpus).
     // Tests pass materializeCands=false to keep the full lineage visible
-    // (localCheckpoint truncates it, hiding the band-store scan from
+    // (materialization truncates it, hiding the band-store scan from
     // inputFiles assertions).
     val candsPlan = capped.filter(col("__new"))
       .select(col(idCol).as("new_id"), col("band"), col("bucket")).hint("shuffle_hash")
@@ -1300,7 +1359,12 @@ object Dedup {
         .select(col(idCol).as("old_id"), col("band"), col("bucket"))
         .hint("shuffle_hash"), Seq("band", "bucket"))
       .select("new_id", "old_id").distinct()
-    val cands = if (materializeCands) candsPlan.localCheckpoint() else candsPlan
+    val cands =
+      if (materializeCands)
+        matRoute(candsPlan,
+          sizeRatioPrefilterWorthIt(oldDf) || sizeRatioPrefilterWorthIt(newDf),
+          graft.Scratch.dir("graft-incr-neardup"), "cands")
+      else candsPlan
     def setsOf(df: DataFrame) = Par.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol), hashedSetOf(col("__ws"), shingleK).as("sset"))
@@ -1649,8 +1713,15 @@ object Dedup {
     * Non-convergence at `maxIters` THROWS — returning partial labels would
     * make downstream keep-one-per-cluster silently keep duplicates.
     *
-    * `localCheckpoint` per round truncates the growing lineage so round N
-    * doesn't replan rounds 1..N-1. Returns (id, cluster_id = min reachable
+    * A per-round materialization truncates the growing lineage so round N
+    * doesn't replan rounds 1..N-1 — SIZE-ROUTED ([[matRoute]]): below
+    * [[ClusterMatMinRows]] measured edge rows it is an in-memory
+    * `localCheckpoint`; at or above it every per-round table takes the
+    * parquet round-trip instead (r14 verdict item 1 — pinning O(rounds)
+    * full label tables in executor storage is the primitive the 30 M-edge
+    * link probe OOM-killed on; the row count is MEASURED on the
+    * materialized pair set, not estimated, because join-derived inputs
+    * carry garbage estimates). Returns (id, cluster_id = min reachable
     * id): keep-one-per-cluster is then a filter on id == cluster_id. */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 32): DataFrame =
     dedupClustersWithRounds(pairs, maxIters)._1
@@ -1664,26 +1735,38 @@ object Dedup {
     // ScaleProbe chain graph measured 14), so 32 covers any diameter that
     // can physically exist; the non-convergence THROW stays the backstop.
     // Materialize the pair set BEFORE the symmetric union: both union
-    // branches read the checkpointed rows instead of each re-running the
-    // (potentially expensive — e.g. full near-dup) upstream pipeline.
-    val p = pairs.localCheckpoint()
-    val edges = p.select(col("a_id").as("s"), col("b_id").as("t"))
-      .union(p.select(col("b_id").as("s"), col("a_id").as("t")))
-      .localCheckpoint()
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("cid", col("id")).localCheckpoint()
+    // branches read the materialized rows instead of each re-running the
+    // (potentially expensive — e.g. full near-dup) upstream pipeline. The
+    // pair set itself routes on the optimizer's size ESTIMATE (join-derived
+    // inputs err big, which errs safe — an over-estimate costs one small
+    // parquet write, an under-estimate would pin an unbounded table); the
+    // per-round tables route on the MEASURED edge count the materialized
+    // pair set answers cheaply (parquet footer / checkpointed scan).
+    lazy val scratch = graft.Scratch.dir("graft-clusters")
+    val pEstBig = pairs.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(sys.props.get("graft.test.sizeRatioPrefilterMinBytes")
+        .map(_.toLong).getOrElse(SizeRatioPrefilterMinBytes))
+    val p = matRoute(pairs, pEstBig, scratch, "pairs")
+    val big = p.count() * 2 >= clusterMatMinRows
+    val edges = matRoute(
+      p.select(col("a_id").as("s"), col("b_id").as("t"))
+        .union(p.select(col("b_id").as("s"), col("a_id").as("t"))),
+      big, scratch, "edges")
+    var labels = matRoute(edges.select(col("s").as("id")).distinct()
+      .withColumn("cid", col("id")), big, scratch, "labels-0")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("t") === labels("id"))
         .groupBy(col("s")).agg(min("cid").as("ncid"))
       val obs = org.apache.spark.sql.Observation()
-      val oneHop = labels.join(neighborMin, labels("id") === neighborMin("s"), "left")
-        .select(col("id"), col("cid").as("__ocid"),
-          least(col("cid"), coalesce(col("ncid"), col("cid"))).as("cid"))
-        .observe(obs, sum(when(col("cid") < col("__ocid"), 1L).otherwise(0L)).as("changed"))
-        .select("id", "cid")
-        .localCheckpoint() // the action that also populates `obs`
+      val oneHop = matRoute(
+        labels.join(neighborMin, labels("id") === neighborMin("s"), "left")
+          .select(col("id"), col("cid").as("__ocid"),
+            least(col("cid"), coalesce(col("ncid"), col("cid"))).as("cid"))
+          .observe(obs, sum(when(col("cid") < col("__ocid"), 1L).otherwise(0L)).as("changed"))
+          .select("id", "cid"),
+        big, scratch, s"onehop-$iter") // the action also populates `obs`
       val changed = Option(obs.get("changed")).fold(0L)(_.asInstanceOf[Long])
       if (changed == 0L) {
         converged = true // one-hop fixpoint: labels == oneHop, both final
@@ -1691,11 +1774,11 @@ object Dedup {
         // pointer jump: cid values are node ids, so each has a label row;
         // left + coalesce only guards the (impossible) missing-id case
         val jump = oneHop.select(col("id").as("__jid"), col("cid").as("__jcid"))
-        labels = oneHop.as("h")
+        labels = matRoute(oneHop.as("h")
           .join(jump, col("h.cid") === col("__jid"), "left")
           .select(col("h.id").as("id"),
-            coalesce(col("__jcid"), col("h.cid")).as("cid"))
-          .localCheckpoint()
+            coalesce(col("__jcid"), col("h.cid")).as("cid")),
+          big, scratch, s"labels-${iter + 1}")
       }
       iter += 1
     }

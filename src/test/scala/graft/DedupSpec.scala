@@ -712,6 +712,38 @@ class DedupSpec extends SparkTestBase {
     } finally System.clearProperty("graft.test.sizeRatioPrefilterMinBytes")
   }
 
+  test("parquet materialization routes are bit-identical to the in-memory checkpoints") {
+    // r14 verdict item 1: the dedup family's big-corpus materializations
+    // must take the parquet round-trip (localCheckpoint pins the full
+    // deserialized table in executor storage — the 30 M-edge link-probe
+    // OOM). Force each size route's BIG branch onto the fixture corpus and
+    // assert the results are unchanged row for row.
+    val docs = graft.queries.Td.t(spark, sf0001, "documents")
+    def near() = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.2,
+        materialize = true)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val small = near()
+    assert(small.nonEmpty) // non-vacuous
+    System.setProperty("graft.test.sizeRatioPrefilterMinBytes", "1")
+    try assert(near() === small)
+    finally System.clearProperty("graft.test.sizeRatioPrefilterMinBytes")
+    // the cluster iteration: force every per-round table onto the parquet
+    // route (threshold 1 row) — also proves the convergence Observation
+    // rides a parquet-write action as well as it rode localCheckpoint
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L), (7L, 8L),
+      (8L, 9L), (9L, 10L)).toDF("a_id", "b_id")
+    val base = Dedup.dedupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    System.setProperty("graft.test.clusterMatMinRows", "1")
+    try {
+      val (lab, rounds) = Dedup.dedupClustersWithRounds(pairs)
+      assert(lab.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        === base)
+      assert(rounds >= 1)
+    } finally System.clearProperty("graft.test.clusterMatMinRows")
+  }
+
   test("token-join shuffle path equals the broadcast-index probe path") {
     // prefix/containment take the AllPairs broadcast-index probe when the
     // capped postings fit the budget; a 100 TB corpus takes the token-join
