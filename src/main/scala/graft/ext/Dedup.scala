@@ -453,26 +453,38 @@ object Dedup {
                  numHashes: Int = 8, shingleK: Int = 3,
                  withSetSize: Boolean = false): DataFrame = {
     require(numHashes <= 16, "56-bit halves guarantee no overflow only for i < 16")
-    // explode the per-doc DISTINCT shingles: min is idempotent, so h0..h7
-    // are unchanged, duplicate-heavy docs explode fewer rows, and __nset
-    // becomes a plain count(1) — the countDistinct form planned an Expand
-    // that DOUBLED every shuffle row (round-13 A/B: 8.4 -> 6.7 s at the
-    // 1 M-doc funnel rung). __nset counts distinct shingle STRINGS where
-    // countDistinct counted distinct md5 halves — equal up to md5 collision,
-    // the same assumption minhash itself rests on.
-    val withShingles = Par.ensure(df.select(col(idCol), col(textCol)))
+    // ZERO-SHUFFLE per-row signatures (r15): a signature is a pure function
+    // of the doc's own distinct-shingle set, so the exploded
+    // groupBy-on-the-same-id form re-grouped rows by the id they were just
+    // exploded FROM — at the 30 M-doc rung that one exchange was ~68 GB of
+    // pure waste (over this box's disk budget; at 100 TB it is the
+    // difference between a map-only stage and a corpus-wide shuffle).
+    // Array expressions compute the identical values per row: min over the
+    // group's (a + i*b) rows == array_min over the same values in the
+    // row's own array, and a NULL text (which the explode silently
+    // dropped) is dropped by an explicit filter, keeping the output
+    // population bit-identical. The md5 halves materialize through a
+    // struct array FIRST (lambda bodies get no common-subexpression
+    // elimination — the family's standing rule), so md5/conv run once per
+    // shingle, not once per hash function. __nset counts distinct shingle
+    // STRINGS where the pre-r13 countDistinct counted distinct md5 halves
+    // — equal up to md5 collision, the same assumption minhash rests on.
+    val halves = Par.ensure(df.select(col(idCol), col(textCol)))
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
-        explode(array_distinct(shinglesOfWords(col("__ws"), shingleK))).as("s"))
-    val halves = withShingles
-      .select(col(idCol), md5(col("s")).as("__m"))
+        transform(array_distinct(shinglesOfWords(col("__ws"), shingleK)),
+          s => md5(s)).as("__ms"))
       .select(col(idCol),
-        conv(substring(col("__m"), 1, 14), 16, 10).cast("long").as("__a"),
-        conv(substring(col("__m"), 15, 14), 16, 10).cast("long").as("__b"))
-    val aggs = (0 until numHashes).map(i =>
-      min(col("__a") + lit(i.toLong) * col("__b")).as(s"h$i")) ++
-      (if (withSetSize) Seq(count(lit(1)).cast("int").as("__nset")) else Nil)
-    halves.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+        transform(col("__ms"), m => struct(
+          conv(substring(m, 1, 14), 16, 10).cast("long").as("a"),
+          conv(substring(m, 15, 14), 16, 10).cast("long").as("b"))).as("__ab"))
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("__ab"),
+        p => p.getField("a") + lit(i.toLong) * p.getField("b"))).as(s"h$i")) ++
+      (if (withSetSize)
+        Seq(size(col("__ab")).cast("int").as("__nset")) else Nil)
+    halves.select((col(idCol) +: sigCols): _*)
   }
 
   /** LSH banding: group the signature into bands of `bandSize` hashes; a band's
@@ -705,17 +717,17 @@ object Dedup {
   /** End-to-end MinHash-LSH near-dup dedup: candidates from banding, verified
     * by true shingle Jaccard ≥ threshold.
     *
-    * ONE corpus pass (round-13 restructure — the funnel's near-dup stage was
-    * 68 % of the 10 M-doc end-to-end receipt): the per-doc DISTINCT shingles
-    * explode once, each computing its md5 halves (the minhash permutation
+    * ZERO corpus shuffle before banding (r15; supersedes r13's "one corpus
+    * pass", which was one pass but still one corpus-wide exchange): the
+    * per-doc DISTINCT shingles stay inside their row — a struct-array
+    * transform computes each shingle's md5 halves (the minhash permutation
     * base — md5 so the DuckDB oracle reproduces values bit-for-bit) AND its
-    * xxhash64 verify identity side by side; one groupBy then folds the
-    * signature mins, the exact set size (plain count — pre-distinct, so no
-    * countDistinct Expand), and the sorted verify set
-    * (sort_array(collect_list)) in the same shuffle. The old shape shingled
-    * the corpus TWICE (signature pass + verify-set pass) and re-finalized
-    * the verify agg per join side; measured at the 1 M-doc funnel rung this
-    * halves the stage (interleaved A/B, NearDupAb receipts in PLANS.md).
+    * xxhash64 verify identity side by side, then per-row array expressions
+    * fold the signature mins (array_min), the exact set size (size) and
+    * the sorted verify set (array_sort) — bit-identical to the exploded
+    * groupBy's min/count/sort_array(collect_list) (DedupSpec pins value
+    * equality; DEDUPPROBE_r15 receipts the rung walls). The first exchange
+    * a corpus row pays is the (band, bucket) candidate join.
     *
     * `materialize`: batch callers that consume the result fully (the funnel,
     * the pair-store writer) should pass true — the fused sig+sets table is
@@ -753,21 +765,34 @@ object Dedup {
                    maxBucket: Int = DefaultMaxBucket,
                    materialize: Boolean = false): DataFrame = {
     val prefilter = sizeRatioPrefilterWorthIt(df)
-    val withShingles = Par.ensure(df.select(col(idCol), col(textCol)))
+    // ZERO-SHUFFLE per-row sig+sets (r15, same rewrite as [[minhashSig]]):
+    // signatures AND the sorted verify set are pure per-doc functions, so
+    // the fused exploded groupBy (r13's "one corpus pass") still paid one
+    // corpus-wide exchange to re-group rows by the id they were exploded
+    // from — ~68 GB at the 30 M rung. Per-row array expressions compute
+    // the identical values with NO exchange before banding: array_min
+    // twins the group min, array_sort(transform(...x)) twins
+    // sort_array(collect_list(x)) (same multiset, same ascending order),
+    // size() twins count(1), and the explicit NULL-text filter twins the
+    // explode's silent drop. Struct arrays materialize the md5/xxhash
+    // per shingle once (no CSE in lambda bodies).
+    val hx = Par.ensure(df.select(col(idCol), col(textCol)))
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
-        explode(array_distinct(shinglesOfWords(col("__ws"), shingleK))).as("s"))
-    val halves = withShingles
-      .select(col(idCol), md5(col("s")).as("__m"), xxhash64(col("s")).as("__x"))
+        transform(array_distinct(shinglesOfWords(col("__ws"), shingleK)),
+          s => struct(md5(s).as("m"), xxhash64(s).as("x"))).as("__mx"))
       .select(col(idCol),
-        conv(substring(col("__m"), 1, 14), 16, 10).cast("long").as("__a"),
-        conv(substring(col("__m"), 15, 14), 16, 10).cast("long").as("__b"),
-        col("__x"))
-    val aggs = (0 until numHashes).map(i =>
-      min(col("__a") + lit(i.toLong) * col("__b")).as(s"h$i")) ++ Seq(
-      count(lit(1)).cast("int").as("__nset"),
-      sort_array(collect_list(col("__x"))).as("sset"))
-    val sigSets0 = halves.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+        transform(col("__mx"), p => struct(
+          conv(substring(p.getField("m"), 1, 14), 16, 10).cast("long").as("a"),
+          conv(substring(p.getField("m"), 15, 14), 16, 10).cast("long").as("b"),
+          p.getField("x").as("x"))).as("__hx"))
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("__hx"),
+        p => p.getField("a") + lit(i.toLong) * p.getField("b"))).as(s"h$i")) ++ Seq(
+      size(col("__hx")).cast("int").as("__nset"),
+      array_sort(transform(col("__hx"), p => p.getField("x"))).as("sset"))
+    val sigSets0 = hx.select((col(idCol) +: sigCols): _*)
     val sigSets =
       if (materialize)
         matRoute(sigSets0, prefilter, graft.Scratch.dir("graft-neardup"),

@@ -138,10 +138,11 @@ object Robots {
   /** Per-host `Crawl-delay` (seconds, DOUBLE; NULL when the selected group
     * publishes none) — the de-facto politeness-rate directive (not in
     * RFC 9309 but ubiquitous in real robots.txt and honored by most
-    * non-Google crawlers). First declaration in the group wins. A fetch
-    * scheduler turns it into a per-batch quota: floor(window / delay)
-    * fetches per host per scheduling window, the per-host refinement of
-    * [[Crawl.frontierOrder]]'s per-domain cap. */
+    * non-Google crawlers). First declaration in the group wins.
+    * CONSUMED by [[Crawl.frontierOrder]] (`windowSec > 0`): the scheduler
+    * quota is floor(window / delay) fetches per host per scheduling
+    * window — the per-host refinement of the per-domain cap, applied
+    * before it so a quota victim frees its domain slot. */
   def crawlDelay(robots: DataFrame, hostCol: String, robotsCol: String,
                  agent: String = "*"): DataFrame = {
     val sec = if (agent == "*") starSection(col(robotsCol))

@@ -402,17 +402,20 @@ class DedupSpec extends SparkTestBase {
     assert(got === Set((1L, 2L)))
   }
 
-  test("near-dup leaves no cached RDDs; shingle-set shuffle is reused, not recomputed") {
+  test("near-dup leaves no cached RDDs; signatures are a map, not a shuffle") {
     // diff, not isEmpty: other suites may share this session's cache registry
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.5)
     df.collect()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"nearDupPairs must not leak persisted storage: $leaked")
-    // the two verify probes (a-side, b-side) shuffle the identical shingle-set
-    // subplan, so the second must be a ReusedExchange of the first
+    // r15: the sig+verify-set computation is per-row array work — the plan
+    // must contain NO aggregate before banding (the r13 exploded groupBy
+    // paid a corpus-wide exchange to re-group rows by their own id; ~68 GB
+    // at the 30 M rung) and no Generate (explode) on the corpus side
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"), plan.take(1200))
+    assert(!plan.contains("HashAggregate(keys=[doc_id"), plan.take(1500))
+    assert(!plan.contains("Generate explode"), plan.take(1500))
   }
 
   test("jaccard: identical=1, disjoint=0") {
