@@ -1478,7 +1478,19 @@ object Dedup {
       .filter(col("__fp").isNotNull)
     val expected = if (expectedItems > 0) expectedItems
       else math.max(1L, oldFp.count())
-    val bf = oldFp.as[String].rdd.treeAggregate(
+    // COALESCED build (r15): every treeAggregate task serializes one FULL
+    // filter (size ∝ expected items), so over the scan's native partition
+    // count the aggregation traffic is partitions × filter bytes — ~n² in
+    // corpus size (measured: the 10 M-key frontier stage read 30× the 1 M
+    // wall at 10× data from exactly this — ~80 tasks × 12 MB of bitset
+    // ser/merge). A fixed small build width keeps the traffic at
+    // width × filter bytes = LINEAR in keys, while each task's putString
+    // loop stays cheap (string hashing, no allocation); the filter itself
+    // is identical under any partitioning — puts commute, merge is OR —
+    // so results are bit-unchanged (the gates pin this).
+    val rdd0 = oldFp.as[String].rdd
+    val width = math.max(1, math.min(rdd0.getNumPartitions, 16))
+    val bf = rdd0.coalesce(width).treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
       (f, s) => { f.putString(s); f }, (a, b) => a.mergeInPlace(b))
     val probed = newKeyed.select(col(idCol), col(keyCol))
