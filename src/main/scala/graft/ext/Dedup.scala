@@ -461,16 +461,17 @@ object Dedup {
     // difference between a map-only stage and a corpus-wide shuffle).
     // Array expressions compute the identical values per row: min over the
     // group's (a + i*b) rows == array_min over the same values in the
-    // row's own array, and a NULL text (which the explode silently
-    // dropped) is dropped by an explicit filter, keeping the output
-    // population bit-identical. The md5 halves materialize through a
-    // struct array FIRST (lambda bodies get no common-subexpression
-    // elimination — the family's standing rule), so md5/conv run once per
-    // shingle, not once per hash function. __nset counts distinct shingle
-    // STRINGS where the pre-r13 countDistinct counted distinct md5 halves
-    // — equal up to md5 collision, the same assumption minhash rests on.
+    // row's own array — INCLUDING null-text docs, which shinglesOfWords'
+    // short-text fallback folds to the [""] singleton in both forms (the
+    // r15 review caught a draft filter that wrongly dropped them; the
+    // exploded form never did — concat_ws over a NULL array is "").
+    // The md5 halves materialize through a struct array FIRST (lambda
+    // bodies get no common-subexpression elimination — the family's
+    // standing rule), so md5/conv run once per shingle, not once per hash
+    // function. __nset counts distinct shingle STRINGS where the pre-r13
+    // countDistinct counted distinct md5 halves — equal up to md5
+    // collision, the same assumption minhash rests on.
     val halves = Par.ensure(df.select(col(idCol), col(textCol)))
-      .filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
         transform(array_distinct(shinglesOfWords(col("__ws"), shingleK)),
@@ -725,9 +726,9 @@ object Dedup {
     * xxhash64 verify identity side by side, then per-row array expressions
     * fold the signature mins (array_min), the exact set size (size) and
     * the sorted verify set (array_sort) — bit-identical to the exploded
-    * groupBy's min/count/sort_array(collect_list) (DedupSpec pins value
-    * equality; DEDUPPROBE_r15 receipts the rung walls). The first exchange
-    * a corpus row pays is the (band, bucket) candidate join.
+    * groupBy's min/count/sort_array(collect_list), null-text docs
+    * included (DedupSpec pins value equality). The first exchange a
+    * corpus row pays is the (band, bucket) candidate join.
     *
     * `materialize`: batch callers that consume the result fully (the funnel,
     * the pair-store writer) should pass true — the fused sig+sets table is
@@ -773,11 +774,12 @@ object Dedup {
     // the identical values with NO exchange before banding: array_min
     // twins the group min, array_sort(transform(...x)) twins
     // sort_array(collect_list(x)) (same multiset, same ascending order),
-    // size() twins count(1), and the explicit NULL-text filter twins the
-    // explode's silent drop. Struct arrays materialize the md5/xxhash
-    // per shingle once (no CSE in lambda bodies).
+    // size() twins count(1), and null-text docs keep their [""]-singleton
+    // signature through shinglesOfWords' fallback in both forms (the r15
+    // review caught a draft filter that wrongly dropped them). Struct
+    // arrays materialize the md5/xxhash per shingle once (no CSE in
+    // lambda bodies).
     val hx = Par.ensure(df.select(col(idCol), col(textCol)))
-      .filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("__ws"))
       .select(col(idCol),
         transform(array_distinct(shinglesOfWords(col("__ws"), shingleK)),
@@ -1780,10 +1782,7 @@ object Dedup {
     // per-round tables route on the MEASURED edge count the materialized
     // pair set answers cheaply (parquet footer / checkpointed scan).
     lazy val scratch = graft.Scratch.dir("graft-clusters")
-    val pEstBig = pairs.queryExecution.optimizedPlan.stats.sizeInBytes >=
-      BigInt(sys.props.get("graft.test.sizeRatioPrefilterMinBytes")
-        .map(_.toLong).getOrElse(SizeRatioPrefilterMinBytes))
-    val p = matRoute(pairs, pEstBig, scratch, "pairs")
+    val p = matRoute(pairs, sizeRatioPrefilterWorthIt(pairs), scratch, "pairs")
     val big = p.count() * 2 >= clusterMatMinRows
     val edges = matRoute(
       p.select(col("a_id").as("s"), col("b_id").as("t"))

@@ -47,16 +47,26 @@ object Robots {
 
   /** The run of lines a group body may begin with before its first rule:
     * FURTHER `User-agent:` lines (a multi-token group — several consecutive
-    * tokens sharing one rule block, RFC 9309 §2.1's group-of-lines form)
-    * and blank lines (the RFC parses groups over significant lines only, so
-    * a blank line does NOT end a group — `User-agent: a\n\nUser-agent: b`
-    * is still ONE two-token group). Skipping this run after the matched
-    * token's own line attributes the shared rule block to EVERY listed
-    * token, not just the last (the pre-r15 reduction that failed open for
-    * the earlier tokens of `User-agent: a\nUser-agent: b\nDisallow: /`).
-    * Each iteration consumes a newline, so the scan is linear; the whole
-    * pattern stays in the RE2/Java common subset (no lookaround). */
-  private val UaSkip = "(?:[ \\t]*(?:user-agent:[^\\n]*)?\\r?\\n)*"
+    * tokens sharing one rule block, RFC 9309 §2.1's group-of-lines form),
+    * blank lines AND `#` comment lines (the RFC parses groups over
+    * significant lines only, so neither ends a group —
+    * `User-agent: a\n# ours\nUser-agent: b` is still ONE two-token
+    * group; the comment alternative is an r15-review fix, same
+    * fail-open class as the blank-line case). Skipping this run after the
+    * matched token's own line attributes the shared rule block to EVERY
+    * listed token, not just the last (the pre-r15 reduction that failed
+    * open for the earlier tokens of `User-agent: a\nUser-agent: b\n
+    * Disallow: /`). Each iteration consumes a newline, so the scan is
+    * linear; the whole pattern stays in the RE2/Java common subset (no
+    * lookaround). */
+  private val UaSkip =
+    "(?:[ \\t]*(?:user-agent:[^\\n]*|#[^\\n]*)?\\r?\\n)*"
+
+  /** End of a matched `User-agent:` line: optional trailing whitespace and
+    * an optional EOL `#` comment (RFC 9309 permits comments anywhere; the
+    * r15 strict-terminator form rejected `User-agent: * # all crawlers`,
+    * which made the whole group VANISH — the gate failing open). */
+  private val UaEol = "[ \\t]*(?:#[^\\n]*)?\\r?\\n"
 
   /** The `User-agent: *` group's body (text until the next `User-agent:`
     * or end-of-file, after the [[UaSkip]] run of co-listed tokens / blank
@@ -65,7 +75,7 @@ object Robots {
     * rule extractor then yields zero rules = allow-all. */
   def starSection(robotsTxt: Column): Column =
     regexp_extract(robotsTxt,
-      "(?is)user-agent:[ \\t]*\\*[ \\t]*\\r?\\n" + UaSkip +
+      "(?is)user-agent:[ \\t]*\\*" + UaEol + UaSkip +
         "(.*?)(?:user-agent:|$)", 1)
 
   /** The group body for a SPECIFIC agent token — RFC 9309's group
@@ -90,10 +100,11 @@ object Robots {
     require(agent.matches("[A-Za-z0-9_-]+"),
       s"agent must be a plain robots token, got '$agent'")
     val present = robotsTxt.rlike(
-      "(?im)^[ \\t]*user-agent:[ \\t]*" + agent.toLowerCase + "[ \\t]*\\r?$")
+      "(?im)^[ \\t]*user-agent:[ \\t]*" + agent.toLowerCase +
+        "[ \\t]*(?:#[^\\n]*)?\\r?$")
     val own = regexp_extract(robotsTxt,
       "(?is)user-agent:[ \\t]*" + agent.toLowerCase +
-        "[ \\t]*\\r?\\n" + UaSkip + "(.*?)(?:user-agent:|$)", 1)
+        UaEol + UaSkip + "(.*?)(?:user-agent:|$)", 1)
     when(present, own).otherwise(starSection(robotsTxt))
   }
 

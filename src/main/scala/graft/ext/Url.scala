@@ -369,15 +369,22 @@ object Url {
     * none, and the oracle replays this): a whitespace attribute-name
     * boundary before it (`(?:[^>]*?\s)?rel` — so `data-rel="canonical"`
     * never selects the element, the same failure class the r14 `\shref`
-    * fix closed), and the value must be exactly `canonical` — quoted forms
-    * match their closing quote, the unquoted form must be followed by
-    * whitespace, `/` or the tag's own `>` (so `rel=canonical-foo` never
-    * matches; the boundary char is CONSUMED and the element tail re-scanned
-    * by alternation instead of a lookahead). */
+    * fix closed), and `canonical` must appear as a whole TOKEN of the
+    * value — `rel` is a space-separated token list per the HTML spec, so
+    * quoted forms accept it anywhere between quote-or-whitespace
+    * boundaries (`rel="alternate canonical"`, `rel="canonical "` — the
+    * r15 review caught a draft that demanded the exact single-token
+    * value), while the unquoted form is one token by construction and
+    * must be followed by whitespace, `/` or the tag's own `>`. So
+    * `rel=canonical-foo` / `rel="canonical-x"` never match; every
+    * boundary char is CONSUMED and the element tail re-scanned by
+    * alternation instead of a lookahead (RE2 has none). */
   def canonicalLink(html: Column): Column = {
     val el = regexp_extract(html,
       "(?i)<link\\s(?:[^>]*?\\s)?rel\\s*=\\s*" +
-        "(?:\"canonical\"[^>]*|'canonical'[^>]*|canonical[\\s/][^>]*|canonical)>", 0)
+        "(?:\"(?:[^\"]*\\s)?canonical(?:\\s[^\"]*)?\"[^>]*" +
+        "|'(?:[^']*\\s)?canonical(?:\\s[^']*)?'[^>]*" +
+        "|canonical[\\s/][^>]*|canonical)>", 0)
     coalesce(
       nullif(regexp_extract(el, "(?i)\\shref\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
       nullif(regexp_extract(el, "(?i)\\shref\\s*=\\s*'([^']*)'", 1), lit("")))
@@ -509,24 +516,42 @@ object Url {
                              fetchedKeys: DataFrame,
                              fpp: Double = 0.01,
                              expectedItems: Long = -1L): DataFrame = {
-    val fromLinks = links.groupBy("link_key")
-      .agg(min("link").as("link"), min("src_id").as("first_src"),
-        count(lit(1)).as("n_refs"))
     val fromMaps = sitemapEntries(sitemaps, hostCol, xmlCol)
       .groupBy(col("loc_key").as("link_key"))
       .agg(min("loc").as("__sm_loc"), max("lastmod").as("lastmod"))
-    val merged = fromLinks.join(fromMaps, Seq("link_key"), "full_outer")
+    val merged = linkEvidence(links).join(fromMaps, Seq("link_key"), "full_outer")
       .select(col("link_key"),
         coalesce(col("link"), col("__sm_loc")).as("link"),
         col("first_src"),
         coalesce(col("n_refs"), lit(0L)).as("n_refs"),
         col("__sm_loc").isNotNull.as("in_sitemap"),
         col("lastmod"))
+    subtractFetched(merged, fetchedKeys, fpp, expectedItems)
+  }
+
+  /** One row of link-side evidence per canonical key (representative
+    * spelling = min link, discoverer = min src, in-degree = n_refs) — the
+    * aggregate BOTH frontier entry points group on, factored so their
+    * evidence shapes cannot drift (r15 review). */
+  private def linkEvidence(links: DataFrame): DataFrame =
+    links.groupBy("link_key")
+      .agg(min("link").as("link"), min("src_id").as("first_src"),
+        count(lit(1)).as("n_refs"))
+
+  /** Subtract the fetched corpus from a per-key candidate frame:
+    * [[Dedup.bloomNewKeys]] (Bloom-compressed corpus side, exact anti-join
+    * backstop) + a semi-join back to the candidates — the shared tail of
+    * both frontier entry points. No broadcast hint: in a refresh crawl the
+    * new-key set is tiny (AQE broadcasts it); in a discovery crawl it is
+    * most of the candidates and must stay a shuffled semi-join on the key
+    * the candidates are already grouped by. */
+  private def subtractFetched(candidates: DataFrame, fetchedKeys: DataFrame,
+                              fpp: Double, expectedItems: Long): DataFrame = {
     val newKeys = Dedup.bloomNewKeys(
-      merged.select(col("link"), col("link_key")),
+      candidates.select(col("link"), col("link_key")),
       fetchedKeys.toDF("link_key"),
       "link", "link_key", fpp, expectedItems)
-    merged.join(newKeys.select("link_key"), Seq("link_key"), "left_semi")
+    candidates.join(newKeys.select("link_key"), Seq("link_key"), "left_semi")
   }
 
   /** [[discoveredUrls]] over an ALREADY-MATERIALIZED [[outlinks]] table —
@@ -539,18 +564,7 @@ object Url {
     * key set, any column name. */
   def discoveredFromLinks(links: DataFrame, fetchedKeys: DataFrame,
                           fpp: Double = 0.01,
-                          expectedItems: Long = -1L): DataFrame = {
-    val grouped = links.groupBy("link_key")
-      .agg(min("link").as("link"), min("src_id").as("first_src"),
-        count(lit(1)).as("n_refs"))
-    val newKeys = Dedup.bloomNewKeys(
-      grouped.select(col("link"), col("link_key")),
-      fetchedKeys.toDF("link_key"),
-      "link", "link_key", fpp, expectedItems)
-    // no broadcast hint: in a refresh crawl newKeys is tiny (AQE will
-    // broadcast it); in a discovery crawl it is most of `links` and must
-    // stay a shuffled semi-join on the key links is already grouped by
-    grouped.join(newKeys.select("link_key"), Seq("link_key"), "left_semi")
-  }
+                          expectedItems: Long = -1L): DataFrame =
+    subtractFetched(linkEvidence(links), fetchedKeys, fpp, expectedItems)
 
 }

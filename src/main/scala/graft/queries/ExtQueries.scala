@@ -776,13 +776,19 @@ object ExtQueries {
     * like [[graft.ext.Robots.agentSection]]: the agent's own whole-line
     * token group, else the star group. */
   /** DuckDB spelling of [[graft.ext.Robots]]' `UaSkip` — further
-    * `User-agent:` lines and blank lines between the matched token's line
-    * and the group's shared rule block (multi-token groups, RFC 9309). */
-  private val RobotsUaSkipSql = "(?:[ \\t]*(?:user-agent:[^\\n]*)?\\r?\\n)*"
+    * `User-agent:` lines, blank lines and `#` comment lines between the
+    * matched token's line and the group's shared rule block (multi-token
+    * groups, RFC 9309 significant-lines parse). */
+  private val RobotsUaSkipSql =
+    "(?:[ \\t]*(?:user-agent:[^\\n]*|#[^\\n]*)?\\r?\\n)*"
+
+  /** DuckDB spelling of `UaEol` — end of a matched `User-agent:` line,
+    * optional EOL `#` comment included. */
+  private val RobotsUaEolSql = "[ \\t]*(?:#[^\\n]*)?\\r?\\n"
 
   /** DuckDB twin of [[graft.ext.Robots.starSection]]. */
   private val robotsStarSql: String =
-    "regexp_extract(txt, '(?is)user-agent:[ \\t]*\\*[ \\t]*\\r?\\n" +
+    "regexp_extract(txt, '(?is)user-agent:[ \\t]*\\*" + RobotsUaEolSql +
       RobotsUaSkipSql + "(.*?)(?:user-agent:|$)', 1)"
 
   private def robotsRulesCtes(agent: String = "*"): String = {
@@ -790,10 +796,10 @@ object ExtQueries {
       if (agent == "*") robotsStarSql
       else {
         val own = "regexp_extract(txt, '(?is)user-agent:[ \\t]*" +
-          agent.toLowerCase + "[ \\t]*\\r?\\n" + RobotsUaSkipSql +
+          agent.toLowerCase + RobotsUaEolSql + RobotsUaSkipSql +
           "(.*?)(?:user-agent:|$)', 1)"
         val present = "regexp_matches(txt, '(?im)^[ \\t]*user-agent:[ \\t]*" +
-          agent.toLowerCase + "[ \\t]*\\r?$')"
+          agent.toLowerCase + "[ \\t]*(?:#[^\\n]*)?\\r?$')"
         s"(CASE WHEN $present THEN $own ELSE $robotsStarSql END)"
       }
     "lines AS (SELECT host, unnest(regexp_extract_all(" + sec + ", " +
@@ -1639,7 +1645,9 @@ object ExtQueries {
       Some(LinksPageCte + ", " +
         "e AS (SELECT doc_id, url, regexp_extract(html, " +
         "'(?i)<link\\s(?:[^>]*?\\s)?rel\\s*=\\s*" +
-        "(?:\"canonical\"[^>]*|''canonical''[^>]*|canonical[\\s/][^>]*|canonical)>', 0) AS el FROM p), " +
+        "(?:\"(?:[^\"]*\\s)?canonical(?:\\s[^\"]*)?\"[^>]*" +
+        "|''(?:[^'']*\\s)?canonical(?:\\s[^'']*)?''[^>]*" +
+        "|canonical[\\s/][^>]*|canonical)>', 0) AS el FROM p), " +
         "l AS (SELECT doc_id, url, trim(coalesce(" +
         "nullif(regexp_extract(el, '(?i)\\shref\\s*=\\s*\"([^\"]*)\"', 1), ''), " +
         "nullif(regexp_extract(el, '(?i)\\shref\\s*=\\s*''([^'']*)''', 1), ''))) AS h FROM e), " +

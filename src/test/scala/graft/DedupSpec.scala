@@ -715,6 +715,28 @@ class DedupSpec extends SparkTestBase {
     } finally System.clearProperty("graft.test.sizeRatioPrefilterMinBytes")
   }
 
+  test("null-text docs keep their signature row (r15 review: the explode never dropped them)") {
+    // shinglesOfWords' short-text fallback folds a NULL word array to the
+    // [""] singleton (concat_ws over NULL is ""), so the exploded groupBy
+    // form always emitted one signature row per doc — null text included.
+    // The r15 per-row rewrite must preserve that: a draft filter dropped
+    // null-text docs, silently changing dedup populations on real corpora
+    // (failed fetches are common).
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "some actual words here")).toDF("doc_id", "text")
+    val sig = Dedup.minhashSig(docs, "text", "doc_id", withSetSize = true)
+      .orderBy("doc_id").collect()
+    assert(sig.length === 4, "one signature row per doc, null text included")
+    // null text and empty text share the [""] shingle set -> equal sigs
+    assert(sig(0).getLong(1) === sig(1).getLong(1))
+    assert(sig(0).getInt(9) === 1) // __nset = the [""] singleton
+    // the two null-text docs are verbatim dups: nearDupPairs finds them
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.7)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 1L)))
+  }
+
   test("parquet materialization routes are bit-identical to the in-memory checkpoints") {
     // r14 verdict item 1: the dedup family's big-corpus materializations
     // must take the parquet round-trip (localCheckpoint pins the full

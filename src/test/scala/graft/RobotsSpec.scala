@@ -167,6 +167,37 @@ class RobotsSpec extends SparkTestBase {
     assert(got === Seq(true, false, false))
   }
 
+  test("comments: EOL comment on a User-agent line, comment lines inside a group") {
+    // RFC 9309 permits '#' comments anywhere; a strict line terminator
+    // made a commented 'User-agent: *' line match NOTHING — the whole
+    // group vanished and the host failed OPEN (r15 review finding)
+    val robots = Seq(
+      ("c1.com", "User-agent: * # all crawlers\nDisallow: /\n"),
+      ("c2.com", "User-agent: graftbot\n# our bot\nUser-agent: evil\nDisallow: /m\n" +
+        "User-agent: *\nAllow: /\n"),
+      ("c3.com", "User-agent: graftbot # the good one\nDisallow: /g\n"))
+      .toDF("host", "txt")
+    val urls = Seq(
+      (1L, "https://c1.com/x"),   // commented star line: deny-all must bind
+      (2L, "https://c2.com/m/1"), // comment between the group's tokens
+      (3L, "https://c3.com/g/1")) // commented own-agent line
+      .toDF("doc_id", "url")
+    val star = Robots.decide(urls.filter(col("doc_id") === 1L), "url",
+        robots, "host", "txt")
+      .collect().map(_.getBoolean(2)).toSeq
+    assert(star === Seq(false))
+    val bot = Robots.decide(urls.filter(col("doc_id") =!= 1L), "url",
+        robots, "host", "txt", agent = "graftbot")
+      .orderBy("doc_id").collect().map(_.getBoolean(2)).toSeq
+    assert(bot === Seq(false, false))
+    // crawlDelay reads the same group selection: commented star line
+    val cd = Robots.crawlDelay(Seq(
+        ("d.com", "User-agent: * # hi\nCrawl-delay: 3\n")).toDF("host", "txt"),
+        "host", "txt")
+      .collect().head.getDouble(1)
+    assert(cd === 3.0)
+  }
+
   test("starSection: star inside a multi-token group still owns the block") {
     val robots = Seq(
       ("s.com", "User-agent: *\nUser-agent: other\nDisallow: /s\n"))

@@ -428,14 +428,21 @@ class UrlSpec extends SparkTestBase {
       // quoted value that merely STARTS with canonical: no match
       (5L, "<link rel=\"canonical-x\" href=\"https://x.com/no\">"),
       // self-closing slash as the boundary
-      (6L, "<link rel=canonical href='https://x.com/yes'/>"))
+      (6L, "<link rel=canonical href='https://x.com/yes'/>"),
+      // rel is a TOKEN LIST (HTML spec): canonical among other tokens
+      (7L, "<link rel=\"alternate canonical\" href=\"https://x.com/yes\">"),
+      // trailing space inside the quoted value
+      (8L, "<link rel=\"canonical \" href=\"https://x.com/yes\">"),
+      // token-prefix inside quotes still must NOT match
+      (9L, "<link rel=\"canonicalize me\" href=\"https://x.com/no\">"))
       .toDF("doc_id", "html")
     val got = docs.select(col("doc_id"),
         Url.canonicalLink(col("html")).as("c"))
       .orderBy("doc_id").collect()
       .map(r => Option(r.getString(1))).toSeq
     assert(got === Seq(None, None, Some("https://x.com/yes"),
-      Some("https://x.com/yes"), None, Some("https://x.com/yes")))
+      Some("https://x.com/yes"), None, Some("https://x.com/yes"),
+      Some("https://x.com/yes"), Some("https://x.com/yes"), None))
   }
 
   test("sitemapEntries: url blocks explode, loc trimmed, lastmod optional, empty loc drops") {
