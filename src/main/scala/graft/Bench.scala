@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
   * folded into a timing — VERDICT r1 "What's wrong"). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Era calibration FIRST, before Spark spins up its own threads — the
+    // constant gates cross-run comparability (graft.Era, VERDICT r14 item 6).
+    val eraQuality = Era.quality()
+    System.err.println(f"[bench] era_quality $eraQuality%.1f Msteps/s")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Cluster-profile rehearsal knobs: a 1000-executor deployment runs
@@ -134,7 +138,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"n_queries":${results.size},"reps":$reps,"ingest_blocks_per_min":$blocksPerMin,"ingest_blocks":$nBlocks,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flaky":$flaky,"n_queries":${results.size},"reps":$reps,"ingest_blocks_per_min":$blocksPerMin,"ingest_blocks":$nBlocks,"era_quality":${f"$eraQuality%.1f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 

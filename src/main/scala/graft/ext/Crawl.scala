@@ -57,20 +57,43 @@ object Crawl {
     * (CrawlSpec pins it). `frontier` is [[Url.discoveredFromLinks]] output
     * (or any frame with `link_key`/`link`/`n_refs`); `domainRank` is
     * (node, rank_fp); `domainOf` must be the SAME policy hook the rank
-    * table was built with, or domains miss their own scores. */
+    * table was built with, or domains miss their own scores.
+    *
+    * `anchorQuality` (optional) blends [[Url.anchorAgg]]'s per-target
+    * quality signal into the WITHIN-domain priority: rows gain an
+    * `n_sources` column (0 for keys nothing anchors) and both windows
+    * order by (n_refs desc, n_sources desc, link_key) — in-degree stays
+    * primary (it counts every referencing variant), distinct-SOURCE count
+    * breaks its ties because it is the spam-resistant refinement (one page
+    * linking a target through ten URL variants inflates n_refs but not
+    * n_sources — text written by OTHER authors is the signal anchorAgg's
+    * scaladoc promises). Cost: exactly one extra equi-join exchange on
+    * `link_key` (both sides frontier-scale, bounded keys); the domain
+    * windows still share their single exchange, and the default
+    * (null) route's plan and output schema are byte-identical to before. */
   def frontierOrder(frontier: DataFrame,
                     robots: DataFrame, hostCol: String, robotsCol: String,
                     domainRank: DataFrame, cap: Int, k: Int = -1,
                     domainOf: Column => Column = Url.registrableDomain,
-                    windowSec: Double = 0.0, agent: String = "*"): DataFrame = {
+                    windowSec: Double = 0.0, agent: String = "*",
+                    anchorQuality: DataFrame = null): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    val allowed = Robots.decide(frontier, "link", robots, hostCol, robotsCol,
+    val decided = Robots.decide(frontier, "link", robots, hostCol, robotsCol,
         agent)
       .filter(col("allowed")).drop("allowed")
+    val allowed =
+      if (anchorQuality == null) decided
+      else decided
+        .join(anchorQuality.select(col("link_key"),
+          col("n_sources").cast("long").as("__aq_ns")), Seq("link_key"), "left")
+        .withColumn("n_sources", coalesce(col("__aq_ns"), lit(0L)))
+        .drop("__aq_ns")
+    val priority: Seq[Column] =
+      if (anchorQuality == null) Seq(col("n_refs").desc, col("link_key"))
+      else Seq(col("n_refs").desc, col("n_sources").desc, col("link_key"))
     val rank = domainRank.select(col("node").as("domain"),
       col("rank_fp").as("domain_rank_fp"))
-    val w = Window.partitionBy("domain")
-      .orderBy(col("n_refs").desc, col("link_key"))
+    val w = Window.partitionBy("domain").orderBy(priority: _*)
     val ranked = allowed
       .withColumn("domain", domainOf(Url.hostOf(col("link_key"))))
       .join(rank, Seq("domain"), "left")
@@ -84,7 +107,7 @@ object Crawl {
             floor(lit(windowSec) / col("crawl_delay_s")).cast("long")
               .as("__fq_quota"))
         val hw = Window.partitionBy("domain", "__fq_host")
-          .orderBy(col("n_refs").desc, col("link_key"))
+          .orderBy(priority: _*)
         ranked
           .withColumn("__fq_host", Url.hostOf(col("link_key")))
           .join(quotas, Seq("__fq_host"), "left")

@@ -732,6 +732,28 @@ object ExtQueries {
     s.read.parquet(dir)
   }
 
+  /** The anchor-occurrence fixture, extracted once per (JVM, sf dir) and
+    * parquet-materialized — the same production rationale as
+    * [[fixtureLinks]]: the anchor table is a pipeline product with two
+    * consumers (the per-target rollup and the frontier quality blend);
+    * raw extraction stays priced by `x_anchor_text`, which dumps
+    * [[Url.outAnchors]] directly. */
+  private val anchorsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fixtureAnchors(s: SparkSession, d: String): DataFrame = {
+    val dir = anchorsCache.computeIfAbsent(d, _ => {
+      val out = graft.Scratch.dir("graft-anchors-fixture") + "/anchors"
+      Url.outAnchors(
+          Fixtures.attachLinksHtml(
+            Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+            "doc_id", "url"),
+          "doc_id", "url", "html")
+        .write.parquet(out)
+      out
+    })
+    s.read.parquet(dir)
+  }
+
   /** DuckDB twin of [[LinkGraph.urlRank]] (3 iterations, damping 850/1000,
     * scale 1e6) over the [[OutlinksCte]] fixture graph: the iteration is
     * UNROLLED (r0 → c1/r1 → c2/r2 → c3/r3) because the engine's loop is a
@@ -1302,13 +1324,11 @@ object ExtQueries {
       // the (key, text) histogram and the per-key distinct-source count;
       // the mode window and final fold reuse the key partitioning. The
       // fixture's root/dup anchors give one key two competing texts, so
-      // the mode actually decides something.
+      // the mode actually decides something. Rolls up the materialized
+      // anchor table (production route, r13 item 8 — extraction priced
+      // by x_anchor_text).
       (s: SparkSession, d: String) =>
-        Url.anchorAgg(Url.outAnchors(
-            Fixtures.attachLinksHtml(
-              Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
-              "doc_id", "url"),
-            "doc_id", "url", "html"))
+        Url.anchorAgg(fixtureAnchors(s, d))
           .orderBy("link_key"),
       Some(AnchorsCte + ", kk AS (SELECT src_id, " + canonKeySql("link") +
         " AS link_key, anchor_text FROM d), " +
@@ -1478,6 +1498,83 @@ object ExtQueries {
           "CAST(n_refs AS BIGINT) AS n_refs, " +
           "CAST(domain_rank_fp AS BIGINT) AS domain_rank_fp, " +
           "CAST(host_pos AS INT) AS host_pos " +
+          "FROM rk WHERE queue_pos <= 3 ORDER BY domain, queue_pos"
+      }),
+
+    ("x_frontier_anchor", // anchor quality CONSUMED by the frontier (r14
+      // verdict item 7: anchorAgg's scaladoc called its output "the
+      // quality signal per page" and nothing consumed it): frontierOrder
+      // blends the per-target distinct-SOURCE count into the within-domain
+      // priority — in-degree stays primary, n_sources breaks its ties
+      // (spam-resistant: one page linking a target through ten URL
+      // variants inflates n_refs, not n_sources), key ascending last.
+      // Same robots fixture as x_frontier_order; the entire cost delta is
+      // ONE extra link_key equi-join exchange, and the rollup reads the
+      // materialized anchor fixture (production route).
+      (s: SparkSession, d: String) => {
+        val links = fixtureLinks(s, d)
+        val frontier = Url.discoveredFromLinks(links,
+          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
+            .select(Url.canonicalKey(col("url"))), expectedItems = 100000L)
+        val hosts = frontier.select(
+            Url.hostOf(col("link_key")).as("host")).distinct()
+          .filter(pmod(length(col("host")), lit(4)) =!= 0)
+        val dig = regexp_extract(col("host"), "-([0-9]+)\\.", 1).cast("int")
+        val robots = hosts.withColumn("txt", concat(
+          lit("User-agent: *\nDisallow: /A/\nAllow: /a/*x="),
+          (dig % 5).cast("string"),
+          lit("$\nDisallow: /r/"), (dig % 11).cast("string"), lit("\n")))
+        Crawl.frontierOrder(frontier, robots, "host", "txt",
+            LinkGraph.domainRank(links), cap = 3,
+            anchorQuality = Url.anchorAgg(fixtureAnchors(s, d)))
+          .select("domain", "queue_pos", "link_key", "n_refs", "n_sources",
+            "domain_rank_fp")
+          .orderBy("domain", "queue_pos")
+      },
+      Some {
+        val nl = " || chr(10) || "
+        val dig = "CAST(regexp_extract(host, '-([0-9]+)\\.', 1) AS INTEGER)"
+        val txt = "'User-agent: *'" + nl + "'Disallow: /A/'" + nl +
+          s"('Allow: /a/*x=' || CAST($dig % 5 AS VARCHAR) || '$$')" + nl +
+          s"('Disallow: /r/' || CAST($dig % 11 AS VARCHAR))" + nl + "''"
+        rankIterCtes(OutlinksCte + ", " +
+          "ekk AS (SELECT " + canonKeySql("u.url") + " AS src_key, " +
+          canonKeySql("d.link") + " AS dst_key FROM d JOIN u ON d.src_id = u.doc_id), " +
+          "e AS (SELECT " + urlDomainSql(urlHostSql("src_key")) + " AS src, " +
+          urlDomainSql(urlHostSql("dst_key")) + " AS dst FROM ekk " +
+          "WHERE " + urlDomainSql(urlHostSql("src_key")) + " <> " +
+          urlDomainSql(urlHostSql("dst_key")) + ")") + ", " +
+          "kc AS (SELECT " + canonKeySql("url") + " AS key FROM u), " +
+          "g AS (SELECT " + canonKeySql("link") + " AS link_key, " +
+          "min(link) AS link, min(src_id) AS first_src, count(*) AS n_refs " +
+          "FROM d GROUP BY 1), " +
+          "fr AS (SELECT * FROM g WHERE link_key NOT IN (SELECT key FROM kc)), " +
+          s"hosts AS (SELECT DISTINCT ${urlHostSql("link_key")} AS host FROM fr), " +
+          s"rob AS (SELECT host, $txt AS txt FROM hosts WHERE length(host) % 4 <> 0), " +
+          robotsRulesCtes() + ", " +
+          s"kk AS (SELECT link_key AS doc_id, ${urlHostSql("link_key")} AS host, " +
+          "coalesce(nullif(regexp_extract(link_key, '(/.*)$', 1), ''), '/') AS path FROM fr), " +
+          RobotsDecideCtes + ", " +
+          "al AS (SELECT fr.* FROM fr JOIN dec ON fr.link_key = dec.doc_id " +
+          "WHERE dec.allowed), " +
+          // the anchorAgg n_sources twin as a NESTED scope (its CTE names
+          // collide with the outlink chain's; DuckDB shadows inner-first)
+          "aq AS (SELECT link_key, n_sources FROM (" + AnchorsCte +
+          " SELECT " + canonKeySql("link") + " AS link_key, " +
+          "count(DISTINCT src_id) AS n_sources FROM d GROUP BY 1)), " +
+          "dm AS (SELECT al.*, " + urlDomainSql(urlHostSql("link_key")) +
+          " AS domain FROM al), " +
+          "rk AS (SELECT dm.*, coalesce(aq.n_sources, 0) AS n_sources, " +
+          "coalesce(r3.rank_fp, 0) AS domain_rank_fp, " +
+          "row_number() OVER (PARTITION BY domain " +
+          "ORDER BY n_refs DESC, coalesce(aq.n_sources, 0) DESC, dm.link_key) " +
+          "AS queue_pos " +
+          "FROM dm LEFT JOIN r3 ON dm.domain = r3.node " +
+          "LEFT JOIN aq ON dm.link_key = aq.link_key) " +
+          "SELECT domain, CAST(queue_pos AS INT) AS queue_pos, link_key, " +
+          "CAST(n_refs AS BIGINT) AS n_refs, " +
+          "CAST(n_sources AS BIGINT) AS n_sources, " +
+          "CAST(domain_rank_fp AS BIGINT) AS domain_rank_fp " +
           "FROM rk WHERE queue_pos <= 3 ORDER BY domain, queue_pos"
       }),
 

@@ -99,6 +99,54 @@ class CrawlSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("frontierOrder: anchor n_sources breaks n_refs ties, absent keys 0, default schema unchanged") {
+    // big.com/a and /b tie on n_refs(4); the anchor signal says /b is
+    // linked by 3 distinct sources vs /a's 1 — the blend must put /b first
+    // where the key-ascending default put /a first. /c has no anchor row
+    // (n_sources 0).
+    val fr = Seq(
+      ("big.com/a", "https://big.com/a", 1L, 4L),
+      ("big.com/b", "https://big.com/b", 1L, 4L),
+      ("big.com/c", "https://big.com/c", 1L, 3L))
+      .toDF("link_key", "link", "first_src", "n_refs")
+    val aq = Seq(("big.com/a", 1L), ("big.com/b", 3L))
+      .toDF("link_key", "n_sources")
+    val blended = Crawl.frontierOrder(fr, robots, "host", "txt", ranks,
+        cap = 3, anchorQuality = aq)
+      .select("queue_pos", "link_key", "n_sources")
+      .orderBy("queue_pos").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(blended === Seq(
+      (1, "big.com/b", 3L), (2, "big.com/a", 1L), (3, "big.com/c", 0L)))
+    // default (null) route: order falls back to key-ascending on the tie
+    // and the output schema carries NO n_sources column — byte-identical
+    // to the pre-blend contract (existing gate hashes depend on it)
+    val plain = Crawl.frontierOrder(fr, robots, "host", "txt", ranks, cap = 3)
+    assert(!plain.columns.contains("n_sources"))
+    assert(plain.select("link_key").orderBy("queue_pos")
+      .collect().map(_.getString(0)).toSeq
+      === Seq("big.com/a", "big.com/b", "big.com/c"))
+  }
+
+  test("frontierOrder anchor blend in the quota route orders host_pos too") {
+    // same host, delay 5, window 10 -> quota 2: WHICH two survive is now
+    // decided by the blend — the quota must cut the anchor-poor tie-loser
+    val fr = Seq(
+      ("s1.big.com/a", "https://s1.big.com/a", 1L, 4L),
+      ("s1.big.com/b", "https://s1.big.com/b", 1L, 4L),
+      ("s1.big.com/c", "https://s1.big.com/c", 1L, 4L))
+      .toDF("link_key", "link", "first_src", "n_refs")
+    val rb = Seq(("s1.big.com", "User-agent: *\nCrawl-delay: 5\n"))
+      .toDF("host", "txt")
+    val aq = Seq(("s1.big.com/b", 5L), ("s1.big.com/c", 2L))
+      .toDF("link_key", "n_sources")
+    val got = Crawl.frontierOrder(fr, rb, "host", "txt", ranks, cap = 10,
+        windowSec = 10.0, anchorQuality = aq)
+      .select("link_key").orderBy("queue_pos").collect()
+      .map(_.getString(0)).toSeq
+    assert(got === Seq("s1.big.com/b", "s1.big.com/c"))
+  }
+
   test("resolveRedirects: chains resolve in log rounds, hops exact, cycles deterministic") {
     val pairs = Seq(
       ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), // 5-chain

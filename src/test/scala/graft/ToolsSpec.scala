@@ -120,4 +120,14 @@ class ToolsSpec extends SparkTestBase {
     assert(row.getAs[Long]("last_height") === -1L)
     assert(row.getAs[Long]("updated_secs_ago") === -1L)
   }
+
+  test("Era.quality: positive, finite, and JSON-embeddable") {
+    val q = Era.quality()
+    // a sane host runs xorshift64 at hundreds of Msteps/s; even a 95%-stolen
+    // era stays comfortably above 1 — the assert guards sign/overflow bugs,
+    // not host speed
+    assert(q > 1.0 && q < 1e6, s"era_quality out of sane range: $q")
+    val field = Era.jsonField()
+    assert(field.matches("\"era_quality\":[0-9]+\\.[0-9]"), field)
+  }
 }
