@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object CrawlProbe {
   def main(args: Array[String]): Unit = {
+    // era constant first (before Spark's threads) — every probe
+    // receipt carries it so cross-session rungs are era-checkable
+    val eraField = Era.jsonField()
+    System.err.println(s"[probe] $eraField")
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val cap = args.lift(1).map(_.toInt).getOrElse(100)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -90,7 +94,7 @@ object CrawlProbe {
         .count()
     }
 
-    println(f"""{"probe":"crawl_e2e","n_rows":$n,"cap":$cap,""" +
+    println(f"""{"probe":"crawl_e2e",${eraField},"n_rows":$n,"cap":$cap,""" +
       f""""outlinks_sec":$tLinks%.3f,"n_edges":$nEdges,""" +
       f""""frontier_sec":$tFrontier%.3f,"n_frontier":$nFrontier,""" +
       f""""frontier_frac_of_edges":${nFrontier.toDouble / nEdges}%.4f,""" +

@@ -47,6 +47,10 @@ import graft.ext.Dedup
   */
 object DedupProbe {
   def main(args: Array[String]): Unit = {
+    // era constant first (before Spark's threads) — every probe
+    // receipt carries it so cross-session rungs are era-checkable
+    val eraField = Era.jsonField()
+    System.err.println(s"[probe] $eraField")
     val n = args.headOption.map(_.toLong).getOrElse(30000000L)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -138,7 +142,7 @@ object DedupProbe {
       log("winnow_pairs", tWinnow, nWinnow)
     }
 
-    println(f"""{"probe":"dedup","n_docs":$nDocs,"synth_sec":$tSynth%.3f,""" +
+    println(f"""{"probe":"dedup",${eraField},"n_docs":$nDocs,"synth_sec":$tSynth%.3f,""" +
       f""""neardup_sec":$tPairs%.3f,"n_pairs":$nPairs,""" +
       f""""clusters_sec":$tClust%.3f,"n_labels":${clustOut._1},""" +
       f""""cluster_rounds":${clustOut._2},""" +

@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object LinkProbe {
   def main(args: Array[String]): Unit = {
+    // era constant first (before Spark's threads) — every probe
+    // receipt carries it so cross-session rungs are era-checkable
+    val eraField = Era.jsonField()
+    System.err.println(s"[probe] $eraField")
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val iters = args.lift(1).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,7 +74,7 @@ object LinkProbe {
       (r.getLong(0), r.getLong(1))
     }
 
-    println(f"""{"probe":"links","n_rows":$n,"outlinks_sec":$tLinks%.3f,""" +
+    println(f"""{"probe":"links",${eraField},"n_rows":$n,"outlinks_sec":$tLinks%.3f,""" +
       f""""n_edges":$nEdges,"approx_link_keys":$nKeys,""" +
       f""""frontier_sec":$tFrontier%.3f,"n_new":$nNew,""" +
       f""""pagerank_iters":$iters,"pagerank_sec":$tRank%.3f,""" +

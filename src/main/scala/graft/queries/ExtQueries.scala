@@ -754,6 +754,40 @@ object ExtQueries {
     s.read.parquet(dir)
   }
 
+  /** Discovered-frontier and domain-rank fixtures, computed once per
+    * (JVM, sf dir) and parquet-materialized — the production shape for the
+    * frontierOrder CONSUMER gates: the frontier and the rank table are
+    * pipeline PRODUCTS with three consumers each (order/quota/anchor), and
+    * their own construction stays priced by `x_crawl_frontier` /
+    * `x_domain_rank`, which run the operators directly. Before this cache
+    * each consumer gate re-ran the Bloom build and the 3-round rank
+    * iteration from the raw edge list (x_frontier_quota alone measured
+    * 3.2 s at sf0.1 — mostly shared input recompute, not the operator). */
+  private val frontierCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fixtureFrontier(s: SparkSession, d: String): DataFrame = {
+    val dir = frontierCache.computeIfAbsent(d, _ => {
+      val out = graft.Scratch.dir("graft-frontier-fixture") + "/frontier"
+      Url.discoveredFromLinks(fixtureLinks(s, d),
+          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
+            .select(Url.canonicalKey(col("url"))), expectedItems = 100000L)
+        .write.parquet(out)
+      out
+    })
+    s.read.parquet(dir)
+  }
+
+  private val domainRankCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fixtureDomainRank(s: SparkSession, d: String): DataFrame = {
+    val dir = domainRankCache.computeIfAbsent(d, _ => {
+      val out = graft.Scratch.dir("graft-domainrank-fixture") + "/rank"
+      LinkGraph.domainRank(fixtureLinks(s, d)).write.parquet(out)
+      out
+    })
+    s.read.parquet(dir)
+  }
+
   /** DuckDB twin of [[LinkGraph.urlRank]] (3 iterations, damping 850/1000,
     * scale 1e6) over the [[OutlinksCte]] fixture graph: the iteration is
     * UNROLLED (r0 → c1/r1 → c2/r2 → c3/r3) because the engine's loop is a
@@ -1359,10 +1393,7 @@ object ExtQueries {
       // denial branch, the wildcard rescue and the no-robots host all
       // shape the queue.
       (s: SparkSession, d: String) => {
-        val links = fixtureLinks(s, d)
-        val frontier = Url.discoveredFromLinks(links,
-          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
-            .select(Url.canonicalKey(col("url"))), expectedItems = 100000L)
+        val frontier = fixtureFrontier(s, d)
         val hosts = frontier.select(
             Url.hostOf(col("link_key")).as("host")).distinct()
           .filter(pmod(length(col("host")), lit(4)) =!= 0)
@@ -1372,7 +1403,7 @@ object ExtQueries {
           (dig % 5).cast("string"),
           lit("$\nDisallow: /r/"), (dig % 11).cast("string"), lit("\n")))
         Crawl.frontierOrder(frontier, robots, "host", "txt",
-            LinkGraph.domainRank(links), cap = 3)
+            fixtureDomainRank(s, d), cap = 3)
           .select("domain", "queue_pos", "link_key", "n_refs", "domain_rank_fp")
           .orderBy("domain", "queue_pos")
       },
@@ -1430,10 +1461,7 @@ object ExtQueries {
       // Scale shape unchanged from x_frontier_order: broadcastable robots/
       // rank/delay slivers, ONE frontier exchange feeding both windows.
       (s: SparkSession, d: String) => {
-        val links = fixtureLinks(s, d)
-        val frontier = Url.discoveredFromLinks(links,
-          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
-            .select(Url.canonicalKey(col("url"))), expectedItems = 100000L)
+        val frontier = fixtureFrontier(s, d)
         val hosts = frontier.select(
             Url.hostOf(col("link_key")).as("host")).distinct()
           .filter(pmod(length(col("host")), lit(4)) =!= 0)
@@ -1445,7 +1473,7 @@ object ExtQueries {
           when(dig % 3 === 0, concat(lit("Crawl-delay: "),
             ((dig % 4) + 2).cast("string"), lit("\n"))).otherwise(lit(""))))
         Crawl.frontierOrder(frontier, robots, "host", "txt",
-            LinkGraph.domainRank(links), cap = 3, windowSec = 10.0)
+            fixtureDomainRank(s, d), cap = 3, windowSec = 10.0)
           .select("domain", "queue_pos", "link_key", "n_refs",
             "domain_rank_fp", "host_pos")
           .orderBy("domain", "queue_pos")
@@ -1512,10 +1540,7 @@ object ExtQueries {
       // ONE extra link_key equi-join exchange, and the rollup reads the
       // materialized anchor fixture (production route).
       (s: SparkSession, d: String) => {
-        val links = fixtureLinks(s, d)
-        val frontier = Url.discoveredFromLinks(links,
-          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
-            .select(Url.canonicalKey(col("url"))), expectedItems = 100000L)
+        val frontier = fixtureFrontier(s, d)
         val hosts = frontier.select(
             Url.hostOf(col("link_key")).as("host")).distinct()
           .filter(pmod(length(col("host")), lit(4)) =!= 0)
@@ -1525,7 +1550,7 @@ object ExtQueries {
           (dig % 5).cast("string"),
           lit("$\nDisallow: /r/"), (dig % 11).cast("string"), lit("\n")))
         Crawl.frontierOrder(frontier, robots, "host", "txt",
-            LinkGraph.domainRank(links), cap = 3,
+            fixtureDomainRank(s, d), cap = 3,
             anchorQuality = Url.anchorAgg(fixtureAnchors(s, d)))
           .select("domain", "queue_pos", "link_key", "n_refs", "n_sources",
             "domain_rank_fp")
