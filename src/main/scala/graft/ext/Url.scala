@@ -476,6 +476,44 @@ object Url {
       .filter(col("loc") =!= "")
       .withColumn("loc_key", canonicalKey(col("loc")))
 
+  /** Recrawl candidates — the `lastmod` CONSUMER ([[sitemapEntries]] parses
+    * it as "the recrawl-scheduling signal"; this acts on it — the refresh
+    * complement of [[discoveredWithSitemaps]]'s discovery half): already-
+    * FETCHED pages whose latest published `<lastmod>` is strictly newer
+    * than the corpus's recorded fetch time re-enter the fetch queue. One
+    * row per stale canonical key with the loc spelling to fetch and the
+    * evidence pair (`lastmod`, `fetched_at`).
+    *
+    * Comparison is LEXICOGRAPHIC over the ISO-8601 strings both sides
+    * publish (sitemaps.org requires W3C datetime — ISO subsets), which
+    * orders correctly at mixed precision in the CONSERVATIVE direction: a
+    * date-only lastmod strictly after the fetch day is stale, while one
+    * EQUAL to the fetch day compares below the fetch's timestamped form —
+    * same-day edits wait for the next sitemap refresh instead of
+    * refetching on equality.
+    *
+    * Scale shape: the sitemap side folds to one row per loc_key (max
+    * lastmod, min-loc spelling) BEFORE the join — sitemap tables are
+    * host-published slivers next to a fetched corpus, so under AQE the
+    * folded side broadcasts and the corpus probe pays zero exchanges; no
+    * forced broadcast hint (the frontierOrder rule: a genuinely corpus-
+    * sized sitemap union degrades to an equi-join shuffle on bounded keys,
+    * never a driver OOM). `fetched` is a latest-per-key frame (key,
+    * fetchedAt) — e.g. [[graft.store.Store.latest]] over the crawl log. */
+  def recrawlCandidates(sitemaps: DataFrame, hostCol: String, xmlCol: String,
+                        fetched: DataFrame, keyCol: String,
+                        fetchedAtCol: String): DataFrame = {
+    val latest = sitemapEntries(sitemaps, hostCol, xmlCol)
+      .filter(col("lastmod").isNotNull)
+      .groupBy(col("loc_key").as("link_key"))
+      .agg(max("lastmod").as("lastmod"), min("loc").as("loc"))
+    fetched.select(col(keyCol).as("link_key"),
+        col(fetchedAtCol).cast("string").as("fetched_at"))
+      .join(latest, Seq("link_key"))
+      .filter(col("lastmod") > col("fetched_at"))
+      .select("link_key", "loc", "lastmod", "fetched_at")
+  }
+
   /** Newly discovered frontier URLs: [[outlinks]] grouped to one row per
     * canonical link key (representative spelling = min link, discoverer =
     * min src, in-degree = n_refs), minus every key the corpus has already

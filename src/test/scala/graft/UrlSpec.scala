@@ -504,4 +504,33 @@ class UrlSpec extends SparkTestBase {
         (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got === Seq(("new.org/p", "https://new.org/p", 1L, 2L)))
   }
+
+  test("recrawlCandidates: stale refetches, same-day date-only stays fresh, folds and drops right") {
+    val sitemaps = Seq(
+      ("a.com", "<urlset>" +
+        "<url><loc>https://a.com/stale</loc><lastmod>2026-02-10</lastmod></url>" +
+        // two entries for the same loc: the latest-fold must keep the max
+        "<url><loc>https://a.com/stale</loc><lastmod>2026-02-03</lastmod></url>" +
+        // date-only lastmod EQUAL to the fetch day: conservative -> fresh
+        "<url><loc>https://a.com/sameday</loc><lastmod>2026-02-05</lastmod></url>" +
+        // older than the fetch -> fresh
+        "<url><loc>https://a.com/old</loc><lastmod>2026-01-01</lastmod></url>" +
+        // no lastmod -> no recrawl signal
+        "<url><loc>https://a.com/nolm</loc></url>" +
+        // never fetched -> discovery's job, not recrawl's
+        "<url><loc>https://a.com/new</loc><lastmod>2026-02-20</lastmod></url>" +
+        "</urlset>")).toDF("host", "xml")
+    val fetched = Seq(
+      ("a.com/stale", "2026-02-05T12:00:00Z"),
+      ("a.com/sameday", "2026-02-05T12:00:00Z"),
+      ("a.com/old", "2026-02-05T12:00:00Z"),
+      ("a.com/nolm", "2026-02-05T12:00:00Z"))
+      .toDF("key", "fetched_at")
+    val got = Url.recrawlCandidates(sitemaps, "host", "xml",
+        fetched, "key", "fetched_at")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSeq
+    assert(got === Seq(("a.com/stale", "https://a.com/stale",
+      "2026-02-10", "2026-02-05T12:00:00Z")))
+  }
 }
