@@ -164,6 +164,33 @@ object Robots {
         lit("")).cast("double").as("crawl_delay_s"))
   }
 
+  /** The `Sitemap:` directives — per the sitemaps.org robots extension the
+    * field is FILE-WIDE, not group-scoped (a `Sitemap:` line inside any
+    * agent group still applies to every crawler), so this extracts ALL
+    * occurrences from the whole file, unlike every group-scoped reader
+    * above. One row per (host, directive), in file order (`sm_pos`
+    * 1-based); values trim but are otherwise passed through verbatim — the
+    * spec requires absolute URLs, and the fetcher that consumes this is
+    * the right place to reject relative ones. EOL `#` comments are cut
+    * (the URL grammar has no raw `#` — fragments are not sent to servers
+    * and [[Url.canonicalKey]] strips them anyway). Hosts whose file
+    * publishes no directive yield no rows.
+    *
+    * This is the discovery edge that CLOSES the sitemap loop: robots.txt
+    * names the sitemap URLs, a fetch pass retrieves them, and
+    * [[Url.sitemapEntries]] → [[Url.discoveredWithSitemaps]] feed the
+    * frontier. Zero shuffle — one regexp_extract_all + posexplode per
+    * robots row. */
+  def sitemapUrls(robots: DataFrame, hostCol: String,
+                  robotsCol: String): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        posexplode(regexp_extract_all(col(robotsCol),
+          lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^\\r\\n#]+)"), lit(1)))
+          .as(Seq("__sm_pos", "__sm_url")))
+      .select(col("host"), (col("__sm_pos") + 1).cast("long").as("sm_pos"),
+        trim(col("__sm_url")).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
   /** Per-URL allow/deny decision. `urls` rows keep all their columns and
     * gain `allowed`; the URL's host/path derive from [[Url.canonicalKey]]
     * so rule matching shares the family's port-proof, lowercased regime.

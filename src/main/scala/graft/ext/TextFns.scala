@@ -8,32 +8,41 @@ import org.apache.spark.sql.functions._
   * All pure column expressions (whole-stage-codegen friendly). */
 object TextFns {
 
+  /** Content-killing rules shared by [[stripHtml]] and [[mainContent]]:
+    * block elements whose CONTENT must die with them — a script body's
+    * `a<b` must not leak into text or derail tag stripping. */
+  val ContentKillSteps: Seq[(String, String)] = Seq(
+    ("(?s)<script[^>]*>.*?</script>", " "),
+    ("(?s)<style[^>]*>.*?</style>", " "),
+    ("(?s)<!--.*?-->", " "))
+
+  /** The five ubiquitous entities, shared by both extractors; `&amp;`
+    * strictly LAST (decoding it first would double-decode `&amp;lt;` into
+    * a real `<`). */
+  val EntitySteps: Seq[(String, String)] = Seq(
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&amp;", "&"))
+
   /** The [[stripHtml]] rule list, in application order — ONE constant
     * drives both the Column fold and the DuckDB oracle twin (the gate
     * renders replacements SQL-side: `\n` as chr(10), `'` doubled), so the
     * two engines cannot drift. Patterns stay in the common RE2/Java subset
-    * (inline `(?s)`/`(?i)` flags, non-greedy bodies, char classes). */
-  val StripHtmlSteps: Seq[(String, String)] = Seq(
-    // block elements with their CONTENT first — a script body's `a<b` must
-    // not leak into text or derail tag stripping
-    ("(?s)<script[^>]*>.*?</script>", " "),
-    ("(?s)<style[^>]*>.*?</style>", " "),
-    ("(?s)<!--.*?-->", " "),
+    * (inline `(?s)`/`(?i)` flags, non-greedy bodies, char classes).
+    * Composed from the shared sub-constants so [[mainContent]]'s per-block
+    * chain and this whole-page chain cannot diverge on the rules they
+    * share. */
+  val StripHtmlSteps: Seq[(String, String)] = ContentKillSteps ++ Seq(
     // paragraph boundaries SURVIVE extraction (the behavior every real
     // text extractor has, and what lets paragraphDedup chain after this):
     // explicit breaks and block-level closers become newlines...
     ("(?i)<(br|hr)[^>]*>", "\n"),
     ("(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article|header|footer)>", "\n"),
     // ...every remaining tag is inline: a space
-    ("<[^>]+>", " "),
-    // the five ubiquitous entities; &amp; strictly LAST (decoding it first
-    // would double-decode `&amp;lt;` into a real `<`)
-    ("&nbsp;", " "),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
-    ("&quot;", "\""),
-    ("&#39;", "'"),
-    ("&amp;", "&"),
+    ("<[^>]+>", " ")) ++ EntitySteps ++ Seq(
     // whitespace: horizontal runs collapse to one space, spaces hugging a
     // newline die, newline runs collapse, outer whitespace trims
     ("[^\\S\\n]+", " "),
@@ -63,6 +72,85 @@ object TextFns {
     StripHtmlSteps.foldLeft(html) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
+
+  /** Block-level boundary tags for [[mainContent]]'s segmentation: any
+    * open OR close tag of an element that starts a new visual block (the
+    * jusText/boilerpipe block alphabet) plus the self-delimiting
+    * `<br>`/`<hr>`. `\b` keeps `<param>` from matching `p` — ASCII word
+    * boundary, identical in Java regex and RE2. */
+  val BlockSplitPattern: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|" +
+      "section|article|main|header|footer|nav|aside|blockquote|pre|form|" +
+      "figure|figcaption|center|br|hr)\\b[^>]*>"
+
+  /** Anchor CONTENT within a block — group 1 is what the reader sees as a
+    * link; its cleaned length is the block's link-character mass. */
+  val AnchorTextPattern: String = "(?is)<a\\b[^>]*>(.*?)</a>"
+
+  /** The per-block text chain for [[mainContent]]: remaining (inline) tags
+    * become spaces, the shared entities decode, whitespace collapses to
+    * single spaces, outer spaces trim — applied identically to block
+    * bodies and to anchor contents so the density ratio compares like with
+    * like. One constant drives the Column fold AND the DuckDB twin, like
+    * [[StripHtmlSteps]]. */
+  val BlockTextSteps: Seq[(String, String)] =
+    Seq(("<[^>]+>", " ")) ++ EntitySteps ++
+      Seq(("\\s+", " "), ("^ +| +$", ""))
+
+  private def blockTextChain(c: Column): Column =
+    BlockTextSteps.foldLeft(c) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
+  /** Per-block (text, n_chars, link_chars) structs for [[mainContent]] —
+    * exposed for audits that want the drop reasons. Script/style/comment
+    * content dies first ([[ContentKillSteps]]), then the page splits on
+    * [[BlockSplitPattern]]; each block's visible text and the cleaned
+    * length of its anchor contents are computed INSIDE the row (struct
+    * array — lambda bodies get no common-subexpression elimination, so the
+    * text chain runs once per block, not once per consumer). */
+  def contentBlocks(html: Column): Column = {
+    val cleaned = ContentKillSteps.foldLeft(html) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+    transform(split(cleaned, BlockSplitPattern), b => {
+      val txt = blockTextChain(b)
+      val linkChars = aggregate(
+        regexp_extract_all(b, lit(AnchorTextPattern), lit(1)),
+        lit(0L), (acc, a) => acc + length(blockTextChain(a)))
+      struct(txt.as("text"), length(txt).cast("long").as("n_chars"),
+        linkChars.as("link_chars"))
+    })
+  }
+
+  /** Main-content extraction (the jusText/boilerpipe/trafilatura slot that
+    * [[stripHtml]] deliberately does NOT fill — stripHtml keeps EVERY
+    * visible character; real curation pipelines (RefinedWeb, CCNet) keep
+    * only the article body): segment the page into visual blocks, score
+    * each block by length and link density, keep the content-shaped ones,
+    * join survivors with newlines.
+    *
+    * The classifier is the deterministic core of jusText (Pomikálek 2011):
+    * a block survives iff its visible text has at least `minChars`
+    * characters AND its link density — anchor-content characters over
+    * block characters — is at most `maxLinkDensityMilli`/1000. Navigation,
+    * headers, footers, tag clouds and related-links lists die on density;
+    * page furniture (titles, buttons, copyright lines without links) dies
+    * on length. The comparison is the division-free integer form
+    * `link_chars * 1000 <= maxLinkDensityMilli * n_chars` so both engines
+    * decide boundary blocks identically. Same non-DOM regime and failure
+    * modes as [[stripHtml]]; zero shuffles at any scale. */
+  def mainContent(html: Column, minChars: Int = 25,
+                  maxLinkDensityMilli: Int = 200): Column = {
+    val kept = filter(contentBlocks(html), b =>
+      b.getField("n_chars") >= minChars &&
+        b.getField("link_chars") * lit(1000L) <=
+          lit(maxLinkDensityMilli.toLong) * b.getField("n_chars"))
+    // concat_ws SKIPS null arguments, which would fold a NULL page to ""
+    // — guard so null propagates like every other extractor (and like the
+    // DuckDB twin's array_to_string over a NULL list)
+    when(html.isNotNull, concat_ws("\n", transform(kept, b => b.getField("text"))))
+  }
 
   /** Unicode cleanup (CCNet/ftfy-style, run BEFORE fingerprinting/dedup so
     * encoding noise can't defeat exact matching): NFC composition, C0/DEL

@@ -165,6 +165,135 @@ object Fixtures {
       s"'\" rel=\"canonical\">' ELSE '' END) || " +
       s"'</p></body></html>'"
 
+  /** Boilerplate-laden page fixture for the main-content gate: a nav bar
+    * and a footer that must die on LINK DENSITY (both clear the length
+    * gate — the footer by 5 chars — so density is what kills them), a
+    * title block and an `<h1>` that die on LENGTH, a link-free content
+    * paragraph (entity planted), a content paragraph with one inline link
+    * that must SURVIVE (low density), a link-list `<aside>` whose items
+    * die individually, a script whose body must die pre-split, and a
+    * comment. Digit rotations keep hrefs varied without moving any block
+    * across its classification boundary (all rotated digits are
+    * single-char). */
+  def attachBoilerHtml(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    docs.withColumn("html", concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title><script>var nav = \"<ul>\";</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/s/"),
+      (id % 6).cast("string"),
+      lit("\">Stories</a> <a href=\"/c\">Contact</a></nav><h1>Doc "),
+      id.cast("string"),
+      lit("</h1><p>Body: "), col(textCol),
+      lit(" &amp; a stable closing sentence for the length gate.</p>" +
+        "<p>Continued part "),
+      (id % 9).cast("string"),
+      lit(" with a <a href=\"/ref/"), (id % 7).cast("string"),
+      lit("\">reference link</a> inside a long enough paragraph to clear the gate.</p>" +
+        "<aside><ul><li><a href=\"/t/1\">One</a></li><li><a href=\"/t/"),
+      (id % 4).cast("string"),
+      lit("\">Two</a></li></ul></aside><!-- tracking pixel --><footer>(c) 2026 " +
+        "Example <a href=\"/tos\">Terms</a> <a href=\"/privacy\">Privacy</a>" +
+        "</footer></body></html>")))
+  }
+
+  /** The [[attachBoilerHtml]] skeleton as a DuckDB SQL expression — the
+    * oracle twin, adjacent so they drift together. */
+  def boilerHtmlSql(id: String, text: String): String =
+    s"'<html><head><title>Doc ' || CAST($id AS VARCHAR) || " +
+      "'</title><script>var nav = \"<ul>\";</script></head><body>" +
+      s"<nav><a href=\"/\">Home</a> <a href=\"/s/' || CAST($id % 6 AS VARCHAR) || " +
+      s"'\">Stories</a> <a href=\"/c\">Contact</a></nav><h1>Doc ' || CAST($id AS VARCHAR) || " +
+      s"'</h1><p>Body: ' || $text || " +
+      "' &amp; a stable closing sentence for the length gate.</p>" +
+      s"<p>Continued part ' || CAST($id % 9 AS VARCHAR) || " +
+      s"' with a <a href=\"/ref/' || CAST($id % 7 AS VARCHAR) || " +
+      "'\">reference link</a> inside a long enough paragraph to clear the gate.</p>" +
+      "<aside><ul><li><a href=\"/t/1\">One</a></li><li><a href=\"/t/' || " +
+      s"CAST($id % 4 AS VARCHAR) || " +
+      "'\">Two</a></li></ul></aside><!-- tracking pixel --><footer>(c) 2026 " +
+      "Example <a href=\"/tos\">Terms</a> <a href=\"/privacy\">Privacy</a>" +
+      "</footer></body></html>'"
+
+  /** WARC container fixture: each doc becomes a three-record container —
+    * warcinfo (no target URI; proves NULL passthrough), request, response
+    * (payload = HTTP status line + headers + the [[attachHtml]] page, so
+    * the WET gate exercises the same extraction rules as x_html_extract).
+    * Every record is length-framed over payloads that CONTAIN blank lines
+    * (the request's trailing CRLFCRLF, the response's header/body split),
+    * so a parser that stops at the first blank line inside a payload
+    * hash-mismatches. Status rotates 404 on every 5th doc — the WET
+    * conversion must drop those. Needs a `url` column ([[attachUrls]]). */
+  def attachWarc(docs: DataFrame, idCol: String, textCol: String,
+                 urlCol: String): DataFrame = {
+    val id = col(idCol)
+    val crlf = "\r\n"
+    val info = "software: graftbot/1.0\r\nformat: WARC File Format 1.0"
+    val withHtml = attachHtml(docs, idCol, textCol)
+    val reqPayload = concat(lit("GET /p/"), (id % 20).cast("string"),
+      lit(" HTTP/1.1" + crlf + "Host: example.org" + crlf + crlf))
+    val respPayload = concat(
+      lit("HTTP/1.1 "),
+      when(id % 5 === 0, "404 Not Found").otherwise("200 OK"),
+      lit(crlf + "Content-Type: text/html" + crlf + crlf), col("html"))
+    val date = concat(lit("2026-03-"),
+      lpad(((id % 27) + 1).cast("string"), 2, "0"), lit("T00:00:00Z"))
+    def rec(headers: Column, payload: Column): Column = concat(
+      lit("WARC/1.0" + crlf), headers,
+      lit("Content-Length: "), length(payload).cast("string"),
+      lit(crlf + crlf), payload, lit(crlf + crlf))
+    withHtml.withColumn("warc", concat(
+        rec(lit("WARC-Type: warcinfo" + crlf +
+          "WARC-Date: 2026-03-01T00:00:00Z" + crlf), lit(info)),
+        rec(concat(lit("WARC-Type: request" + crlf + "WARC-Target-URI: "),
+          col(urlCol), lit(crlf + "WARC-Date: "), date, lit(crlf)), reqPayload),
+        rec(concat(lit("WARC-Type: response" + crlf + "WARC-Target-URI: "),
+          col(urlCol), lit(crlf + "WARC-Date: "), date, lit(crlf)), respPayload)))
+      .drop("html")
+  }
+
+  /** Render a Scala string constant (CRLFs included) as a DuckDB string
+    * expression — regular SQL strings keep backslashes literal, so line
+    * breaks must concatenate through chr(13)||chr(10). */
+  def sqlStr(s: String): String =
+    s.split("\r\n", -1).map(p => "'" + p.replace("'", "''") + "'")
+      .mkString(" || chr(13) || chr(10) || ")
+
+  /** The [[attachWarc]] container as a DuckDB SQL CTE tail — expects a
+    * preceding CTE `wh(doc_id, url, h)` where `h` is the [[htmlSql]] page;
+    * yields CTEs `wp` (payload parts) and `wc(doc_id, warc)`. Kept
+    * adjacent to [[attachWarc]] so the twins drift together. [[sqlStr]]
+    * renders empty split segments as `''` concatenations (harmless), so
+    * every CRLF — including doubled ones — comes straight from the shared
+    * Scala constant. */
+  def warcSqlCtes(id: String): String = {
+    val crlf = " || chr(13) || chr(10) || "
+    val info = sqlStr("software: graftbot/1.0\r\nformat: WARC File Format 1.0")
+    s"wp AS (SELECT doc_id, url, h, $info AS info, " +
+      s"'GET /p/' || CAST($id % 20 AS VARCHAR) || " +
+      sqlStr(" HTTP/1.1\r\nHost: example.org\r\n\r\n") + " AS req, " +
+      s"'HTTP/1.1 ' || (CASE WHEN $id % 5 = 0 THEN '404 Not Found' " +
+      "ELSE '200 OK' END) || " +
+      sqlStr("\r\nContent-Type: text/html\r\n\r\n") +
+      " || h AS resp, " +
+      s"'2026-03-' || lpad(CAST(($id % 27) + 1 AS VARCHAR), 2, '0') || " +
+      "'T00:00:00Z' AS d FROM wh), " +
+      "wc AS (SELECT doc_id, " +
+      sqlStr("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "WARC-Date: 2026-03-01T00:00:00Z\r\nContent-Length: ") +
+      " || CAST(length(info) AS VARCHAR)" + crlf + "''" + crlf +
+      "info" + crlf + "''" + crlf +
+      sqlStr("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: ") +
+      s" || url$crlf'WARC-Date: ' || d$crlf" +
+      "'Content-Length: ' || CAST(length(req) AS VARCHAR)" + crlf + "''" +
+      crlf + "req" + crlf + "''" + crlf +
+      sqlStr("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: ") +
+      s" || url$crlf'WARC-Date: ' || d$crlf" +
+      "'Content-Length: ' || CAST(length(resp) AS VARCHAR)" + crlf + "''" +
+      crlf + "resp" + crlf + "''" +
+      " AS warc FROM wp)"
+  }
+
   /** Fake media fixture (formerly `Multimodal.attachFakeMedia`): content =
     * UTF-8 bytes of a text column, metadata deterministic from the id.
     * Stands in for reading real (bytes, metadata) pairs from a lakehouse

@@ -627,6 +627,82 @@ object ExtQueries {
   private def urlHostSql(key: String): String =
     s"regexp_extract($key, '^([^/&:]*)', 1)"
 
+  /** Render a (pattern, replacement) regex chain constant as nested DuckDB
+    * regexp_replace calls — the x_html_extract twin generalized so every
+    * chain-driven oracle (strip, main-content, WET) folds THE SAME Scala
+    * constant the engine folds: `\n` replacements become chr(10), quotes
+    * double, patterns pass through (the REGEX engine interprets their
+    * escapes, not the SQL parser). */
+  private def regexChainSql(expr0: String, steps: Seq[(String, String)]): String =
+    steps.foldLeft(expr0) { case (acc, (pat, rep)) =>
+      val sqlRep = rep match {
+        case "\n" => "chr(10)"
+        case r => "'" + r.replace("'", "''") + "'"
+      }
+      s"regexp_replace($acc, '$pat', $sqlRep, 'g')"
+    }
+
+  /** DuckDB twin of [[TextFns.mainContent]] over an arbitrary input
+    * expression: kill chain → block split → per-block text/link-density
+    * classification (NULL-marker filter — recomputes the text chain per
+    * use; oracle-side cost only) → newline join. NULL input propagates
+    * (string_split_regex(NULL) → NULL → array_to_string NULL), matching
+    * the engine's isNotNull guard. */
+  private def mainContentSql(e: String): String = {
+    def txt(x: String) = regexChainSql(x, TextFns.BlockTextSteps)
+    val lc = "coalesce(list_sum(list_transform(regexp_extract_all(x, '" +
+      TextFns.AnchorTextPattern + "', 1), a -> length(" + txt("a") + "))), 0)"
+    "array_to_string(list_filter(list_transform(string_split_regex(" +
+      regexChainSql(e, TextFns.ContentKillSteps) +
+      s", '${TextFns.BlockSplitPattern}'), x -> " +
+      s"CASE WHEN length(${txt("x")}) >= 25 AND $lc * 1000 <= 200 * length(${txt("x")}) " +
+      s"THEN ${txt("x")} END), t2 -> t2 IS NOT NULL), chr(10))"
+  }
+
+  /** Shared WARC oracle CTEs: url fixture → page html → container
+    * ([[Fixtures.warcSqlCtes]]) → parsed records, ending in
+    * `pp(doc_id, rec_pos, warc_type, target_uri, warc_date,
+    * content_length, payload)` — the DuckDB twin of
+    * [[graft.ext.Warc.records]] over [[Fixtures.attachWarc]]: version-line
+    * split with 1-based record positions (zipped unnest), header block =
+    * text before the first CRLFCRLF, payload = Content-Length-framed
+    * substring after it (NULL length ⇒ NULL payload, like the engine's
+    * fail-closed rule). */
+  private val WarcParseCtes: String = {
+    val clen = "CAST(nullif(regexp_extract(hdr, " +
+      "'(?im)^content-length[ \\t]*:[ \\t]*([0-9]+)', 1), '') AS BIGINT)"
+    s"$UrlSrcCte, " +
+      s"wh AS (SELECT u.doc_id, url, ${Fixtures.htmlSql("u.doc_id", "d.text")} AS h " +
+      s"FROM u JOIN $Docs d ON u.doc_id = d.doc_id), " +
+      Fixtures.warcSqlCtes("doc_id") + ", " +
+      "sp AS (SELECT doc_id, string_split_regex(warc, 'WARC/1\\.0\\r\\n') AS ck " +
+      "FROM wc), " +
+      "rr AS (SELECT doc_id, unnest(ck[2:]) AS chunk, " +
+      "unnest(generate_series(1, len(ck) - 1)) AS rec_pos FROM sp), " +
+      "ph AS (SELECT doc_id, rec_pos, chunk, " +
+      "regexp_extract(chunk, '(?s)^(.*?)\\r\\n\\r\\n', 1) AS hdr FROM rr), " +
+      "pp AS (SELECT doc_id, rec_pos, " +
+      "lower(nullif(regexp_extract(hdr, '(?im)^warc-type[ \\t]*:[ \\t]*([^\\r\\n]+)', 1), '')) AS warc_type, " +
+      "nullif(regexp_extract(hdr, '(?im)^warc-target-uri[ \\t]*:[ \\t]*([^\\r\\n]+)', 1), '') AS target_uri, " +
+      "nullif(regexp_extract(hdr, '(?im)^warc-date[ \\t]*:[ \\t]*([^\\r\\n]+)', 1), '') AS warc_date, " +
+      s"$clen AS content_length, " +
+      s"substring(chunk, length(hdr) + 5, $clen) AS payload FROM ph)"
+  }
+
+  /** [[WarcParseCtes]] + the HTTP layer: `bod(doc_id, rec_pos, target_uri,
+    * warc_date, http_status, body)` — the twin of
+    * [[graft.ext.Warc.httpResponses]] (statusless records keep their raw
+    * payload as body, like the engine's nothing-vanishes rule). */
+  private val WarcHttpCtes: String = WarcParseCtes + ", " +
+    "resp AS (SELECT doc_id, rec_pos, target_uri, warc_date, payload, " +
+    "regexp_extract(payload, '(?s)^(.*?)\\r\\n\\r\\n', 1) AS hh, " +
+    s"nullif(regexp_extract(payload, '${graft.ext.Warc.StatusPattern}', 1), '') AS st " +
+    "FROM pp WHERE warc_type = 'response'), " +
+    "bod AS (SELECT doc_id, rec_pos, target_uri, warc_date, " +
+    "CAST(st AS INTEGER) AS http_status, " +
+    "CASE WHEN st IS NULL THEN payload " +
+    "ELSE substring(payload, length(hh) + 5) END AS body FROM resp)"
+
   /** Shared oracle body for the outlink gates — the DuckDB twin of
     * [[graft.fixtures.Fixtures.attachLinksHtml]] + [[Url.extractLinks]] +
     * [[Url.resolveLink]]: synthesize the links page over the url fixture,
@@ -3683,5 +3759,151 @@ object ExtQueries {
         "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, " +
         "min(ts) AS start_ts, max(ts) AS end_ts, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents " +
-        "FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id")))
+        "FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id")),
+
+    // --------------------------------------------- web-archive ingestion ----
+    ("x_main_content", // boilerplate removal (jusText/trafilatura slot —
+      // RefinedWeb keeps article bodies, not whole-page text): split the
+      // page into visual blocks, keep the ones that are long enough AND
+      // link-sparse enough (division-free integer density compare), join
+      // with newlines. The fixture's nav and footer both clear the length
+      // gate but die on density; the h1/title die on length; two content
+      // paragraphs survive — one carrying an inline link below the
+      // threshold. Pure per-row regex chain, zero shuffles; the oracle
+      // replays the split + per-block chain from the SAME constants.
+      (s: SparkSession, d: String) =>
+        Fixtures.attachBoilerHtml(t(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id"),
+            TextFns.mainContent(col("html")).as("main_text"))
+          .withColumn("n_chars", length(col("main_text")).cast("long"))
+          .orderBy("doc_id"),
+      Some(s"WITH p AS (SELECT doc_id, " +
+        s"${Fixtures.boilerHtmlSql("doc_id", "text")} AS h FROM $Docs), " +
+        s"k AS (SELECT doc_id, ${mainContentSql("h")} AS main_text FROM p) " +
+        "SELECT doc_id, main_text, " +
+        "CAST(length(main_text) AS BIGINT) AS n_chars " +
+        "FROM k ORDER BY doc_id")),
+
+    ("x_warc_records", // WARC container parsing — the entry-point format
+      // of every public web corpus (ISO 28500; Common Crawl ships WARC):
+      // version-line record split, per-record header fields, and a
+      // Content-Length-FRAMED payload (both fixture payloads contain
+      // blank lines, so a parser that stops at the first CRLFCRLF inside
+      // a payload hash-mismatches on payload_md5; content_length ==
+      // payload_chars cross-checks the framing per engine). warcinfo's
+      // NULL target URI pins optional-header passthrough. Zero shuffles.
+      (s: SparkSession, d: String) => {
+        val w = Fixtures.attachWarc(
+          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+          "doc_id", "text", "url")
+        graft.ext.Warc.records(w, "doc_id", "warc")
+          .select(col("doc_id"), col("rec_pos"), col("warc_type"),
+            col("target_uri"), col("warc_date"), col("content_length"),
+            length(col("payload")).cast("long").as("payload_chars"),
+            md5(col("payload")).as("payload_md5"))
+          .orderBy("doc_id", "rec_pos")
+      },
+      Some(WarcParseCtes + " " +
+        "SELECT doc_id, CAST(rec_pos AS BIGINT) AS rec_pos, warc_type, " +
+        "target_uri, warc_date, content_length, " +
+        "CAST(length(payload) AS BIGINT) AS payload_chars, " +
+        "md5(payload) AS payload_md5 FROM pp ORDER BY doc_id, rec_pos")),
+
+    ("x_warc_wet", // the WET conversion: response records -> HTTP layer
+      // opened (status line, header/body split) -> whole-page text through
+      // the SAME stripHtml chain as x_html_extract — the record type
+      // Common Crawl derives for text-only consumers. The fixture's 404s
+      // (every 5th doc) must drop at the 2xx filter.
+      (s: SparkSession, d: String) => {
+        val w = Fixtures.attachWarc(
+          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+          "doc_id", "text", "url")
+        graft.ext.Warc.wetText(graft.ext.Warc.records(w, "doc_id", "warc"))
+          .select(col("doc_id"), col("rec_pos"), col("target_uri"),
+            col("warc_date"), col("http_status"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some(WarcHttpCtes + " " +
+        "SELECT doc_id, CAST(rec_pos AS BIGINT) AS rec_pos, target_uri, " +
+        "warc_date, http_status, " +
+        regexChainSql("body", TextFns.StripHtmlSteps) + " AS text " +
+        "FROM bod WHERE http_status >= 200 AND http_status < 300 " +
+        "ORDER BY doc_id")),
+
+    ("x_warc_curate", // the end-to-end ingestion→curation composition:
+      // WARC container → response records → HTTP layer → MAIN-CONTENT
+      // extraction (not whole-page text — the nav/footer die before
+      // quality ever sees them) → token count + quality score → keep
+      // decision. This is the "WARC in, curated text out" spine of a
+      // public-web training pipeline, hash-exact across both engines;
+      // still zero shuffles — every stage is a per-row map.
+      (s: SparkSession, d: String) => {
+        val w = Fixtures.attachWarc(
+          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+          "doc_id", "text", "url")
+        graft.ext.Warc.httpResponses(
+          graft.ext.Warc.records(w, "doc_id", "warc"))
+          .filter(col("http_status") >= 200 && col("http_status") < 300)
+          .withColumn("text", TextFns.mainContent(col("body")))
+          .select(col("doc_id"),
+            TextFns.tokenCount(col("text")).as("n_tokens"),
+            round(TextFns.qualityScore(col("text")), 6).as("quality"))
+          .withColumn("keep", col("quality") >= 0.5 && col("n_tokens") >= 5)
+          .orderBy("doc_id")
+      },
+      Some(WarcHttpCtes + ", " +
+        s"mc AS (SELECT doc_id, ${mainContentSql("body")} AS text FROM bod " +
+        "WHERE http_status >= 200 AND http_status < 300), " +
+        s"q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        s"round($QualitySql, 6) AS quality FROM mc) " +
+        "SELECT doc_id, n_tokens, quality, " +
+        "(quality >= 0.5 AND n_tokens >= 5) AS keep FROM q ORDER BY doc_id")),
+
+    ("x_robots_sitemap", // the Sitemap: directive — per the sitemaps.org
+      // robots extension it is FILE-WIDE, not group-scoped, so a directive
+      // inside the `evil` group must STILL surface (the opposite of every
+      // group-scoped robots gate; a group-scoped reader drops rows). This
+      // is the discovery edge that closes the sitemap loop: robots names
+      // the sitemap URLs, sitemapEntries parses the fetched files,
+      // discoveredWithSitemaps feeds the frontier. Fixture rotates casing,
+      // indentation, missing space after the colon, an EOL comment that
+      // must cut, and hosts with one/two/three directives.
+      (s: SparkSession, d: String) => {
+        val u = Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source")
+        val hosts = u.select(
+          Url.hostOf(Url.canonicalKey(col("url"))).as("host")).distinct()
+        val dig = regexp_extract(col("host"), "-([0-9]+)\\.", 1).cast("int")
+        val robots = hosts.withColumn("txt", concat(
+          lit("User-agent: *\nDisallow: /x\nSitemap: https://"), col("host"),
+          lit("/sitemap.xml\n"),
+          when(dig % 2 === 0, concat(lit("  SiteMap:https://cdn-"),
+            (dig % 4).cast("string"), lit(".example.org/sm/"),
+            (dig % 5).cast("string"), lit(".xml # index\n"))).otherwise(lit("")),
+          lit("User-agent: evil\nDisallow: /\n"),
+          when(dig % 3 === 0, concat(lit("sitemap: https://"), col("host"),
+            lit("/in-group.xml\n"))).otherwise(lit(""))))
+        graft.ext.Robots.sitemapUrls(robots, "host", "txt")
+          .orderBy("host", "sm_pos")
+      },
+      Some {
+        val nl = " || chr(10) || "
+        val dig = "CAST(regexp_extract(host, '-([0-9]+)\\.', 1) AS INTEGER)"
+        val txt = "'User-agent: *'" + nl + "'Disallow: /x'" + nl +
+          "'Sitemap: https://' || host || '/sitemap.xml'" + nl +
+          s"(CASE WHEN $dig % 2 = 0 THEN '  SiteMap:https://cdn-' || " +
+          s"CAST($dig % 4 AS VARCHAR) || '.example.org/sm/' || " +
+          s"CAST($dig % 5 AS VARCHAR) || '.xml # index' || chr(10) " +
+          "ELSE '' END)" +
+          " || 'User-agent: evil'" + nl + "'Disallow: /'" + nl +
+          s"(CASE WHEN $dig % 3 = 0 THEN 'sitemap: https://' || host || " +
+          "'/in-group.xml' || chr(10) ELSE '' END)"
+        s"$UrlCte, hosts AS (SELECT DISTINCT ${urlHostSql("key")} AS host FROM k), " +
+          s"rob AS (SELECT host, $txt AS txt FROM hosts), " +
+          "m AS (SELECT host, regexp_extract_all(txt, " +
+          "'(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^\\r\\n#]+)', 1) AS ms FROM rob), " +
+          "un AS (SELECT host, unnest(generate_series(1, len(ms))) AS sm_pos, " +
+          "unnest(ms) AS v FROM m) " +
+          "SELECT host, CAST(sm_pos AS BIGINT) AS sm_pos, trim(v) AS sitemap_url " +
+          "FROM un WHERE trim(v) <> '' ORDER BY host, sm_pos"
+      }))
 }

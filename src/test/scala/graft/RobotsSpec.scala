@@ -257,4 +257,23 @@ class RobotsSpec extends SparkTestBase {
     // /p/3&x=1 and /p/30 both PREFIX-match /p/3 — prefix semantics, spec'd
     assert(got === Seq(false, false))
   }
+
+  test("sitemapUrls: file-wide (group-scoped readers drop rows), casing, trim") {
+    val txt =
+      "User-agent: *\nDisallow: /x\nSitemap: https://a.com/sitemap.xml\n" +
+        "  SiteMap:https://cdn.example.org/sm/1.xml # index\n" +
+        "User-agent: evil\nDisallow: /\n" +
+        "sitemap: https://a.com/in-group.xml\n"
+    val robots = Seq(("a.com", txt), ("b.com", "User-agent: *\nAllow: /\n"))
+      .toDF("host", "txt")
+    val got = Robots.sitemapUrls(robots, "host", "txt")
+      .orderBy("host", "sm_pos")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    // the directive INSIDE the evil group still surfaces (file-wide field);
+    // positions are file order; comments cut; indentation/casing tolerated
+    assert(got === Seq(
+      ("a.com", 1L, "https://a.com/sitemap.xml"),
+      ("a.com", 2L, "https://cdn.example.org/sm/1.xml"),
+      ("a.com", 3L, "https://a.com/in-group.xml")))
+  }
 }

@@ -338,4 +338,59 @@ class TextFnsSpec extends SparkTestBase {
       .select(TextFns.normalizeText(col("t"))).collect()(0)
     assert(nul.isNullAt(0))
   }
+
+  test("mainContent: density and length classification, jusText-lite") {
+    def mc(s: String): String =
+      Seq(s).toDF("h").select(TextFns.mainContent(col("h")))
+        .collect()(0).getString(0)
+    // nav dies on density, content survives, footer dies on density
+    val page = "<html><body>" +
+      "<nav><a href=\"/\">Home page link</a> <a href=\"/a\">About us link</a></nav>" +
+      "<p>This paragraph is long enough to clear the length gate easily.</p>" +
+      "<footer>(c) 2026 Example site <a href=\"/tos\">Terms</a> <a href=\"/p\">Privacy</a></footer>" +
+      "</body></html>"
+    assert(mc(page) ===
+      "This paragraph is long enough to clear the length gate easily.")
+    // script/style/comment content dies BEFORE the split — a script body
+    // containing block tags must not fabricate blocks
+    assert(mc("<script>var x = \"<p>fake</p>\";</script>" +
+      "<p>real content block that is clearly long enough to keep.</p>") ===
+      "real content block that is clearly long enough to keep.")
+    // a long paragraph with one small inline link survives (low density)
+    val linked = "<p>Read the <a href=\"/r\">spec</a> for the full detail " +
+      "of the algorithm and its boundary behavior.</p>"
+    assert(mc(linked) === "Read the spec for the full detail " +
+      "of the algorithm and its boundary behavior.")
+    // survivors join with newlines, in document order
+    assert(mc("<p>First survivor paragraph with plenty of characters.</p>" +
+      "<p>Second survivor paragraph with plenty of characters.</p>") ===
+      "First survivor paragraph with plenty of characters.\n" +
+        "Second survivor paragraph with plenty of characters.")
+    // entities decode inside kept blocks
+    assert(mc("<p>salt &amp; pepper make this sentence long enough now.</p>") ===
+      "salt & pepper make this sentence long enough now.")
+  }
+
+  test("mainContent: exact classification boundaries (integer compare)") {
+    def mc(s: String): String =
+      Seq(s).toDF("h").select(TextFns.mainContent(col("h")))
+        .collect()(0).getString(0)
+    // length boundary: 25 chars kept, 24 dropped (>= minChars)
+    val c25 = "1234567890123456789012345"
+    assert(mc(s"<p>$c25</p>") === c25)
+    assert(mc(s"<p>${c25.take(24)}</p>") === "")
+    // density boundary: link 10 chars in a 50-char block = exactly 200 permille
+    val post33 = "abcdefghijklmnopqrstuvwxyzabcdefg"
+    val at = s"<p>start <a href=\"/x\">0123456789</a> $post33</p>"
+    assert(mc(at) === s"start 0123456789 $post33") // 10 * 1000 == 200 * 50: kept
+    val over = s"<p>start <a href=\"/x\">0123456789</a> ${post33.take(32)}</p>"
+    assert(mc(over) === "") // 10 * 1000 > 200 * 49: dropped
+  }
+
+  test("mainContent: empty page and null propagate") {
+    assert(Seq("<div></div>").toDF("h")
+      .select(TextFns.mainContent(col("h"))).collect()(0).getString(0) === "")
+    assert(Seq[Option[String]](None).toDF("h")
+      .select(TextFns.mainContent(col("h"))).collect()(0).isNullAt(0))
+  }
 }
