@@ -69,9 +69,24 @@ object TextFns {
     * extraction over adversarial markup needs a DOM parser; this core is
     * for the overwhelmingly well-formed bulk of a web corpus. */
   def stripHtml(html: Column): Column =
-    StripHtmlSteps.foldLeft(html) { case (c, (pat, rep)) =>
-      regexp_replace(c, pat, rep)
-    }
+    StripHtmlSteps.foldLeft(html)(applyStep)
+
+  /** True when a pattern is a plain literal (no regex metacharacter) and
+    * the replacement has no `$`/`\` group reference — the pair then means
+    * the same thing to [[regexp_replace]] and to the literal [[replace]],
+    * and the latter skips the regex engine entirely. The entity steps are
+    * all of this shape, and they run once per BLOCK in the mainContent
+    * chain — measured, the literal route cuts the per-block chain cost
+    * without touching what any step computes. */
+  private def literalStep(pat: String, rep: String): Boolean =
+    !pat.exists("\\.[]{}()*+?^$|".contains(_)) &&
+      !rep.exists("\\$".contains(_))
+
+  /** One chain step: literal steps take the non-regex replace. */
+  private def applyStep(c: Column, step: (String, String)): Column = step match {
+    case (pat, rep) if literalStep(pat, rep) => replace(c, lit(pat), lit(rep))
+    case (pat, rep) => regexp_replace(c, pat, rep)
+  }
 
   /** Block-level boundary tags for [[mainContent]]'s segmentation: any
     * open OR close tag of an element that starts a new visual block (the
@@ -98,9 +113,7 @@ object TextFns {
       Seq(("\\s+", " "), ("^ +| +$", ""))
 
   private def blockTextChain(c: Column): Column =
-    BlockTextSteps.foldLeft(c) { case (acc, (pat, rep)) =>
-      regexp_replace(acc, pat, rep)
-    }
+    BlockTextSteps.foldLeft(c)(applyStep)
 
   /** Per-block (text, n_chars, link_chars) structs for [[mainContent]] —
     * exposed for audits that want the drop reasons. Script/style/comment
@@ -110,17 +123,24 @@ object TextFns {
     * array — lambda bodies get no common-subexpression elimination, so the
     * text chain runs once per block, not once per consumer). */
   def contentBlocks(html: Column): Column = {
-    val cleaned = ContentKillSteps.foldLeft(html) { case (c, (pat, rep)) =>
-      regexp_replace(c, pat, rep)
-    }
-    transform(split(cleaned, BlockSplitPattern), b => {
-      val txt = blockTextChain(b)
-      val linkChars = aggregate(
-        regexp_extract_all(b, lit(AnchorTextPattern), lit(1)),
-        lit(0L), (acc, a) => acc + length(blockTextChain(a)))
-      struct(txt.as("text"), length(txt).cast("long").as("n_chars"),
-        linkChars.as("link_chars"))
-    })
+    val cleaned = ContentKillSteps.foldLeft(html)(applyStep)
+    // two nested transforms, NOT one: reusing a `val txt` Column twice in a
+    // single struct DUPLICATES the expression tree (Columns are trees, not
+    // values — no common-subexpression elimination inside lambda bodies),
+    // so the r15-build form ran the whole 9-step chain twice per block,
+    // once for `text` and once inside length(). The inner transform
+    // materializes each block's cleaned text once; the outer one only
+    // reads struct fields (plan-visible: ONE chain per block).
+    val txtAndLinks = transform(split(cleaned, BlockSplitPattern), b =>
+      struct(blockTextChain(b).as("text"),
+        aggregate(
+          regexp_extract_all(b, lit(AnchorTextPattern), lit(1)),
+          lit(0L), (acc, a) => acc + length(blockTextChain(a)))
+          .as("link_chars")))
+    transform(txtAndLinks, r =>
+      struct(r.getField("text").as("text"),
+        length(r.getField("text")).cast("long").as("n_chars"),
+        r.getField("link_chars").as("link_chars")))
   }
 
   /** Main-content extraction (the jusText/boilerpipe/trafilatura slot that

@@ -15,6 +15,16 @@ object ExtQueries {
   import Queries.Q
   import Td.t
 
+  /** The documents scan, projected to `cols` and round-robined up to the
+    * session's parallelism ([[graft.ext.Par.ensure]] — a stats-based no-op
+    * once the input is big enough to scan into that many splits). Heavy
+    * per-row expression chains (regex extraction chains, WARC framing,
+    * per-token md5) must not inherit a small file's 1-task scan
+    * partitioning: at bench scale that serialized every one of these
+    * gates onto one core (r15 opt round, the plans/r15 before-plans). */
+  private def docsPar(s: SparkSession, d: String, cols: String*) =
+    graft.ext.Par.ensure(t(s, d, "documents").select(cols.map(col): _*))
+
   /** documents/embeddings may not be pre-registered as DuckDB views by the
     * harness (TESTDATA.md lists only the TPC-H-ish tables), so their oracle
     * SQL reads the parquet directly; `{{SF}}` is substituted with the actual
@@ -1158,7 +1168,8 @@ object ExtQueries {
       (s: SparkSession, d: String) =>
         Url.outlinks(
             Fixtures.attachLinksHtml(
-              Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+              Fixtures.attachUrls(docsPar(s, d, "doc_id", "source"),
+                "doc_id", "source"),
               "doc_id", "url"),
             "doc_id", "url", "html")
           .select("src_id", "link", "link_key") // src_key is for composers
@@ -1201,7 +1212,8 @@ object ExtQueries {
       (s: SparkSession, d: String) =>
         Url.outAnchors(
             Fixtures.attachLinksHtml(
-              Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+              Fixtures.attachUrls(docsPar(s, d, "doc_id", "source"),
+                "doc_id", "source"),
               "doc_id", "url"),
             "doc_id", "url", "html")
           .orderBy("src_id", "link_key", "anchor_text"),
@@ -2379,7 +2391,7 @@ object ExtQueries {
       // scans): per-vector (mn, sc) and code-stream aggregates — the
       // oracle recomputes the affine rounding per element.
       (s: SparkSession, d: String) =>
-        t(s, d, "embeddings")
+        graft.ext.Par.ensure(t(s, d, "embeddings").select("vec_id", "embedding"))
           .select(col("vec_id"), Similarity.sq8Encode(col("embedding")).as("q"))
           .select(col("vec_id"),
             round(col("q.mn"), 6).as("mn"),
@@ -2477,7 +2489,7 @@ object ExtQueries {
     // --------------------------------------------------------------- text --
     ("x_text_stats",
       (s: SparkSession, d: String) =>
-        t(s, d, "documents")
+        t(s, d, "documents") // light per-row work: docsPar measured a loss here
           .select(col("doc_id"), TextFns.tokenCount(col("text")).as("n_tokens"),
             TextFns.bpeIshTokens(col("text")).as("n_bpe_tokens"),
             length(col("text")).cast("long").as("len_chars"), col("n_chars"))
@@ -2534,7 +2546,7 @@ object ExtQueries {
 
     ("x_text_quality",
       (s: SparkSession, d: String) =>
-        t(s, d, "documents")
+        docsPar(s, d, "doc_id", "text")
           .select(col("doc_id"),
             TextFns.nonAlphaCount(col("text")).as("n_nonalpha"),
             round(TextFns.stopwordRatio(col("text"), TextFns.enStop), 6).as("stop_ratio"),
@@ -2555,7 +2567,7 @@ object ExtQueries {
       // whitespace collapses. Pure regexp chain, zero shuffle; the oracle
       // replays it verbatim over the same synthesized page skeleton.
       (s: SparkSession, d: String) =>
-        Fixtures.attachHtml(t(s, d, "documents"), "doc_id", "text")
+        Fixtures.attachHtml(docsPar(s, d, "doc_id", "text"), "doc_id", "text")
           .select(col("doc_id"),
             TextFns.stripHtml(col("html")).as("extracted"))
           .orderBy("doc_id"),
@@ -2586,7 +2598,7 @@ object ExtQueries {
       // java.text.Normalizer and DuckDB's utf8proc agree — so the gate
       // hash-checks the normalized text itself. Pure per-row map.
       (s: SparkSession, d: String) => {
-        val noisy = t(s, d, "documents").select(col("doc_id"),
+        val noisy = t(s, d, "documents").select(col("doc_id"), // light: docsPar measured a loss here
           concat(lit("cafe\u0301 \t"), col("text"),
             lit("  x\u0001y  ")).as("t2"))
         noisy.select(col("doc_id"),
@@ -2606,7 +2618,7 @@ object ExtQueries {
       // Patterns live in the Java-regex/RE2 common subset so both engines
       // mean the same thing. Pure per-row map: zero shuffles at any scale.
       (s: SparkSession, d: String) => {
-        val injected = t(s, d, "documents").select(col("doc_id"),
+        val injected = docsPar(s, d, "doc_id", "text").select(col("doc_id"),
           concat(col("text"), lit(" contact user"),
             col("doc_id").cast("string"), lit("@example.com via http://site"),
             (col("doc_id") % 7).cast("string"), lit(".org ref "),
@@ -2633,7 +2645,7 @@ object ExtQueries {
 
     ("x_lang_guess",
       (s: SparkSession, d: String) =>
-        t(s, d, "documents")
+        docsPar(s, d, "doc_id", "text", "lang")
           .select(col("doc_id"), col("lang").as("actual"),
             TextFns.langGuess(col("text")).as("guess"),
             TextFns.hitCount(col("text"), TextFns.enStop).as("s_en"),
@@ -2657,7 +2669,7 @@ object ExtQueries {
       // (demoWeightsMilli) — the operator under test is the plumbing.
       (s: SparkSession, d: String) => {
         val w = TextFns.demoWeightsMilli()
-        t(s, d, "documents").select(col("doc_id"),
+        docsPar(s, d, "doc_id", "text").select(col("doc_id"),
             TextFns.tokenCount(col("text")).as("n_tokens"),
             TextFns.hashedLinearScore(col("text"), w).as("score_milli"))
           .withColumn("keep", (col("score_milli") >= 0).cast("int"))
@@ -2742,7 +2754,7 @@ object ExtQueries {
       // 6dp before thresholding so both engines threshold the same values.
       // Pure per-row map — zero shuffles at any scale.
       (s: SparkSession, d: String) => {
-        val docs = t(s, d, "documents")
+        val docs = docsPar(s, d, "doc_id", "text")
         val ws = split(col("text"), " ")
         val cols = TextFns.gopherRules(col("text"), ws)
           .map { case (n, c) => c.as(n) }
@@ -3772,7 +3784,7 @@ object ExtQueries {
       // threshold. Pure per-row regex chain, zero shuffles; the oracle
       // replays the split + per-block chain from the SAME constants.
       (s: SparkSession, d: String) =>
-        Fixtures.attachBoilerHtml(t(s, d, "documents"), "doc_id", "text")
+        Fixtures.attachBoilerHtml(docsPar(s, d, "doc_id", "text"), "doc_id", "text")
           .select(col("doc_id"),
             TextFns.mainContent(col("html")).as("main_text"))
           .withColumn("n_chars", length(col("main_text")).cast("long"))
@@ -3794,7 +3806,8 @@ object ExtQueries {
       // NULL target URI pins optional-header passthrough. Zero shuffles.
       (s: SparkSession, d: String) => {
         val w = Fixtures.attachWarc(
-          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+          Fixtures.attachUrls(docsPar(s, d, "doc_id", "text", "source"),
+            "doc_id", "source"),
           "doc_id", "text", "url")
         graft.ext.Warc.records(w, "doc_id", "warc")
           .select(col("doc_id"), col("rec_pos"), col("warc_type"),
@@ -3816,7 +3829,8 @@ object ExtQueries {
       // (every 5th doc) must drop at the 2xx filter.
       (s: SparkSession, d: String) => {
         val w = Fixtures.attachWarc(
-          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+          Fixtures.attachUrls(docsPar(s, d, "doc_id", "text", "source"),
+            "doc_id", "source"),
           "doc_id", "text", "url")
         graft.ext.Warc.wetText(graft.ext.Warc.records(w, "doc_id", "warc"))
           .select(col("doc_id"), col("rec_pos"), col("target_uri"),
@@ -3839,7 +3853,8 @@ object ExtQueries {
       // still zero shuffles — every stage is a per-row map.
       (s: SparkSession, d: String) => {
         val w = Fixtures.attachWarc(
-          Fixtures.attachUrls(t(s, d, "documents"), "doc_id", "source"),
+          Fixtures.attachUrls(docsPar(s, d, "doc_id", "text", "source"),
+            "doc_id", "source"),
           "doc_id", "text", "url")
         graft.ext.Warc.httpResponses(
           graft.ext.Warc.records(w, "doc_id", "warc"))

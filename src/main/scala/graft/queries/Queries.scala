@@ -996,10 +996,23 @@ object Queries {
   private def flattened(s: SparkSession, d: String) =
     graft.ingest.Flatten(syntheticEnvelopes(s, d))
 
+  /** [[flattened]] with the envelope batch round-robined up to the
+    * session's parallelism first — for the gates that MATERIALIZE the
+    * per-row crypto/JSON columns (sha256 tx hash, base64→hex, canonical
+    * attrs JSON): a small orders.parquet scans as ONE task, which
+    * serialized those gates on a single core at bench scale. The
+    * count-shaped gates (flat_fanout, flat_tx_events, flat_type_route)
+    * keep the plain form: column pruning already drops their heavy
+    * expressions, so the extra exchange was a measured net loss there
+    * (flat_fanout 1.14 → 2.28 s). Par.ensure is a stats-based no-op on big
+    * inputs, so the production path keeps its natural partitioning. */
+  private def flattenedPar(s: SparkSession, d: String) =
+    graft.ingest.Flatten(graft.ext.Par.ensure(syntheticEnvelopes(s, d)))
+
   val flatFamily: Seq[(String, Q, Option[String])] = Seq(
     ("flat_txs",
       (s: SparkSession, d: String) =>
-        flattened(s, d).txs.orderBy("height"),
+        flattenedPar(s, d).txs.orderBy("height"),
       Some("SELECT o_orderkey AS height, 0 AS tx_index, CAST(o_custkey % 3 AS INT) AS code, " +
         "o_custkey AS gas_wanted, o_custkey * 2 AS gas_used, " +
         "lower(hex(o_orderpriority)) AS data, upper(sha256(o_orderstatus)) AS tx_hash, " +
@@ -1045,7 +1058,7 @@ object Queries {
 
     ("flat_attrs_json",
       (s: SparkSession, d: String) =>
-        flattened(s, d).txEventAttrsJson
+        flattenedPar(s, d).txEventAttrsJson
           .select("height", "attrs_kv", "attrs_map", "attr_count")
           .orderBy("height"),
       Some("SELECT o_orderkey AS height, " +
