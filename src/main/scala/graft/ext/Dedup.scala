@@ -371,9 +371,9 @@ object Dedup {
     * partial counts, no global sort, no index build.
     *
     * Scale shape: exploded windows ≈ one row per corpus token; the window-
-    * frequency agg is the one big shuffle (keyed on the 32-byte md5 —
-    * constant width no matter the k; production could halve it again with
-    * xxhash64 at the price of engine-portable verification); duplicated keys
+    * frequency agg is the one big shuffle (keyed on xxhash64 since the r15
+    * opt round — 8 bytes/row, no digest+hex per window; the hash never
+    * reaches an output column, see dupSpanOccurrences); duplicated keys
     * join back on the same key (partitioning reuse), and coverage merging is
     * a per-doc agg whose state is bounded by document length. */
   def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
@@ -427,13 +427,23 @@ object Dedup {
       .select(col("doc_id"), col("__ws"),
         size(col("__ws")).cast("long").as("n_words"))
 
-  /** (doc_id, __p): 0-based positions of this doc's k-windows whose md5
-    * occurs ≥2 times corpus-wide. Docs shorter than k emit no windows. */
+  /** (doc_id, __p): 0-based positions of this doc's k-windows whose hash
+    * occurs ≥2 times corpus-wide. Docs shorter than k emit no windows.
+    * The window hash is INTERNAL plumbing (it never reaches an output
+    * column — occurrences join back on it and emit positions only), so it
+    * keys on xxhash64 like [[unitDedup]]'s one corpus shuffle: 8 bytes/row
+    * through the exchange instead of a 32-char md5 hex string, and no
+    * digest+hex per window (the r15 opt round measured the md5 form as the
+    * dominant map-side cost of x_span_stats/x_span_scrub). Two distinct
+    * windows colliding in 64 bits would mark both as duplicated — the
+    * same negligible birthday bound the unitDedup comment argues, and the
+    * oracle (which keys on its own md5) stays value-equal at any gate
+    * scale because only positions cross the engine boundary. */
   private def dupSpanOccurrences(base: DataFrame, k: Int): DataFrame = {
     val wins = base.filter(size(col("__ws")) >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("__ws")) - k),
-          i => md5(concat_ws(" ", slice(col("__ws"), i + 1, lit(k)))))))
+          i => xxhash64(concat_ws(" ", slice(col("__ws"), i + 1, lit(k)))))))
       .select(col("doc_id"), col("pos").as("__p"), col("col").as("__h"))
     val dupKeys = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__h")

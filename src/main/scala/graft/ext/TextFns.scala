@@ -442,6 +442,10 @@ object TextFns {
     * self-join of documents. */
   def ngramNovelty(docs: org.apache.spark.sql.DataFrame, idCol: String,
                    textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    // NOTE (r15 opt round): re-keying this shuffle on xxhash64(gram) — the
+    // unitDedup 8-bytes-per-row pattern — was tried and MEASURED SLOWER
+    // here (1.55 → 3.22 s at sf0.1, same era; plan skeleton unchanged,
+    // both forms broadcast `first`), so the string key stays.
     val grams = Par.ensure(docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         explode(array_distinct(Dedup.shinglesOfWords(split(col(textCol), " "), n)))
